@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared engine operator: a Spark implementation plus (when
+  * SQL-expressible) a DuckDB oracle over the same parquet tables.
+  *
+  * Determinism contract (SURVEY.md §2.B): terminal ORDER BY on a unique
+  * key, ROUND(x, 4) on float outputs, UTC session timezone, no wall-clock
+  * reads. Double-typed aggregates route through DECIMAL(18,6) partial sums
+  * so the result is independent of partition/accumulation order — the
+  * DuckDB hash-match demands bit-identical values.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle))
+
+  /** Streaming-only / non-SQL-expressible op: driver records rows>0 only. */
+  def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+}

@@ -1,0 +1,362 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational spine over the star schema (SURVEY.md §2.B): scans, joins
+  * (broadcast / shuffle / semi / anti), aggregations, window functions,
+  * top-k, set ops, string/date functions, JSON and array functions.
+  *
+  * The reference has none of these (it is a routing ETL job); they are the
+  * engine's declared query surface, all pure `org.apache.spark.sql.functions`
+  * so Catalyst handles pushdown/pruning/join selection and every operator
+  * stays inside whole-stage codegen.
+  *
+  * Scale notes, per operator family:
+  *   - dim joins (`region`/`nation`/`customer`-sized sides) are explicitly
+  *     `broadcast()` — no shuffle of the fact table;
+  *   - fact-fact joins shuffle on the join key once, and the following
+  *     groupBy reuses that clustering where possible;
+  *   - aggregates are map-side combined by Spark automatically; DECIMAL
+  *     partial sums keep double results partition-order-independent;
+  *   - top-k compiles to TakeOrderedAndProject (per-partition heap + driver
+  *     merge of k rows, not a global sort).
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a double expression: through
+    * DECIMAL(18,6). Deterministic across partitionings and engines. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)"))
+
+  val qScanLineitem: QueryDef = QueryDef.sql(
+    "q_scan_lineitem",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") < lit("1995-06-01").cast("timestamp") &&
+        col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val qJoinBroadcast: QueryDef = QueryDef.sql(
+    "q_join_broadcast",
+    """SELECT r.r_name, n.n_name,
+      |       count(*) AS n_cust,
+      |       round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_bal
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name, n.n_name
+      |ORDER BY r.r_name, n.n_name""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        round(dsum(col("c_acctbal")).cast("double"), 2).as("sum_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val qJoinShuffle: QueryDef = QueryDef.sql(
+    "q_join_shuffle",
+    """SELECT o.o_orderstatus, o.o_orderpriority,
+      |       count(*) AS n_items,
+      |       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderstatus, o.o_orderpriority
+      |ORDER BY o.o_orderstatus, o.o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** Left-semi join — the reference's `module == "session"` routing
+    * generalized to a routing table (SURVEY.md §2.B joins row). */
+  val qJoinSemi: QueryDef = QueryDef.sql(
+    "q_join_semi",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(
+        Tables.lineitem(s, d).where(col("l_quantity") >= 48),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val qJoinAnti: QueryDef = QueryDef.sql(
+    "q_join_anti",
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).where(col("o_totalprice") > 150000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val qAggDelay: QueryDef = QueryDef.sql(
+    "q_agg_delay",
+    """SELECT event_type,
+      |       count(*) AS cnt,
+      |       round(min(value), 4) AS min_v,
+      |       round(max(value), 4) AS max_v,
+      |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v,
+      |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_v
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(min(col("value")), 4).as("min_v"),
+        round(max(col("value")), 4).as("max_v"),
+        round(dsum(col("value")).cast("double"), 4).as("sum_v"),
+        round(dsum(col("value")).cast("double") / count(lit(1)), 4).as("avg_v"))
+      .orderBy("event_type")
+  }
+
+  val qAggDistinct: QueryDef = QueryDef.sql(
+    "q_agg_distinct",
+    """SELECT event_type,
+      |       count(DISTINCT user_id) AS n_users,
+      |       count(DISTINCT CAST(props->>'$.k' AS INTEGER)) AS n_keys
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(get_json_object(col("props"), "$.k").cast("int")).as("n_keys"))
+      .orderBy("event_type")
+  }
+
+  /** ROLLUP with null group markers coalesced so NULLS FIRST/LAST defaults
+    * cannot diverge between engines. */
+  val qAggRollup: QueryDef = QueryDef.sql(
+    "q_agg_rollup",
+    """SELECT coalesce(o_orderstatus, '<all>') AS status,
+      |       coalesce(o_orderpriority, '<all>') AS priority,
+      |       count(*) AS cnt,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(dsum(col("o_totalprice")).cast("double"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        col("cnt"), col("total"))
+      .orderBy("status", "priority")
+  }
+
+  /** Ranking windows: top-3 orders per customer by recency; rank over a
+    * deterministic total order (unique tiebreak on o_orderkey). */
+  val qWindowRank: QueryDef = QueryDef.sql(
+    "q_window_rank",
+    """SELECT o_custkey, o_orderkey, rn, price_rank
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn,
+      |         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(byDate).as("rn"),
+        rank().over(byPrice).as("price_rank"))
+      .where(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Frame-based running aggregate + lag: delay-trend analog over lineitem
+    * (SURVEY.md §2.B window row). */
+  val qWindowRunning: QueryDef = QueryDef.sql(
+    "q_window_running",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+      |             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_qty,
+      |       lag(l_orderkey) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_order
+      |FROM lineitem
+      |WHERE l_suppkey <= 20
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    Tables.lineitem(s, d)
+      .where(col("l_suppkey") <= 20)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(
+          sum(col("l_quantity").cast("decimal(18,6)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"), 2).as("running_qty"),
+        lag(col("l_orderkey"), 1).over(w).as("prev_order"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** Top-k: plans as TakeOrderedAndProject — no global sort at scale. */
+  val qTopk: QueryDef = QueryDef.sql(
+    "q_topk",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+  }
+
+  /** Set ops reassembling split streams (the dual of the reference's side
+    * outputs, SURVEY.md §2.B): purchasers ∩ signups ∖ error-reporters. */
+  val qUnion: QueryDef = QueryDef.sql(
+    "q_union",
+    """(SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |   FROM events WHERE event_type = 'purchase'
+      | INTERSECT
+      | SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |   FROM events WHERE event_type = 'signup')
+      |EXCEPT
+      |SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |  FROM events WHERE event_type = 'error'
+      |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def userDays(t: String) = ev.where(col("event_type") === t).select(
+      col("user_id"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+    userDays("purchase").intersect(userDays("signup")).except(userDays("error"))
+      .orderBy("user_id", "day")
+  }
+
+  val qStringDateFns: QueryDef = QueryDef.sql(
+    "q_string_date_fns",
+    """SELECT o_orderkey,
+      |       upper(o_orderstatus) AS status_u,
+      |       concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+      |       length(o_orderpriority) AS prio_len,
+      |       replace(o_orderpriority, '-', '_') AS prio_r,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS od,
+      |       CAST(year(o_orderdate) AS INTEGER) AS oy,
+      |       CAST(month(o_orderdate) AS INTEGER) AS om,
+      |       round(CAST(o_totalprice * 1.07 AS DOUBLE), 2) AS taxed
+      |FROM orders
+      |WHERE o_orderkey % 7 = 0
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .where(col("o_orderkey") % 7 === 0)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderstatus")).as("status_u"),
+        concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        length(col("o_orderpriority")).as("prio_len"),
+        regexp_replace(col("o_orderpriority"), "-", "_").as("prio_r"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        year(col("o_orderdate")).as("oy"),
+        month(col("o_orderdate")).as("om"),
+        round((col("o_totalprice") * 1.07).cast("double"), 2).as("taxed"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Batch analog of the streaming tumbling window: date_trunc bucketing
+    * (SURVEY.md §2.B streaming-windows row). */
+  val qDateTrunc: QueryDef = QueryDef.sql(
+    "q_date_trunc",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |       event_type,
+      |       count(*) AS cnt,
+      |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(dsum(col("value")).cast("double"), 4).as("sum_v"))
+      .orderBy("day", "event_type")
+  }
+
+  val qJsonExtract: QueryDef = QueryDef.sql(
+    "q_json_extract",
+    """SELECT CAST(props->>'$.k' AS INTEGER) % 10 AS k_bucket,
+      |       count(*) AS cnt,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events
+      |WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY k_bucket""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(
+        (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"),
+        col("user_id"))
+      .where(col("k_bucket").isNotNull)
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("k_bucket")
+  }
+
+  /** Array functions over the embeddings column (SURVEY.md §2.B array row):
+    * size / element aggregation / min-max via higher-order functions. */
+  val qArrayFns: QueryDef = QueryDef.sql(
+    "q_array_fns",
+    """SELECT vec_id,
+      |       len(embedding) AS dim,
+      |       round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |             (acc, x) -> acc + x)), 4) AS l2_norm,
+      |       round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_v,
+      |       round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_v
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0),
+          (acc, x) => acc + x)), 4).as("l2_norm"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_v"),
+        round(array_min(col("embedding")).cast("double"), 4).as("min_v"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qScanLineitem, qJoinBroadcast, qJoinShuffle, qJoinSemi, qJoinAnti,
+    qAggDelay, qAggDistinct, qAggRollup, qWindowRank, qWindowRunning,
+    qTopk, qUnion, qStringDateFns, qDateTrunc, qJsonExtract, qArrayFns)
+}
