@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.CrossHash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.B north-star
+  * row): brute-force cosine top-k as the verified baseline and sign-LSH
+  * bucketing as the scale path.
+  *
+  * Scale design:
+  *   - the brute-force path broadcasts the (small) query set against the
+  *     partitioned corpus — one pass, no shuffle of the corpus, per-query
+  *     top-k via window over (query × corpus) rows;
+  *   - the LSH path reduces each vector to an 8-bit hyperplane-sign bucket
+  *     first, so the candidate join is an equi-join on the bucket key —
+  *     at 100 TB this is the difference between N·Q and N+Q·bucket work;
+  *   - all arithmetic is double with a fixed fold order, so the DuckDB
+  *     oracle reproduces results bit-for-bit (ordering included).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product — same operation order in both engines. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def normSql(v: String): String =
+    s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($v, x -> x * x)), (acc, x) -> acc + x))"
+
+  /** Base vectors cast to double, with norms. */
+  private def normed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  private val normedCte: String =
+    s"""e AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |n AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM e)""".stripMargin
+
+  /** Near-dup corpus: embeddings plus exactly-colinear (×2) copies of every
+    * `vec_id % 10 == 0` vector — cosine exactly 1.0 by IEEE arithmetic. */
+  private def eCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val base = e.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val scaled = e.where(col("vec_id") % 10 === 0).select(
+      (col("vec_id") + 100000L).as("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double") * 2).as("v"))
+    base.unionAll(scaled).withColumn("nrm", norm(col("v")))
+  }
+
+  private val eCorpusCte: String =
+    s"""ec AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000, label, list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)
+       |  FROM embeddings WHERE vec_id % 10 = 0
+       |),
+       |n AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM ec)""".stripMargin
+
+  /** Embedding-cosine near-dup detection, blocked by label. */
+  val qEmbedNeardup: QueryDef = QueryDef.sql(
+    "q_embed_neardup",
+    s"""WITH $eCorpusCte
+       |SELECT a.vec_id AS a, b.vec_id AS b,
+       |       round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 4) AS cos
+       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.99
+       |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val n = eCorpus(s, d)
+    val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
+    n.as("a").join(n.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .where(cos >= 0.99)
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
+        round(cos, 4).as("cos"))
+      .orderBy("a", "b")
+  }
+
+  /** Brute-force cosine top-10: broadcast query set × partitioned corpus. */
+  val qSimTopk: QueryDef = QueryDef.sql(
+    "q_sim_topk",
+    s"""WITH $normedCte,
+       |q AS (SELECT * FROM n WHERE vec_id < 10),
+       |s AS (
+       |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |         ${dotSql("q.v", "n.v")} / (q.nrm * n.nrm) AS cos
+       |  FROM q JOIN n ON n.vec_id <> q.vec_id
+       |)
+       |SELECT qid, nid, rnk, round(cos, 4) AS cos
+       |FROM (SELECT qid, nid, cos,
+       |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+       |      FROM s)
+       |WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    val n = normed(s, d)
+    val q = n.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val cos = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+    val scored = n.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 10)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  private val Planes = CrossHash.hyperplanes(8, 64)
+
+  /** DuckDB literal hyperplane table. */
+  private val planesCte: String = {
+    val rows = Planes.zipWithIndex.map { case (h, p) =>
+      s"SELECT $p AS p, [${h.mkString(", ")}]::DOUBLE[] AS h"
+    }
+    s"hp AS (\n  ${rows.mkString("\n  UNION ALL ")}\n)"
+  }
+
+  /** Sign-LSH: 8 hyperplane sign bits → bucket; exact cosine re-rank within
+    * the query's bucket (the scale path for ANN at 100 TB). */
+  val qSimLsh: QueryDef = QueryDef.sql(
+    "q_sim_lsh",
+    s"""WITH $normedCte,
+       |$planesCte,
+       |sig AS (
+       |  SELECT n.vec_id,
+       |         sum(CASE WHEN ${dotSql("n.v", "hp.h")} > 0
+       |                  THEN CAST(1 AS BIGINT) << hp.p ELSE 0 END) AS sig
+       |  FROM n, hp GROUP BY n.vec_id
+       |),
+       |ns AS (SELECT n.*, sig.sig FROM n JOIN sig ON sig.vec_id = n.vec_id),
+       |q AS (SELECT * FROM ns WHERE vec_id < 10),
+       |s AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |         ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+       |  FROM q JOIN ns c ON c.sig = q.sig AND c.vec_id <> q.vec_id
+       |)
+       |SELECT qid, nid, rnk, round(cos, 4) AS cos
+       |FROM (SELECT qid, nid, cos,
+       |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+       |      FROM s)
+       |WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val planes = Planes.toSeq.zipWithIndex
+      .map { case (h, p) => (p, h.toSeq) }.toDF("p", "h")
+    val n = normed(s, d)
+    val sig = n.join(broadcast(planes))
+      .groupBy("vec_id")
+      .agg(sum(when(dot(col("v"), col("h")) > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("sig"))
+    val ns = n.join(sig, "vec_id")
+    val q = ns.where(col("vec_id") < 10).select(
+      col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"), col("sig").as("qsig"))
+    val cos = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+    val scored = ns.join(broadcast(q),
+        col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  val all: Seq[QueryDef] = Seq(qEmbedNeardup, qSimTopk, qSimLsh)
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.CrossHash._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite over `documents` (SURVEY.md §2.B north-star row):
+  * token counting (whitespace + BPE-ish subword estimate), quality scoring
+  * (stopword ratio, type-token ratio), language-ID heuristic, term
+  * frequency, and rolling-hash document fingerprinting.
+  *
+  * Everything is per-row array arithmetic (narrow, codegen'd) except the
+  * explode+groupBy in term frequency — the one shuffle, map-side combined.
+  * At 100 TB these scale linearly with input: no shuffle carries the
+  * document text, only 8-byte hashes/counters.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+  private val stopListSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Per-doc stats + quality score + stopword-based language guess. */
+  val qTextStats: QueryDef = QueryDef.sql(
+    "q_text_stats",
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+       |),
+       |st AS (
+       |  SELECT doc_id, lang,
+       |         len(w) AS n_tokens,
+       |         len(list_distinct(w)) AS n_distinct,
+       |         CAST(length(text) AS DOUBLE) / len(w) AS tok_len,
+       |         CAST(len(list_filter(w, x -> list_contains($stopListSql, x))) AS DOUBLE) / len(w) AS stop_r,
+       |         CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(w, x -> CAST((length(x) + 3) // 4 AS BIGINT))),
+       |           (acc, x) -> acc + x) AS n_bpe_tokens
+       |  FROM tok
+       |)
+       |SELECT doc_id, lang, n_tokens, n_distinct, n_bpe_tokens,
+       |       round(tok_len, 4) AS avg_tok_len,
+       |       round(stop_r, 4) AS stop_ratio,
+       |       round(ttr, 4) AS ttr,
+       |       round((2 * stop_r + ttr) / 3, 4) AS quality,
+       |       CASE WHEN stop_r >= 0.02 THEN 'en' ELSE 'other' END AS lang_guess
+       |FROM st
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val stopArr = array(Stopwords.map(lit): _*)
+    val st = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("text"),
+      split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        (length(col("text")).cast("double") / size(col("w"))).as("tok_len"),
+        (size(filter(col("w"), x => array_contains(stopArr, x))).cast("double") /
+          size(col("w"))).as("stop_r"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("ttr"),
+        aggregate(
+          transform(col("w"), x => expr("CAST(1 AS BIGINT)") * ((length(x) + 3) / 4).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
+    st.select(
+      col("doc_id"), col("lang"), col("n_tokens"), col("n_distinct"),
+      col("n_bpe_tokens"),
+      round(col("tok_len"), 4).as("avg_tok_len"),
+      round(col("stop_r"), 4).as("stop_ratio"),
+      round(col("ttr"), 4).as("ttr"),
+      round((col("stop_r") * 2 + col("ttr")) / 3, 4).as("quality"),
+      when(col("stop_r") >= 0.02, "en").otherwise("other").as("lang_guess"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID evaluation: confusion counts of heuristic guess vs label. */
+  val qLangId: QueryDef = QueryDef.sql(
+    "q_lang_id",
+    s"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+       |SELECT lang,
+       |       CASE WHEN CAST(len(list_filter(w, x -> list_contains($stopListSql, x))) AS DOUBLE) / len(w) >= 0.02
+       |            THEN 'en' ELSE 'other' END AS lang_guess,
+       |       count(*) AS cnt,
+       |       round(avg(CAST(len(w) AS DOUBLE)), 4) AS avg_tokens
+       |FROM tok
+       |GROUP BY 1, 2
+       |ORDER BY lang, lang_guess""".stripMargin) { (s, d) =>
+    val stopArr = array(Stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .select(col("lang"), split(col("text"), " ").as("w"))
+      .select(
+        col("lang"),
+        when(size(filter(col("w"), x => array_contains(stopArr, x))).cast("double") /
+          size(col("w")) >= 0.02, "en").otherwise("other").as("lang_guess"),
+        size(col("w")).cast("double").as("nt"))
+      .groupBy("lang", "lang_guess")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("nt").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+          .as("avg_tokens"))
+      .orderBy("lang", "lang_guess")
+  }
+
+  /** Corpus term frequency: explode → groupBy → top 50. */
+  val qTextTf: QueryDef = QueryDef.sql(
+    "q_text_tf",
+    """SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word
+      |ORDER BY tf DESC, word
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(50)
+  }
+
+  /** Rolling polynomial hash over word hashes — order-sensitive document
+    * fingerprint (same docs ⇒ same fp; any reorder/edit ⇒ different). */
+  val qTextFingerprint: QueryDef = QueryDef.sql(
+    "q_text_fingerprint",
+    s"""SELECT doc_id,
+       |       list_reduce(
+       |         list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(text, ' '), x -> ${shingleHashSql("x")})),
+       |         (acc, h) -> (acc * 131 + h) % $P) AS fp
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(split(col("text"), " "), x => shingleHash(x)),
+          lit(0L), (acc, h) => (acc * 131 + h) % P).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qTextStats, qLangId, qTextTf, qTextFingerprint)
+}
