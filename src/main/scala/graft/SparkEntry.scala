@@ -15,7 +15,7 @@ object SparkEntry {
   /** The full declared inventory. */
   def defs: Seq[QueryDef] =
     CodecQueries.all ++ Relational.all ++ Dedup.all ++ Similarity.all ++
-      TextAnalysis.all
+      TextAnalysis.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -40,9 +40,13 @@ object MsgCodec {
   def parseModule(value: Column): Column =
     trim(substring(value, 1, FieldLen))
 
-  /** `send_ts = try_cast(trim(substr(value, 16, 32)) as long)` — ref `:59-60`. */
-  def parseSendTs(value: Column): Column =
-    trim(substring(value, FieldLen + 1, FieldLen)).cast("long")
+  /** `send_ts = try_cast(trim(substr(value, 16, 32)) as long)` — ref `:59-60`.
+    * Guarded cast (null on malformed) so it is safe under Spark 4 ANSI mode:
+    * the reference would crash the task on `Long.parseLong` failure. */
+  def parseSendTs(value: Column): Column = {
+    val s = trim(substring(value, FieldLen + 1, FieldLen))
+    when(s.rlike("^-?[0-9]{1,18}$"), s.cast("long"))
+  }
 
   /** `tail = substr(value, 64)` — reference `:54`. */
   def parseTail(value: Column): Column =

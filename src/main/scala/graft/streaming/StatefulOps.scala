@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A parsed session event flowing through the stateful operators. */
+final case class SessionEvent(user: String, event_time: java.sql.Timestamp, payload: String)
+
+/** An assembled user session. */
+final case class SessionSummary(
+    user: String,
+    n_events: Long,
+    start_ms: Long,
+    end_ms: Long,
+    duration_ms: Long)
+
+private final case class SessionState(n: Long, startMs: Long, endMs: Long)
+
+/** Stateful streaming operators (SURVEY.md §2.B streaming-stateful row).
+  *
+  * The reference's only state is sink buffers in `ListState`
+  * (`CTSDBSink.java:212-230`) and pending-ack message IDs; our engine adds
+  * the operators a session stream actually needs:
+  *
+  *   - content dedup within a watermark (the scalable analog of the
+  *     reference's redelivery-dedup, `PulsarSource.java:199-201` — state is
+  *     evicted once the watermark passes, so it cannot grow unboundedly);
+  *   - session assembly via `flatMapGroupsWithState` with an event-time
+  *     timeout — emits one summary per quiet-gap-terminated session;
+  *   - declarative `session_window` aggregation for the same semantics
+  *     where the built-in operator suffices (preferred; Catalyst-planned).
+  */
+object StatefulOps {
+
+  /** Drop duplicate message payloads within the watermark horizon. */
+  def dedupWithinWatermark(msgs: DataFrame, watermark: String = "1 minute"): DataFrame =
+    msgs.withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("payload")
+
+  /** Built-in session windows: gap-based grouping, Catalyst-planned. */
+  def sessionWindows(events: DataFrame, gap: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark("event_time", "1 minute")
+      .groupBy(session_window(col("event_time"), gap), col("user"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"))
+
+  /** Custom state machine: assemble sessions with a 30s quiet-gap timeout.
+    * Demonstrates arbitrary per-key state where `session_window` semantics
+    * are not enough (e.g. emitting mid-session checkpoints). */
+  def assembleSessions(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gapMs: Long = 30000): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events
+      .withWatermark("event_time", "1 minute")
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: String, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(user, s.n, s.startMs, s.endMs, s.endMs - s.startMs))
+          } else {
+            val ts = rows.map(_.event_time.getTime).toSeq
+            val prev = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
+            val next = SessionState(
+              prev.n + ts.size,
+              math.min(prev.startMs, ts.min),
+              math.max(prev.endMs, ts.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.endMs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Sanity specs for the LLM-pipeline operators: planted duplicates are
+  * found, similarity results are geometrically correct, multimodal
+  * plumbing preserves batch shape. (Value-level correctness is covered by
+  * the DuckDB oracle gate; these pin down semantics the oracle can't.) */
+class OperatorSpec extends SparkSpec {
+
+  test("exact dedup finds every planted exact copy, and nothing else") {
+    val groups = Dedup.qDedupExact.fn(spark, sf()).collect()
+    val dupGroups = groups.filter(_.getAs[Long]("n_copies") > 1)
+    // planted: doc_id % 7 == 0 copies (near-dups differ textually)
+    val docs = Tables.documents(spark, sf()).count()
+    val expected = (0L until docs).count(_ % 7 == 0)
+    assert(dupGroups.length == expected)
+    assert(dupGroups.forall(_.getAs[Long]("n_copies") == 2))
+  }
+
+  test("minhash candidates cover all planted near-dup and exact pairs") {
+    val pairs = Dedup.qDedupMinhash.fn(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val docs = Tables.documents(spark, sf()).count()
+    val exactPairs = (0L until docs).filter(_ % 7 == 0).map(i => (i, i + 2000000))
+    // every exact copy must collide on all bands; near-dups on >=1 band whp
+    exactPairs.foreach(p => assert(pairs.contains(p), s"missing exact pair $p"))
+    val nearExpected = (0L until docs).filter(_ % 5 == 0).map(i => (i, i + 1000000))
+    val nearFound = nearExpected.count(pairs.contains)
+    assert(nearFound >= nearExpected.size * 8 / 10,
+      s"LSH should catch >=80% of 90%-overlap near-dups, got $nearFound/${nearExpected.size}")
+  }
+
+  test("ngram jaccard: exact pairs score 1.0, near-dups high, others lower") {
+    val rows = Dedup.qDedupNgram.fn(spark, sf()).collect()
+    val byPair = rows.map(r =>
+      (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("jaccard")).toMap
+    byPair.collect { case ((a, b), j) if b == a + 2000000 => j }
+      .foreach(j => assert(j == 1.0))
+    assert(byPair.collect { case ((a, b), j) if b == a + 1000000 => j }
+      .forall(j => j >= 0.5))
+  }
+
+  test("embedding near-dup finds exactly the planted colinear vectors") {
+    val rows = Similarity.qEmbedNeardup.fn(spark, sf()).collect()
+    val planted = rows.filter(r => r.getAs[Long]("b") == r.getAs[Long]("a") + 100000)
+    assert(planted.forall(_.getAs[Double]("cos") == 1.0))
+    val embCount = Tables.embeddings(spark, sf()).count()
+    assert(planted.length == (0L until embCount).count(_ % 10 == 0))
+  }
+
+  test("sim topk: neighbors sorted desc, no self-matches, k rows per query") {
+    val rows = Similarity.qSimTopk.fn(spark, sf()).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == (0L until 10).toSet)
+    byQ.values.foreach { g =>
+      assert(g.length == 10)
+      val cosines = g.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos"))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
+      assert(g.forall(r => r.getAs[Long]("nid") != r.getAs[Long]("qid")))
+    }
+  }
+
+  test("multimodal: stub decode is deterministic and batch-shaped") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf()))
+    val rows = feats.collect()
+    assert(rows.length == Tables.documents(spark, sf()).count())
+    rows.foreach { f =>
+      assert(f.feature.length == 4)
+      assert(f.n_bytes > 0)
+      assert(f.feature(2) <= f.feature(3)) // min byte <= max byte
+    }
+    // deterministic: same input -> same features
+    val again = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf()))
+      .collect().map(f => f.doc_id -> f.feature.toSeq).toMap
+    rows.foreach(f => assert(again(f.doc_id) == f.feature.toSeq))
+  }
+
+  test("frame sampling covers the byte range in order") {
+    val bytes = (0 until 100).map(_.toByte).toArray
+    val frames = Multimodal.frameSample(bytes, 4)
+    assert(frames.length == 4)
+    assert(frames.flatten.toSeq == bytes.toSeq)
+  }
+}
