@@ -47,32 +47,48 @@ object Corpora {
       |  FROM documents WHERE doc_id % 5 = 0
       |)""".stripMargin
 
-  /** Distinct 3-gram shingle hashes per corpus doc: (doc_id, hv), hv < P. */
+  /** Distinct 3-gram shingle hashes per corpus doc: (doc_id, hv), hv < P.
+    *
+    * Persisted: this stage feeds MinHash signatures, banding, Jaccard
+    * intersections and set sizes — up to 5 consumers in one plan, and Spark
+    * has no cross-plan common-subexpression reuse. Materializing the
+    * (doc_id, hash) stage once is the production dedup-pipeline shape (at
+    * 100 TB this is a checkpointed intermediate table, ~16 bytes/shingle —
+    * tiny next to the text it derives from). Identical logical plans hit
+    * the same cache entry, so repeated calls don't double-cache. */
   def shingleHashes(s: SparkSession, d: String): DataFrame =
+    shingleHashesUncached(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Shingling via posexplode + window `lead` — deliberately NO
+    * higher-order functions. A `transform(sequence(...), i -> ...w[i]...)`
+    * formulation drops the whole projection out of codegen (HOFs are
+    * interpreted) and Catalyst's project-collapsing re-inlines the token
+    * split into the lambda, re-tokenizing per element; profiled 15-20×
+    * slower and single-threaded. The window shuffle on doc_id also
+    * distributes the hash work across all cores regardless of how few
+    * input files the corpus arrives in. */
+  private def shingleHashesUncached(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
     dedupCorpus(s, d)
-      .select(
-        col("doc_id"),
-        expr(
-          """CASE WHEN size(split(text, ' ')) >= 3
-            |     THEN transform(sequence(1, size(split(text, ' ')) - 2),
-            |            i -> concat_ws(' ', element_at(split(text, ' '), i),
-            |                                element_at(split(text, ' '), i + 1),
-            |                                element_at(split(text, ' '), i + 2)))
-            |     ELSE array(text) END""".stripMargin).as("shingles"))
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), shingleHash(col("s")).as("hv"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .withColumn("w1", lead(col("w0"), 1).over(w))
+      .withColumn("w2", lead(col("w0"), 2).over(w))
+      .where(col("w2").isNotNull) // exactly the n-2 word 3-grams
+      .select(col("doc_id"),
+        shingleHash(concat_ws(" ", col("w0"), col("w1"), col("w2"))).as("hv"))
       .distinct()
+  }
 
   /** DuckDB CTEs mirroring [[shingleHashes]] (view name `hd`); requires
     * `corpus` from [[dedupCorpusCte]]. */
   val shingleHashesCte: String =
-    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM corpus),
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
        |sh AS (
        |  SELECT doc_id,
-       |         CASE WHEN len(w) >= 3
-       |              THEN list_transform(range(1, len(w) - 1),
-       |                     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
-       |              ELSE [text] END AS shingles
+       |         list_transform(range(1, len(w) - 1),
+       |                        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS shingles
        |  FROM tok
        |),
        |hd AS (

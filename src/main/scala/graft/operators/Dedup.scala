@@ -69,8 +69,11 @@ object Dedup {
         lit(b).as("band"),
         md5(concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)).as("bv"))
     }
+    // persisted: the candidate generator self-joins bands with itself, and
+    // without materialization each side re-derives signatures from scratch
     mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private def sparkCand(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -146,26 +149,29 @@ object Dedup {
   }
 
   /** SimHash: 48-bit weighted-bit fingerprint, 4×12-bit band candidates,
-    * Hamming-distance filter. */
+    * Hamming-distance filter.
+    *
+    * The fingerprint is computed as 48 `sum` aggregates in ONE groupBy over
+    * word occurrences (map-side combined, single shuffle of 48 counters per
+    * doc) — not by exploding 48 bit-rows per word, which would shuffle 48×
+    * the corpus token count. */
   val qDedupSimhash: QueryDef = QueryDef.sql(
     "q_dedup_simhash",
     s"""WITH ${Corpora.dedupCorpusCte},
        |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-       |wc AS (
-       |  SELECT doc_id, word, count(*) AS cnt
+       |wh AS (
+       |  SELECT doc_id, ${md5LongSql("word")} AS h
        |  FROM tok, unnest(w) AS u(word)
-       |  GROUP BY doc_id, word
        |),
-       |wh AS (SELECT doc_id, ${md5LongSql("word")} AS h, cnt FROM wc),
-       |bitsum AS (
-       |  SELECT doc_id, i, sum(cnt * (2 * ((h >> i) & 1) - 1)) AS s
-       |  FROM wh, (SELECT unnest(range(0, 48)) AS i) g
-       |  GROUP BY doc_id, i
+       |bs AS (
+       |  SELECT doc_id,
+       |         ${(0 until 48).map(i => s"sum(2 * ((h >> $i) & 1) - 1) AS s$i").mkString(",\n         ")}
+       |  FROM wh GROUP BY doc_id
        |),
        |fp AS (
        |  SELECT doc_id,
-       |         sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS f
-       |  FROM bitsum GROUP BY doc_id
+       |         ${(0 until 48).map(i => s"(CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS f
+       |  FROM bs
        |),
        |sbands AS (
        |  SELECT doc_id, b AS band, (f >> (12 * b)) & 4095 AS bv
@@ -184,17 +190,16 @@ object Dedup {
        |ORDER BY c.a, c.b""".stripMargin) { (s, d) =>
     val words = Corpora.dedupCorpus(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val wc = words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-    val wh = wc.select(col("doc_id"), md5Long(col("word")).as("h"), col("cnt"))
-    val bitsum = wh
-      .select(col("doc_id"), col("h"), col("cnt"),
-        explode(sequence(lit(0), lit(47))).as("i"))
-      .groupBy("doc_id", "i")
-      .agg(sum(col("cnt") * (expr("shiftright(h, i) & 1") * 2 - 1)).as("s"))
-    val fp = bitsum
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)"))
-        .otherwise(0L)).as("f"))
+    val wh = words.select(col("doc_id"), md5Long(col("word")).as("h"))
+    val bitSums = (0 until 48).map(i =>
+      sum(expr(s"shiftright(h, $i) & 1") * 2 - 1).as(s"s$i"))
+    val bs = wh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = bs.select(
+      col("doc_id"),
+      (0 until 48).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
+        .reduce(_ + _).as("f"))
+      // two consumers below (pair sides) — materialize the 7.4k fingerprints
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sbands = fp
       .select(col("doc_id"), col("f"), explode(sequence(lit(0), lit(3))).as("band"))
       .select(col("doc_id"), col("f"), col("band"),

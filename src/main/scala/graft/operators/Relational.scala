@@ -32,15 +32,19 @@ object Relational {
 
   val qScanLineitem: QueryDef = QueryDef.sql(
     "q_scan_lineitem",
-    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
       |FROM lineitem
       |WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_discount > 0.05
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin) { (s, d) =>
+    // NB: (l_orderkey, l_linenumber) is NOT unique in this synthetic
+    // lineitem; only the full quadruple is — every lineitem-keyed ORDER BY
+    // must use it or row order is nondeterministic.
     Tables.lineitem(s, d)
       .where(col("l_shipdate") < lit("1995-06-01").cast("timestamp") &&
         col("l_discount") > 0.05)
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
   }
 
   val qJoinBroadcast: QueryDef = QueryDef.sql(
@@ -204,38 +208,41 @@ object Relational {
     * (SURVEY.md §2.B window row). */
   val qWindowRunning: QueryDef = QueryDef.sql(
     "q_window_running",
-    """SELECT l_suppkey, l_orderkey, l_linenumber,
+    """SELECT l_suppkey, l_orderkey, l_partkey, l_linenumber,
       |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
-      |             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_partkey, l_linenumber
       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_qty,
-      |       lag(l_orderkey) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_order
+      |       lag(l_orderkey) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_partkey, l_linenumber) AS prev_order
       |FROM lineitem
       |WHERE l_suppkey <= 20
-      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      |ORDER BY l_suppkey, l_orderkey, l_partkey, l_linenumber""".stripMargin) { (s, d) =>
+    // window order: (l_orderkey, l_partkey, l_linenumber) is unique within
+    // an l_suppkey partition (full quadruple unique; suppkey is fixed)
     val w = Window.partitionBy("l_suppkey")
-      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_shipdate", "l_orderkey", "l_partkey", "l_linenumber")
     Tables.lineitem(s, d)
       .where(col("l_suppkey") <= 20)
       .select(
-        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_suppkey"), col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
         round(
           sum(col("l_quantity").cast("decimal(18,6)"))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("double"), 2).as("running_qty"),
         lag(col("l_orderkey"), 1).over(w).as("prev_order"))
-      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_orderkey", "l_partkey", "l_linenumber")
   }
 
   /** Top-k: plans as TakeOrderedAndProject — no global sort at scale. */
   val qTopk: QueryDef = QueryDef.sql(
     "q_topk",
-    """SELECT l_orderkey, l_linenumber, l_extendedprice
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_extendedprice
       |FROM lineitem
-      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_partkey, l_suppkey, l_linenumber
       |LIMIT 100""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
-      .select("l_orderkey", "l_linenumber", "l_extendedprice")
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"))
       .limit(100)
   }
 

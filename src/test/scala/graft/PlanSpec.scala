@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan shape assertions: the 100 TB contract. Each declared
+  * operator must compile to the plan we'd want on a 1000-executor cluster —
+  * filters pushed into the parquet scan, dimension joins broadcast, top-k
+  * as TakeOrderedAndProject (no global sort), codegen'd hot paths. */
+class PlanSpec extends SparkSpec {
+
+  /** Final physical plan — executed first so AQE resolves to the real
+    * (isFinalPlan=true) plan with codegen spans inserted. */
+  private def planString(df: DataFrame): String = {
+    df.collect() // AQE: same QueryExecution must run so the plan finalizes
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("scan: filter + projection pushed down to parquet") {
+    val p = planString(Relational.qScanLineitem.fn(spark, sf()))
+    assert(p.contains("PushedFilters:") &&
+      p.contains("IsNotNull(l_shipdate)"), s"no pushed filters in:\n$p")
+    // pruned read schema: only the 7 referenced columns, not all 11
+    assert(p.contains("l_extendedprice") && !p.contains("l_returnflag"),
+      "column pruning failed — scan reads unreferenced columns")
+  }
+
+  test("dim join compiles to broadcast hash join, no fact shuffle") {
+    val p = planString(Relational.qJoinBroadcast.fn(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planString(Relational.qTopk.fn(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("semi/anti route as join strategies, not subquery re-scans") {
+    val ps = planString(Relational.qJoinSemi.fn(spark, sf()))
+    val pa = planString(Relational.qJoinAnti.fn(spark, sf()))
+    assert(ps.contains("LeftSemi"), s"semi join missing:\n$ps")
+    assert(pa.contains("LeftAnti"), s"anti join missing:\n$pa")
+  }
+
+  test("agg queries keep partial (map-side) aggregation") {
+    val p = planString(Relational.qAggDelay.fn(spark, sf()))
+    // two HashAggregate nodes: partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("codec hot path stays in whole-stage codegen spans") {
+    val df = CodecQueries.qParseRouteDelay.fn(spark, sf())
+    val p = planString(df)
+    // '*(n)' prefixes mark WholeStageCodegen spans in the plan tree; the
+    // scan→parse→filter→partial-agg pipeline must be inside one
+    assert("""\*\(\d+\)""".r.findAllIn(p).size >= 2, s"hot path not codegen'd:\n$p")
+    assert("""\*\(\d+\) HashAggregate""".r.findAllIn(p).nonEmpty,
+      s"partial agg outside codegen:\n$p")
+  }
+
+  test("similarity brute-force broadcasts the query side") {
+    val p = planString(Similarity.qSimTopk.fn(spark, sf()))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("dot_product expression is codegen-capable (no fallback)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(graft.functions.VectorExprs.dot_product(col("a"), col("b")).as("d"))
+    assert(df.head().getDouble(0) == 11.0)
+    // interpreted and codegen paths agree
+    val codegenOff = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      assert(df.head().getDouble(0) == 11.0)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", codegenOff)
+  }
+}
