@@ -362,8 +362,58 @@ object Relational {
       .orderBy("vec_id")
   }
 
+  /** Explicit GROUPING SETS (beyond rollup): disjoint grouping shapes in
+    * one pass over orders. */
+  val qGroupingSets: QueryDef = QueryDef.sql(
+    "q_grouping_sets",
+    """SELECT coalesce(o_orderstatus, '<all>') AS status,
+      |       coalesce(o_orderpriority, '<all>') AS priority,
+      |       count(*) AS cnt,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, '<all>') AS status,
+        |       coalesce(o_orderpriority, '<all>') AS priority,
+        |       count(*) AS cnt,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** Sketch aggregates (HLL distinct, t-digest percentiles): the scale path
+    * for distinct-count/quantiles. Approximate by design ⇒ no DuckDB
+    * oracle; the driver records a rows-only check, and `AggSpec` bounds the
+    * error against the exact queries. */
+  val qAggApprox: QueryDef = QueryDef.rowsOnly("q_agg_approx") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4).as("p50_v"),
+        round(percentile_approx(col("value"), lit(0.99), lit(10000)), 4).as("p99_v"))
+      .orderBy("event_type")
+  }
+
+  /** Second pushdown scan over a different table/type mix. */
+  val qScanPart: QueryDef = QueryDef.sql(
+    "q_scan_part",
+    """SELECT p_partkey, p_brand, p_size, p_retailprice
+      |FROM part
+      |WHERE p_size >= 40 AND p_type LIKE '%M%'
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .where(col("p_size") >= 40 && col("p_type").like("%M%"))
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qScanLineitem, qJoinBroadcast, qJoinShuffle, qJoinSemi, qJoinAnti,
-    qAggDelay, qAggDistinct, qAggRollup, qWindowRank, qWindowRunning,
+    qScanLineitem, qScanPart, qJoinBroadcast, qJoinShuffle, qJoinSemi, qJoinAnti,
+    qAggDelay, qAggDistinct, qAggRollup, qGroupingSets, qAggApprox,
+    qWindowRank, qWindowRunning,
     qTopk, qUnion, qStringDateFns, qDateTrunc, qJsonExtract, qArrayFns)
 }

@@ -46,6 +46,13 @@ object MsgPipeline {
         MsgCodec.delayMs(col("send_ts"), lit(nowMs)).as("delay_ms"),
         timestamp_millis(col("send_ts")).as("event_time"))
 
+  /** Stream-static enrichment join (SURVEY.md §2.B joins row): the
+    * streaming side keeps its micro-batch incrementality; the static dim
+    * is broadcast per batch — no stream-side shuffle. At scale the dim
+    * table re-reads per batch pick up slowly-changing updates for free. */
+  def enrich(parsed: DataFrame, dim: DataFrame, joinCols: Seq[String]): DataFrame =
+    parsed.join(broadcast(dim), joinCols, "left_outer")
+
   /** Single-pass streaming fan-out: one source read per micro-batch, both
     * sinks fed from the persisted batch, batchId passed through for sink
     * idempotence. */
