@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (profiled: erratic 5-30x query-time swings). Pin Xms=Xmx.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // dozens of whole-stage-codegen classes exhaust the default 240m code
+  // cache mid-benchmark; the JIT then silently stops compiling and random
+  // queries run interpreted at 10-50x (profiled via watchdog stack dumps)
+  "-XX:ReservedCodeCacheSize=1g",
+  // 32 task threads generate janino classes faster than the default 2-4
+  // JIT compiler threads can compile them; the backlog leaves whole
+  // queries running interpreted (profiled: random 10-50x stalls)
+  "-XX:CICompilerCount=12",
 )

@@ -18,6 +18,10 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // local[32] single-JVM: default page size scales with heap and makes
+      // every sort/agg task zero out ~64MB pages — GC storms that tax
+      // random later queries (profiled). Rows here are small; 2m is ample.
+      .config("spark.buffer.pageSize", "2m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -33,13 +37,48 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     }
 
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // watchdog: if a query stalls >10s, dump thread stacks once (debug aid
+    // for the sporadic zero-GC stalls; remove once diagnosed)
+    @volatile var current = ""
+    @volatile var started = 0L
+    val watchdog = new Thread(() => {
+      var dumped = ""
+      while (true) {
+        Thread.sleep(1000)
+        val name = current
+        if (name.nonEmpty && name != dumped &&
+            (System.nanoTime() - started) / 1e9 > 10) {
+          dumped = name
+          System.err.println(s"[watchdog] $name stalled >10s; stacks:")
+          Thread.getAllStackTraces.forEach { (t, st) =>
+            if (st.nonEmpty && !t.getName.contains("watchdog")) {
+              val top = st.take(6).mkString(" <- ")
+              if (!top.contains("Unsafe.park") && !top.contains("Object.wait"))
+                System.err.println(s"[watchdog]   ${t.getName} (${t.getState}): $top")
+            }
+          }
+        }
+      }
+    })
+    watchdog.setDaemon(true)
+    watchdog.setName("graft-watchdog")
+    watchdog.start()
+
     val results = SparkEntry.defs.sortBy(_.name).map { q =>
+      val g0 = gcMs
       val t0 = System.nanoTime()
+      current = q.name; started = t0
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec > 3) System.err.println(
+        f"[bench-slow] ${q.name} ${sec}%.1fs gc=${gcMs - g0}ms")
+      q.name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -24,9 +24,11 @@ object CrossHash {
     (1000003L + 2 * 9176L * j + 1, (22695477L * (j + 1) + 1329) % P)
   }
 
-  /** 56-bit md5-derived hash of a string column. */
+  /** 56-bit md5-derived hash of a string column. Codegen'd digest-byte
+    * implementation ([[graft.functions.Md5Long56]]); numerically identical
+    * to `conv(substr(md5(x),1,14),16,10)` (pinned by `CrossHashSpec`). */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 14), 16, 10).cast("long")
+    VectorExprs.md5long56(c.cast("string"))
 
   /** DuckDB rendering of [[md5Long]] applied to SQL fragment `e`. */
   def md5LongSql(e: String): String =

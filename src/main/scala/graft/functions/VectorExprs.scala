@@ -56,8 +56,63 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** 56-bit md5-derived hash, computed directly from the digest's first 7
+  * bytes — numerically identical to
+  * `conv(substr(md5(x),1,14),16,10)::BIGINT` (14 hex chars == 7 bytes, MSB
+  * first) but with no hex-string materialization and no string→long parse.
+  * This is the hash under every dedup/fingerprint operator; at 100 TB it
+  * runs per token, so it must stay a few ns. Matches the DuckDB oracle
+  * rendering `CAST('0x'||substr(md5(x),1,14) AS BIGINT)` bit-for-bit.
+  */
+case class Md5Long56(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "md5long56"
+
+  // NB deliberately no per-instance ThreadLocal here: expression instances
+  // are copied per task, and instance-scoped ThreadLocals leave stale
+  // entries in long-lived executor threads' maps — profiled as an
+  // every-get linear scan (ThreadLocalMap.getEntryAfterMiss) that
+  // eventually stalls unrelated queries. The digest lives in the
+  // companion's single static ThreadLocal instead.
+  protected override def nullSafeEval(v: Any): Any =
+    Md5Long56.hashUtf8(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Long56.hashUtf8($c);")
+
+  override protected def withNewChildInternal(c: Expression): Md5Long56 = copy(child = c)
+}
+
+object Md5Long56 {
+  private val local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 14 hex chars of the digest as an unsigned 56-bit value. */
+  def first56Bits(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Entry point referenced from generated code. */
+  def hashUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = local.get()
+    md.reset()
+    first56Bits(md.digest(s.getBytes))
+  }
+}
+
 object VectorExprs {
   import org.apache.spark.sql.graft.ColumnBridge
+
+  def md5long56(c: Column): Column =
+    ColumnBridge.column(Md5Long56(ColumnBridge.expression(c)))
 
   /** `dot_product(a, b)` as a Column (inputs: ARRAY<DOUBLE>). */
   def dot_product(a: Column, b: Column): Column =

@@ -58,7 +58,7 @@ object Corpora {
     * the same cache entry, so repeated calls don't double-cache. */
   def shingleHashes(s: SparkSession, d: String): DataFrame =
     shingleHashesUncached(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Persisting.maybe)
 
   /** Shingling via posexplode + window `lead` — deliberately NO
     * higher-order functions. A `transform(sequence(...), i -> ...w[i]...)`

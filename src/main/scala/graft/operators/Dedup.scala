@@ -73,7 +73,7 @@ object Dedup {
     // without materialization each side re-derives signatures from scratch
     mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Persisting.maybe)
   }
 
   private def sparkCand(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -199,7 +199,7 @@ object Dedup {
       (0 until 48).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
         .reduce(_ + _).as("f"))
       // two consumers below (pair sides) — materialize the 7.4k fingerprints
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Persisting.maybe)
     val sbands = fp
       .select(col("doc_id"), col("f"), explode(sequence(lit(0), lit(3))).as("band"))
       .select(col("doc_id"), col("f"), col("band"),

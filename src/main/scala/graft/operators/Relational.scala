@@ -183,11 +183,13 @@ object Relational {
     * deterministic total order (unique tiebreak on o_orderkey). */
   val qWindowRank: QueryDef = QueryDef.sql(
     "q_window_rank",
-    """SELECT o_custkey, o_orderkey, rn, price_rank
+    """SELECT o_custkey, o_orderkey, rn, price_rank, prio_dense, next_order
       |FROM (
       |  SELECT o_custkey, o_orderkey,
       |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn,
-      |         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+      |         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+      |         dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_dense,
+      |         lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS next_order
       |  FROM orders)
       |WHERE rn <= 3
       |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
@@ -195,11 +197,14 @@ object Relational {
       .orderBy(col("o_orderdate").desc, col("o_orderkey"))
     val byPrice = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byPrio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
     Tables.orders(s, d)
       .select(
         col("o_custkey"), col("o_orderkey"),
         row_number().over(byDate).as("rn"),
-        rank().over(byPrice).as("price_rank"))
+        rank().over(byPrice).as("price_rank"),
+        dense_rank().over(byPrio).as("prio_dense"),
+        lead(col("o_orderkey"), 1).over(byDate).as("next_order"))
       .where(col("rn") <= 3)
       .orderBy("o_custkey", "rn")
   }
@@ -336,8 +341,25 @@ object Relational {
       .orderBy("k_bucket")
   }
 
+  /** Schema-full JSON parse (`from_json` with explicit schema — not just
+    * path extraction): typed struct access over events.props. */
+  val qFromJson: QueryDef = QueryDef.sql(
+    "q_from_json",
+    """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+      |FROM events
+      |WHERE event_id % 13 = 0
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .where(col("event_id") % 13 === 0)
+      .select(
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .orderBy("event_id")
+  }
+
   /** Array functions over the embeddings column (SURVEY.md §2.B array row):
-    * size / element aggregation / min-max via higher-order functions. */
+    * transform / aggregate / zip_with / array_sort / slice / min-max. */
   val qArrayFns: QueryDef = QueryDef.sql(
     "q_array_fns",
     """SELECT vec_id,
@@ -346,9 +368,17 @@ object Relational {
       |             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
       |             (acc, x) -> acc + x)), 4) AS l2_norm,
       |       round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_v,
-      |       round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_v
+      |       round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_v,
+      |       list_sort(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)))[1] AS sorted_lo,
+      |       list_sort(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)))[3] AS sorted_3rd,
+      |       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |             list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[65 - i] AS DOUBLE))),
+      |             (acc, x) -> acc + x), 4) AS rev_dot
       |FROM embeddings
       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val asMillis = transform(col("embedding"),
+      x => round(x.cast("double") * 1000, 0).cast("long"))
+    val dbl = transform(col("embedding"), x => x.cast("double"))
     Tables.embeddings(s, d)
       .select(
         col("vec_id"),
@@ -358,7 +388,11 @@ object Relational {
           lit(0.0),
           (acc, x) => acc + x)), 4).as("l2_norm"),
         round(array_max(col("embedding")).cast("double"), 4).as("max_v"),
-        round(array_min(col("embedding")).cast("double"), 4).as("min_v"))
+        round(array_min(col("embedding")).cast("double"), 4).as("min_v"),
+        element_at(slice(array_sort(asMillis), 1, 3), 1).as("sorted_lo"),
+        element_at(slice(array_sort(asMillis), 1, 3), 3).as("sorted_3rd"),
+        round(aggregate(zip_with(dbl, reverse(dbl), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x), 4).as("rev_dot"))
       .orderBy("vec_id")
   }
 
@@ -415,5 +449,6 @@ object Relational {
     qScanLineitem, qScanPart, qJoinBroadcast, qJoinShuffle, qJoinSemi, qJoinAnti,
     qAggDelay, qAggDistinct, qAggRollup, qGroupingSets, qAggApprox,
     qWindowRank, qWindowRunning,
-    qTopk, qUnion, qStringDateFns, qDateTrunc, qJsonExtract, qArrayFns)
+    qTopk, qUnion, qStringDateFns, qDateTrunc, qJsonExtract, qFromJson,
+    qArrayFns)
 }
