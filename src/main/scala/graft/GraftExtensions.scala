@@ -1,0 +1,31 @@
+package graft
+
+import graft.functions.{DotProduct, Md5Long56}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the engine's custom Catalyst expressions
+  * as SQL functions, so `spark.sql("SELECT dot_product(a, b)")` works the
+  * same as the Column API. Activate with either:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * This is the (c)-tier integration point from SURVEY.md §7.0's preference
+  * order — used here only for function registration; no custom plans or
+  * strategies are needed for this engine's semantics (§4).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    e.injectFunction((
+      new FunctionIdentifier("md5long56"),
+      new ExpressionInfo(classOf[Md5Long56].getName, "md5long56"),
+      (args: Seq[Expression]) => Md5Long56(args.head)))
+  }
+}

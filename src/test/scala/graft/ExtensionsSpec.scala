@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The SQL surface of the custom expressions via SparkSessionExtensions. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("dot_product and md5long56 callable from SQL via extensions") {
+    // Builder.create() makes a fresh session (getOrCreate would return the
+    // shared one, silently dropping extensions); SparkContext is reused.
+    val s: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .create()
+    try {
+      val r = s.sql(
+        """SELECT dot_product(array(1d, 2d), array(3d, 4d)) AS d,
+          |       md5long56('hello') AS h""".stripMargin).head()
+      assert(r.getDouble(0) == 11.0)
+      // same value the conv(substr(md5)) formulation yields
+      val md = java.security.MessageDigest.getInstance("MD5")
+      assert(r.getLong(1) ==
+        graft.functions.Md5Long56.first56Bits(md.digest("hello".getBytes("UTF-8"))))
+    } finally s.close()
+  }
+
+  test("sliding windows over the delay stream (batch analog)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10s windows sliding by 5s: each event lands in exactly two windows
+    val df = Seq((new java.sql.Timestamp(12000L), 4.0), (new java.sql.Timestamp(17000L), 8.0))
+      .toDF("event_time", "delay_ms")
+      .groupBy(window(col("event_time"), "10 seconds", "5 seconds"))
+      .agg(count(lit(1)).as("n"), avg("delay_ms").as("avg_d"))
+      .select(col("window.start").cast("long").as("start_s"), col("n"), col("avg_d"))
+      .orderBy("start_s")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(df.toSeq == Seq((5L, 1L, 4.0), (10L, 2L, 6.0), (15L, 1L, 8.0)))
+  }
+}
