@@ -22,6 +22,10 @@ object Bench {
       // every sort/agg task zero out ~64MB pages — GC storms that tax
       // random later queries (profiled). Rows here are small; 2m is ample.
       .config("spark.buffer.pageSize", "2m")
+      // shuffle/broadcast scratch on tmpfs: the sandbox VM's disk has
+      // multi-second write-burst stalls that surface as random query spikes
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -159,13 +159,15 @@ object Dedup {
     "q_dedup_simhash",
     s"""WITH ${Corpora.dedupCorpusCte},
        |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-       |wh AS (
-       |  SELECT doc_id, ${md5LongSql("word")} AS h
+       |wc AS (
+       |  SELECT doc_id, word, count(*) AS cnt
        |  FROM tok, unnest(w) AS u(word)
+       |  GROUP BY doc_id, word
        |),
+       |wh AS (SELECT doc_id, ${md5LongSql("word")} AS h, cnt FROM wc),
        |bs AS (
        |  SELECT doc_id,
-       |         ${(0 until 48).map(i => s"sum(2 * ((h >> $i) & 1) - 1) AS s$i").mkString(",\n         ")}
+       |         ${(0 until 48).map(i => s"sum(cnt * (2 * ((h >> $i) & 1) - 1)) AS s$i").mkString(",\n         ")}
        |  FROM wh GROUP BY doc_id
        |),
        |fp AS (
@@ -188,11 +190,15 @@ object Dedup {
        |JOIN fp fb ON fb.doc_id = c.b
        |WHERE bit_count(xor(fa.f, fb.f)) <= 8
        |ORDER BY c.a, c.b""".stripMargin) { (s, d) =>
+    // (doc, word) pre-aggregation before hashing/bit-summing: the groupBy
+    // is map-side combined, so only distinct tokens per doc reach the 48
+    // bit sums (and md5 runs once per distinct word, not per occurrence)
     val words = Corpora.dedupCorpus(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val wh = words.select(col("doc_id"), md5Long(col("word")).as("h"))
+    val wc = words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val wh = wc.select(col("doc_id"), md5Long(col("word")).as("h"), col("cnt"))
     val bitSums = (0 until 48).map(i =>
-      sum(expr(s"shiftright(h, $i) & 1") * 2 - 1).as(s"s$i"))
+      sum(col("cnt") * (expr(s"shiftright(h, $i) & 1") * 2 - 1)).as(s"s$i"))
     val bs = wh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val fp = bs.select(
       col("doc_id"),

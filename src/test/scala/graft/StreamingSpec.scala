@@ -109,6 +109,55 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains("u2") && out("u2").n_events == 1)
   }
 
+  test("sink failure fails the batch; restart redelivers it (no loss)") {
+    val input = MemoryStream[String](spark)
+    val ckpt = Files.createTempDirectory("ckpt-retry").toString
+    val delivered = new ConcurrentLinkedQueue[String]
+    @volatile var failFirst = true
+    def start() = MsgPipeline.runFanOut(
+      input.toDF(), ckpt, () => 2000000L,
+      (ds, _) => {
+        val rows = ds.collect()
+        if (failFirst) { failFirst = false; throw new RuntimeException("http 500") }
+        rows.foreach(delivered.add)
+      },
+      (_, _) => ())
+
+    val q1 = start()
+    input.addData(mk("session", 1000000L, "payload-1\n"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination(5000)
+    }
+    assert(delivered.isEmpty, "failed batch must not count as delivered")
+
+    val q2 = start() // restart from checkpoint: WAL re-delivers the batch
+    q2.processAllAvailable()
+    q2.stop()
+    assert(delivered.asScala.toSeq == Seq("payload-1\n"),
+      "reference drops the batch on sink failure (CTSDBSink.java:163-170); we redeliver")
+  }
+
+  test("rate-source soak messages are valid wire format") {
+    val stream = MessageSource.rateStream(spark, rowsPerSecond = 500)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ratesoak").start()
+    try {
+      var waited = 0
+      while (spark.table("ratesoak").isEmpty && waited < 200) {
+        Thread.sleep(100); waited += 1
+      }
+    } finally q.stop()
+    val parsed = MsgPipeline.parse(spark.table("ratesoak"))
+      .select("module", "send_ts", "tail").collect()
+    assert(parsed.nonEmpty)
+    parsed.foreach { r =>
+      assert(Set("session", "heartbeat").contains(r.getString(0)))
+      assert(!r.isNullAt(1) && r.getLong(1) > 0)
+      assert(r.getString(2).startsWith("""{"seq": """))
+    }
+  }
+
   test("checkpoint recovery: restart continues, no loss, no dupes") {
     val dir = Files.createTempDirectory("stream-src").toString
     val ckpt = Files.createTempDirectory("ckpt-rec").toString
