@@ -1,0 +1,135 @@
+package graft.api
+
+import graft.functions.CrossHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public deduplication API over arbitrary (id, text) DataFrames.
+  *
+  * Pipeline shape (the 100 TB design — every step is a bounded shuffle of
+  * fixed-width keys, never an all-pairs product over documents):
+  *
+  * {{{
+  *   val hashes = TextDedup.shingleHashes(docs, $"doc_id", $"text")   // narrow + 1 shuffle
+  *   val bands  = TextDedup.minhashBands(hashes)                      // 1 agg shuffle
+  *   val cand   = TextDedup.candidatePairs(bands)                     // bucket equi-join
+  *   val dups   = TextDedup.jaccardVerify(hashes, cand, minJaccard = 0.8)
+  * }}}
+  *
+  * All hashing is md5-derived ([[graft.functions.CrossHash]]) so results are
+  * engine-reproducible; the `graft.operators.Dedup` queries are these same
+  * functions instantiated on the test corpus and hash-verified vs DuckDB.
+  */
+object TextDedup {
+
+  /** Exact dedup: one row per distinct text with the kept (min) id and the
+    * multiplicity. Hash-groupBy — at scale the shuffle key is the text's
+    * digest, not the text. */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(text.as("text"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Distinct word-n-gram shingle hashes per document: (id, hv), hv < P.
+    * posexplode + window `lead` keeps the whole stage codegen'd (see
+    * operators/Corpora.scala for why HOFs are avoided here). */
+  def shingleHashes(df: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+    require(n >= 2 && n <= 8, s"shingle size $n out of range")
+    val w = Window.partitionBy("__id").orderBy("pos")
+    val leads = (1 until n).map(i => lead(col("w0"), i).over(w).as(s"w$i"))
+    val shingle = concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*)
+    df.select(id.as("__id"), posexplode(split(text, " ")).as(Seq("pos", "w0")))
+      .select(col("__id") +: col("pos") +: col("w0") +: leads: _*)
+      .where(col(s"w${n - 1}").isNotNull)
+      .select(col("__id").as("id"), CrossHash.shingleHash(shingle).as("hv"))
+      .distinct()
+  }
+
+  /** MinHash signatures folded into LSH band keys: (id, band, bv).
+    * numPerms permutations, numPerms/bands rows per band. */
+  def minhashBands(hashes: DataFrame, numPerms: Int = 16, bands: Int = 4): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    require(numPerms <= CrossHash.Perms.size, s"at most ${CrossHash.Perms.size} permutations")
+    val rows = numPerms / bands
+    val mins = (0 until numPerms).map(j =>
+      min(CrossHash.perm(j, col("hv"))).as(s"m$j"))
+    val mh = hashes.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws(",", (0 until rows).map(r => col(s"m${rows * b + r}")): _*)).as("bv"))
+    }
+    mh.select(col("id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("id"), col("x.band").as("band"), col("x.bv").as("bv"))
+  }
+
+  /** Candidate pairs from shared LSH buckets: (a, b, n_bands), a < b.
+    * Equi-join on the bucket key — shuffle cost ∝ bucket sizes. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val x = bands.as("x")
+    val y = bands.as("y")
+    x.join(y,
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs (the verify stage): keeps
+    * pairs with jaccard >= minJaccard. Cost ∝ candidates, not N². */
+  def jaccardVerify(hashes: DataFrame, pairs: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = hashes.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = pairs.select("a", "b")
+      .join(hashes.as("x"), col("x.id") === col("a"))
+      .join(hashes.as("y"), col("y.id") === col("b") && col("y.hv") === col("x.hv"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("ni"))
+    val jac = col("ni").cast("double") / (col("na") + col("nb") - col("ni"))
+    inter
+      .join(sizes.toDF("da", "na"), col("da") === col("a"))
+      .join(sizes.toDF("db", "nb"), col("db") === col("b"))
+      .where(jac >= minJaccard)
+      .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
+  }
+
+  /** SimHash fingerprints: (id, f) with `bits`-bit weighted-bit signature.
+    * One map-side-combined groupBy; md5 once per distinct (id, token). */
+  def simhash(df: DataFrame, id: Column, text: Column, bits: Int = 48): DataFrame = {
+    require(bits >= 8 && bits <= 56, s"bits $bits out of range (md5Long is 56-bit)")
+    val words = df.select(id.as("id"), explode(split(text, " ")).as("word"))
+    val wc = words.groupBy("id", "word").agg(count(lit(1)).as("cnt"))
+    val wh = wc.select(col("id"), CrossHash.md5Long(col("word")).as("h"), col("cnt"))
+    val bitSums = (0 until bits).map(i =>
+      sum(col("cnt") * (expr(s"shiftright(h, $i) & 1") * 2 - 1)).as(s"s$i"))
+    wh.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col("id"),
+        (0 until bits).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("f"))
+  }
+
+  /** Near-dup pairs from SimHash fingerprints: band on bit chunks, then
+    * Hamming-filter. (a, b, hamming), a < b, hamming <= maxHamming. */
+  def simhashPairs(fingerprints: DataFrame, bands: Int = 4, bitsPerBand: Int = 12,
+      maxHamming: Int = 8): DataFrame = {
+    val mask = (1L << bitsPerBand) - 1
+    val sbands = fingerprints
+      .select(col("id"), col("f"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("f"), col("band"),
+        expr(s"shiftright(f, $bitsPerBand * band) & $mask").as("bv"))
+    val scand = sbands.as("x")
+      .join(sbands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val hamming = expr("bit_count(fa.f ^ fb.f)")
+    scand
+      .join(fingerprints.toDF("ida", "fa_f").as("fa0"), col("ida") === col("a"))
+      .join(fingerprints.toDF("idb", "fb_f").as("fb0"), col("idb") === col("b"))
+      .withColumn("hamming", expr("bit_count(fa_f ^ fb_f)").cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+}

@@ -68,18 +68,10 @@ object Corpora {
     * slower and single-threaded. The window shuffle on doc_id also
     * distributes the hash work across all cores regardless of how few
     * input files the corpus arrives in. */
-  private def shingleHashesUncached(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    dedupCorpus(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
-      .withColumn("w1", lead(col("w0"), 1).over(w))
-      .withColumn("w2", lead(col("w0"), 2).over(w))
-      .where(col("w2").isNotNull) // exactly the n-2 word 3-grams
-      .select(col("doc_id"),
-        shingleHash(concat_ws(" ", col("w0"), col("w1"), col("w2"))).as("hv"))
-      .distinct()
-  }
+  private def shingleHashesUncached(s: SparkSession, d: String): DataFrame =
+    graft.api.TextDedup
+      .shingleHashes(dedupCorpus(s, d), col("doc_id"), col("text"), n = 3)
+      .withColumnRenamed("id", "doc_id")
 
   /** DuckDB CTEs mirroring [[shingleHashes]] (view name `hd`); requires
     * `corpus` from [[dedupCorpusCte]]. */

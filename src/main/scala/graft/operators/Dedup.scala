@@ -58,34 +58,17 @@ object Dedup {
        |$bandsCte,
        |$candCte""".stripMargin
 
-  /** Spark: doc_id → (band, bv) rows, the LSH bucket keys. */
-  private def sparkBands(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val mins = (0 until 16).map(j => min(perm(j, col("hv"))).as(s"m$j"))
-    val mh = Corpora.shingleHashes(s, d)
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-    val bandStructs = (0 until 4).map { b =>
-      struct(
-        lit(b).as("band"),
-        md5(concat_ws(",", (0 until 4).map(r => col(s"m${4 * b + r}")): _*)).as("bv"))
-    }
-    // persisted: the candidate generator self-joins bands with itself, and
-    // without materialization each side re-derives signatures from scratch
-    mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
-      .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
+  /** Spark: doc_id → (band, bv) LSH bucket keys, via the public API.
+    * Persisted: the candidate generator self-joins bands with itself, and
+    * without materialization each side re-derives signatures from scratch. */
+  private def sparkBands(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.api.TextDedup
+      .minhashBands(Corpora.shingleHashes(s, d).withColumnRenamed("doc_id", "id"),
+        numPerms = 16, bands = 4)
       .transform(graft.Persisting.maybe)
-  }
 
-  private def sparkCand(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val bands = sparkBands(s, d)
-    val x = bands.as("x")
-    val y = bands.as("y")
-    x.join(y,
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("n_bands"))
-  }
+  private def sparkCand(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.api.TextDedup.candidatePairs(sparkBands(s, d))
 
   /** Exact dedup: hash-groupBy on content (SURVEY.md dedup row). */
   val qDedupExact: QueryDef = QueryDef.sql(
@@ -95,10 +78,8 @@ object Dedup {
        |FROM corpus
        |GROUP BY text
        |ORDER BY keep_id""".stripMargin) { (s, d) =>
-    Corpora.dedupCorpus(s, d)
-      .groupBy("text")
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select("keep_id", "n_copies")
+    graft.api.TextDedup
+      .exact(Corpora.dedupCorpus(s, d), col("doc_id"), col("text"))
       .orderBy("keep_id")
   }
 
@@ -129,22 +110,10 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = i.b
        |WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
        |ORDER BY i.a, i.b""".stripMargin) { (s, d) =>
-    val hd = Corpora.shingleHashes(s, d)
-    val sizes = hd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cand = sparkCand(s, d).select("a", "b")
-    val inter = cand
-      .join(hd.as("x"), col("x.doc_id") === col("a"))
-      .join(hd.as("y"), col("y.doc_id") === col("b") && col("y.hv") === col("x.hv"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("ni"))
-    val jac = col("ni").cast("double") / (col("na") + col("nb") - col("ni"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"),
-        col("da") === col("a"))
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"),
-        col("db") === col("b"))
-      .where(jac >= 0.5)
-      .select(col("a"), col("b"), round(jac, 4).as("jaccard"))
+    graft.api.TextDedup
+      .jaccardVerify(
+        Corpora.shingleHashes(s, d).withColumnRenamed("doc_id", "id"),
+        sparkCand(s, d), minJaccard = 0.5)
       .orderBy("a", "b")
   }
 
@@ -190,38 +159,12 @@ object Dedup {
        |JOIN fp fb ON fb.doc_id = c.b
        |WHERE bit_count(xor(fa.f, fb.f)) <= 8
        |ORDER BY c.a, c.b""".stripMargin) { (s, d) =>
-    // (doc, word) pre-aggregation before hashing/bit-summing: the groupBy
-    // is map-side combined, so only distinct tokens per doc reach the 48
-    // bit sums (and md5 runs once per distinct word, not per occurrence)
-    val words = Corpora.dedupCorpus(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val wc = words.groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
-    val wh = wc.select(col("doc_id"), md5Long(col("word")).as("h"), col("cnt"))
-    val bitSums = (0 until 48).map(i =>
-      sum(col("cnt") * (expr(s"shiftright(h, $i) & 1") * 2 - 1)).as(s"s$i"))
-    val bs = wh.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = bs.select(
-      col("doc_id"),
-      (0 until 48).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
-        .reduce(_ + _).as("f"))
-      // two consumers below (pair sides) — materialize the 7.4k fingerprints
+    val fp = graft.api.TextDedup
+      .simhash(Corpora.dedupCorpus(s, d), col("doc_id"), col("text"), bits = 48)
+      // two consumers below (pair sides) — materialize the fingerprints
       .transform(graft.Persisting.maybe)
-    val sbands = fp
-      .select(col("doc_id"), col("f"), explode(sequence(lit(0), lit(3))).as("band"))
-      .select(col("doc_id"), col("f"), col("band"),
-        expr("shiftright(f, 12 * band) & 4095").as("bv"))
-    val scand = sbands.as("x")
-      .join(sbands.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    val hamming = expr("bit_count(fa.f ^ fb.f)")
-    scand
-      .join(fp.as("fa"), col("fa.doc_id") === col("a"))
-      .join(fp.as("fb"), col("fb.doc_id") === col("b"))
-      .where(hamming <= 8)
-      .select(col("a"), col("b"), hamming.cast("int").as("hamming"))
+    graft.api.TextDedup
+      .simhashPairs(fp, bands = 4, bitsPerBand = 12, maxHamming = 8)
       .orderBy("a", "b")
   }
 

@@ -38,12 +38,11 @@ object Similarity {
   private def normSql(v: String): String =
     s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($v, x -> x * x)), (acc, x) -> acc + x))"
 
-  /** Base vectors cast to double, with norms. */
+  /** Base vectors cast to double, with norms (public API shape). */
   private def normed(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(
-      col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+    graft.api.VectorSearch
+      .withNorm(Tables.embeddings(s, d), col("vec_id"), col("embedding"))
+      .join(Tables.embeddings(s, d).select(col("vec_id").as("id"), col("label")), "id")
 
   private val normedCte: String =
     s"""e AS (
@@ -56,10 +55,10 @@ object Similarity {
     * `vec_id % 10 == 0` vector — cosine exactly 1.0 by IEEE arithmetic. */
   private def eCorpus(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val base = e.select(col("vec_id"), col("label"),
+    val base = e.select(col("vec_id").as("id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val scaled = e.where(col("vec_id") % 10 === 0).select(
-      (col("vec_id") + 100000L).as("vec_id"), col("label"),
+      (col("vec_id") + 100000L).as("id"), col("label"),
       transform(col("embedding"), x => x.cast("double") * 2).as("v"))
     base.unionAll(scaled).withColumn("nrm", norm(col("v")))
   }
@@ -83,13 +82,8 @@ object Similarity {
        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.99
        |ORDER BY a, b""".stripMargin) { (s, d) =>
-    val n = eCorpus(s, d)
-    val cos = dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))
-    n.as("a").join(n.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .where(cos >= 0.99)
-      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
-        round(cos, 4).as("cos"))
+    graft.api.VectorSearch
+      .nearDuplicates(eCorpus(s, d), block = col("label"), minCosine = 0.99)
       .orderBy("a", "b")
   }
 
@@ -110,15 +104,7 @@ object Similarity {
        |WHERE rnk <= 10
        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     val n = normed(s, d)
-    val q = n.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val cos = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    val scored = n.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 10)
-      .select(col("qid"), col("nid"), col("rnk"), round(col("cos"), 4).as("cos"))
+    graft.api.VectorSearch.topK(n, n.where(col("id") < 10), k = 10)
       .orderBy("qid", "rnk")
   }
 
@@ -157,26 +143,8 @@ object Similarity {
        |      FROM s)
        |WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
-    import s.implicits._
-    val planes = Planes.toSeq.zipWithIndex
-      .map { case (h, p) => (p, h.toSeq) }.toDF("p", "h")
-    val n = normed(s, d)
-    val sig = n.join(broadcast(planes))
-      .groupBy("vec_id")
-      .agg(sum(when(dot(col("v"), col("h")) > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("sig"))
-    val ns = n.join(sig, "vec_id")
-    val q = ns.where(col("vec_id") < 10).select(
-      col("vec_id").as("qid"), col("v").as("qv"),
-      col("nrm").as("qn"), col("sig").as("qsig"))
-    val cos = dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    val scored = ns.join(broadcast(q),
-        col("sig") === col("qsig") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 5)
-      .select(col("qid"), col("nid"), col("rnk"), round(col("cos"), 4).as("cos"))
+    val ns = graft.api.VectorSearch.signLsh(normed(s, d), nPlanes = 8, dim = 64)
+    graft.api.VectorSearch.annTopK(ns, ns.where(col("id") < 10), k = 5)
       .orderBy("qid", "rnk")
   }
 

@@ -45,29 +45,17 @@ object TextAnalysis {
        |       CASE WHEN stop_r >= 0.02 THEN 'en' ELSE 'other' END AS lang_guess
        |FROM st
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val stopArr = array(Stopwords.map(lit): _*)
-    val st = Tables.documents(s, d).select(
-      col("doc_id"), col("lang"), col("text"),
-      split(col("text"), " ").as("w"))
+    val docs = Tables.documents(s, d)
+    graft.api.TextProfile.stats(docs, col("doc_id"), col("text"), Stopwords)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
       .select(
-        col("doc_id"), col("lang"),
-        size(col("w")).as("n_tokens"),
-        size(array_distinct(col("w"))).as("n_distinct"),
-        (length(col("text")).cast("double") / size(col("w"))).as("tok_len"),
-        (size(filter(col("w"), x => array_contains(stopArr, x))).cast("double") /
-          size(col("w"))).as("stop_r"),
-        (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("ttr"),
-        aggregate(
-          transform(col("w"), x => expr("CAST(1 AS BIGINT)") * ((length(x) + 3) / 4).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
-    st.select(
-      col("doc_id"), col("lang"), col("n_tokens"), col("n_distinct"),
-      col("n_bpe_tokens"),
-      round(col("tok_len"), 4).as("avg_tok_len"),
-      round(col("stop_r"), 4).as("stop_ratio"),
-      round(col("ttr"), 4).as("ttr"),
-      round((col("stop_r") * 2 + col("ttr")) / 3, 4).as("quality"),
-      when(col("stop_r") >= 0.02, "en").otherwise("other").as("lang_guess"))
+        col("id").as("doc_id"), col("lang"), col("n_tokens"), col("n_distinct"),
+        col("n_bpe_tokens"),
+        round(col("avg_tok_len"), 4).as("avg_tok_len"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        round(col("ttr"), 4).as("ttr"),
+        round(col("quality"), 4).as("quality"),
+        col("lang_guess"))
       .orderBy("doc_id")
   }
 
@@ -106,10 +94,8 @@ object TextAnalysis {
       |GROUP BY word
       |ORDER BY tf DESC, word
       |LIMIT 50""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .groupBy("word")
-      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    graft.api.TextProfile
+      .termFrequency(Tables.documents(s, d), col("doc_id"), col("text"))
       .orderBy(col("tf").desc, col("word"))
       .limit(50)
   }
@@ -125,12 +111,9 @@ object TextAnalysis {
        |         (acc, h) -> (acc * 131 + h) % $P) AS fp
        |FROM documents
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        aggregate(
-          transform(split(col("text"), " "), x => shingleHash(x)),
-          lit(0L), (acc, h) => (acc * 131 + h) % P).as("fp"))
+    graft.api.TextProfile
+      .fingerprint(Tables.documents(s, d), col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
   }
 
