@@ -72,7 +72,7 @@ object CodecQueries {
   val qFilterGuard: QueryDef = QueryDef.sql(
     "q_filter_guard",
     s"""$rawCte
-       |SELECT event_id, trim(substr(value, 1, 16)) AS module, length(value) AS msg_len
+       |SELECT event_id, trim(substr(value, 1, 16)) AS module, CAST(length(value) AS INTEGER) AS msg_len
        |FROM raw
        |WHERE length(value) > 64 AND trim(substr(value, 1, 16)) = 'session'
        |ORDER BY event_id""".stripMargin) { (s, d) =>

@@ -186,9 +186,9 @@ object Relational {
     """SELECT o_custkey, o_orderkey, rn, price_rank, prio_dense, next_order
       |FROM (
       |  SELECT o_custkey, o_orderkey,
-      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn,
-      |         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
-      |         dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_dense,
+      |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS INTEGER) AS rn,
+      |         CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank,
+      |         CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS INTEGER) AS prio_dense,
       |         lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS next_order
       |  FROM orders)
       |WHERE rn <= 3
@@ -277,7 +277,7 @@ object Relational {
     """SELECT o_orderkey,
       |       upper(o_orderstatus) AS status_u,
       |       concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
-      |       length(o_orderpriority) AS prio_len,
+      |       CAST(length(o_orderpriority) AS INTEGER) AS prio_len,
       |       replace(o_orderpriority, '-', '_') AS prio_r,
       |       strftime(o_orderdate, '%Y-%m-%d') AS od,
       |       CAST(year(o_orderdate) AS INTEGER) AS oy,
@@ -363,7 +363,7 @@ object Relational {
   val qArrayFns: QueryDef = QueryDef.sql(
     "q_array_fns",
     """SELECT vec_id,
-      |       len(embedding) AS dim,
+      |       CAST(len(embedding) AS INTEGER) AS dim,
       |       round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
       |             (acc, x) -> acc + x)), 4) AS l2_norm,

@@ -99,7 +99,7 @@ object Similarity {
        |)
        |SELECT qid, nid, rnk, round(cos, 4) AS cos
        |FROM (SELECT qid, nid, cos,
-       |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rnk
        |      FROM s)
        |WHERE rnk <= 10
        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
@@ -139,7 +139,7 @@ object Similarity {
        |)
        |SELECT qid, nid, rnk, round(cos, 4) AS cos
        |FROM (SELECT qid, nid, cos,
-       |             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rnk
        |      FROM s)
        |WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>

@@ -27,8 +27,8 @@ object TextAnalysis {
        |),
        |st AS (
        |  SELECT doc_id, lang,
-       |         len(w) AS n_tokens,
-       |         len(list_distinct(w)) AS n_distinct,
+       |         CAST(len(w) AS INTEGER) AS n_tokens,
+       |         CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct,
        |         CAST(length(text) AS DOUBLE) / len(w) AS tok_len,
        |         CAST(len(list_filter(w, x -> list_contains($stopListSql, x))) AS DOUBLE) / len(w) AS stop_r,
        |         CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,

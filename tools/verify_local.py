@@ -55,6 +55,12 @@ for name, sql in sorted(oracle.items()):
         ed = exp.fetchall()
         if gcols != ecols:
             fails.append((name, f"columns differ: spark={gcols} duck={ecols}")); continue
+        # schema (type) compare, mirroring the driver's schema match
+        gtypes = dict(zip(got.columns, [str(t) for t in got.types]))
+        etypes = dict(zip(exp.columns, [str(t) for t in exp.types]))
+        tdiff = {c: (gtypes[c], etypes[c]) for c in gcols if gtypes[c] != etypes[c]}
+        if tdiff:
+            fails.append((name, f"types differ: {tdiff}")); continue
         if len(gd) != len(ed):
             fails.append((name, f"rowcount differ: spark={len(gd)} duck={len(ed)}")); continue
         bad = None
