@@ -32,7 +32,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warm the session (codegen paths, parquet footer cache, scheduler) so
-    // the alphabetically-first query doesn't absorb one-time costs
+    // the alphabetically-first query doesn't absorb one-time costs. NB: a
+    // full-inventory warm-up pass at sf0.001 was tried and made things
+    // WORSE (doubles codegen/JIT churn -> more compile-queue stalls).
     spark.range(1000).selectExpr("md5(cast(id as string)) m")
       .write.format("noop").mode("overwrite").save()
     Tables.all.foreach { t =>

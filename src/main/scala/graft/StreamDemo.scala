@@ -30,6 +30,9 @@ object StreamDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // scale-path state store (bounded executor memory; state on local disk)
+    streaming.StatefulOps.useRocksDbStateStore(spark)
+
     val dir = java.nio.file.Files.createTempDirectory("demo-src").toString
     val ckpt = java.nio.file.Files.createTempDirectory("demo-ckpt").toString
     MessageSource.writeReplayCorpus(spark, sfDir, dir, nFiles = 4)
@@ -46,8 +49,25 @@ object StreamDemo {
         val r = df.agg(count(lit(1)).as("n"), avg("delay_ms").as("d")).collect()(0)
         metrics.add(s"batch=$id n=${r.getLong(0)} avg_delay_ms=${math.round(r.getDouble(1))}")
       })
+    // watermarked windowed aggregate on the RocksDB state store, fed from
+    // the same corpus replayed as a stream
+    val winQ = graft.streaming.MetricSink.windowedAvg(
+        graft.streaming.MsgPipeline.delayStream(
+          graft.streaming.MsgPipeline.parse(
+            sources.MessageSource.fileStream(spark, dir, maxFilesPerTrigger = 2)),
+          operators.CodecQueries.NowMs),
+        windowLen = "1 day")
+      .writeStream.outputMode("append").format("memory").queryName("demo_windows")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("demo-ckpt-win").toString)
+      .start()
     q.processAllAvailable()
     q.stop()
+    winQ.processAllAvailable()
+    winQ.stop()
+    println(s"[demo] state store: " + spark.conf.get(
+      "spark.sql.streaming.stateStore.providerClass").split('.').last)
+    println(s"[demo] closed day-windows: ${spark.table("demo_windows").count()}")
 
     println(s"[demo] bulk POSTs: ${posts.size}, lines delivered: ${posts.asScala.map(_.toLong).sum}")
     println(s"[demo] metric reports: ${metrics.asScala.toSeq.sorted.mkString(" | ")}")

@@ -33,6 +33,14 @@ private final case class SessionState(n: Long, startMs: Long, endMs: Long)
   */
 object StatefulOps {
 
+  /** Switch the session to the RocksDB state store — required at scale:
+    * the default HDFS-backed provider keeps every key in executor heap,
+    * which a 100 TB stream's dedup/session state cannot fit; RocksDB
+    * spills to local SSD with bounded memory. Call before `.start()`. */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** Drop duplicate message payloads within the watermark horizon. */
   def dedupWithinWatermark(msgs: DataFrame, watermark: String = "1 minute"): DataFrame =
     msgs.withWatermark("event_time", watermark)

@@ -158,6 +158,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful ops run on the RocksDB state store (scale path)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StatefulOps.useRocksDbStateStore(spark)
+    try {
+      val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+      val q = StatefulOps.dedupWithinWatermark(
+          input.toDF().toDF("event_time", "payload"), "1 minute")
+        .writeStream.outputMode("append").format("memory").queryName("rocksdedup").start()
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+      input.addData((ts(10), "a"), (ts(11), "a"), (ts(12), "b"))
+      q.processAllAvailable()
+      // provider actually in effect for the running query
+      assert(q.lastProgress.stateOperators.nonEmpty)
+      q.stop()
+      assert(spark.table("rocksdedup").select("payload")
+        .as[String].collect().sorted.toSeq == Seq("a", "b"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("checkpoint recovery: restart continues, no loss, no dupes") {
     val dir = Files.createTempDirectory("stream-src").toString
     val ckpt = Files.createTempDirectory("ckpt-rec").toString
