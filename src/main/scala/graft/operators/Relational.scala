@@ -152,7 +152,9 @@ object Relational {
       .groupBy("event_type")
       .agg(
         countDistinct(col("user_id")).as("n_users"),
-        countDistinct(get_json_object(col("props"), "$.k").cast("int")).as("n_keys"))
+        countDistinct(from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k")).as("n_keys"))
       .orderBy("event_type")
   }
 
@@ -293,7 +295,7 @@ object Relational {
         upper(col("o_orderstatus")).as("status_u"),
         concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
         length(col("o_orderpriority")).as("prio_len"),
-        regexp_replace(col("o_orderpriority"), "-", "_").as("prio_r"),
+        expr("replace(o_orderpriority, '-', '_')").as("prio_r"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
         year(col("o_orderdate")).as("oy"),
         month(col("o_orderdate")).as("om"),
@@ -331,9 +333,13 @@ object Relational {
       |WHERE CAST(props->>'$.k' AS INTEGER) IS NOT NULL
       |GROUP BY 1
       |ORDER BY k_bucket""".stripMargin) { (s, d) =>
+    // from_json (schema'd, parser reused per partition) rather than
+    // get_json_object (per-row parser through Jackson's ThreadLocal
+    // recycler — profiled as a stall magnet at high row counts)
     Tables.events(s, d)
       .select(
-        (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"),
+        (from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k") % 10).as("k_bucket"),
         col("user_id"))
       .where(col("k_bucket").isNotNull)
       .groupBy("k_bucket")
