@@ -22,6 +22,10 @@ object Bench {
       // every sort/agg task zero out ~64MB pages — GC storms that tax
       // random later queries (profiled). Rows here are small; 2m is ample.
       .config("spark.buffer.pageSize", "2m")
+      // async ref cleanup: the cleaner's blocking removeBroadcast/removeRDD
+      // RPCs serialize through the BlockManagerMaster endpoint and stall
+      // task-side block ops for seconds after GC bursts
+      .config("spark.cleaner.referenceTracking.blocking", "false")
       // shuffle/broadcast scratch on tmpfs: the sandbox VM's disk has
       // multi-second write-burst stalls that surface as random query spikes
       .config("spark.local.dir",

@@ -12,6 +12,16 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // same local-mode stall mitigations as Bench (see Bench.scala):
+      // heap-scaled page size causes GC storms; VM disk bursts stall tasks
+      .config("spark.buffer.pageSize", "2m")
+      // async ref cleanup: the cleaner's blocking removeBroadcast/removeRDD
+      // RPCs serialize through the BlockManagerMaster endpoint and stall
+      // task-side block ops for seconds after GC bursts
+      .config("spark.cleaner.referenceTracking.blocking", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
