@@ -24,6 +24,8 @@ object Verify {
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // see Bench.scala: pre-pay the ICU collation <clinit> (30-100s lazy)
+    Class.forName("org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
