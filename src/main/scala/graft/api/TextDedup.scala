@@ -94,19 +94,18 @@ object TextDedup {
   }
 
   /** SimHash fingerprints: (id, f) with `bits`-bit weighted-bit signature.
-    * One map-side-combined groupBy; md5 once per distinct (id, token). */
+    * One map-side-combined groupBy; md5 once per distinct (id, token). The
+    * bit-sum fold runs in [[graft.functions.SimhashAgg]] — a custom
+    * TypedImperativeAggregate with a primitive buffer; the equivalent
+    * `bits` declarative sums generate a codegen unit too large to JIT in
+    * time (PERF_NOTES.md). Results identical (oracle-pinned). */
   def simhash(df: DataFrame, id: Column, text: Column, bits: Int = 48): DataFrame = {
     require(bits >= 8 && bits <= 56, s"bits $bits out of range (md5Long is 56-bit)")
     val words = df.select(id.as("id"), explode(split(text, " ")).as("word"))
     val wc = words.groupBy("id", "word").agg(count(lit(1)).as("cnt"))
     val wh = wc.select(col("id"), CrossHash.md5Long(col("word")).as("h"), col("cnt"))
-    val bitSums = (0 until bits).map(i =>
-      sum(col("cnt") * (expr(s"shiftright(h, $i) & 1") * 2 - 1)).as(s"s$i"))
-    wh.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .select(
-        col("id"),
-        (0 until bits).map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
-          .reduce(_ + _).as("f"))
+    wh.groupBy("id")
+      .agg(graft.functions.SimhashAgg.simhash_agg(col("h"), col("cnt"), bits).as("f"))
   }
 
   /** Near-dup pairs from SimHash fingerprints: band on bit chunks, then
