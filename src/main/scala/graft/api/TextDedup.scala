@@ -24,12 +24,30 @@ import org.apache.spark.sql.functions._
 object TextDedup {
 
   /** Exact dedup: one row per distinct text with the kept (min) id and the
-    * multiplicity. Hash-groupBy — at scale the shuffle key is the text's
-    * digest, not the text. */
+    * multiplicity. The groupBy key is the text's 56-bit md5 digest, NOT the
+    * text itself — the dedup shuffle carries 8-byte keys instead of whole
+    * documents (at 100 TB that is the difference between shuffling 8 bytes
+    * and shuffling kilobytes per row). Collision risk at 2^56: ~N²/2^57 —
+    * negligible below ~10^7 docs per digest-partition; use [[exactVerified]]
+    * when byte-exactness must be proven. */
   def exact(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.groupBy(text.as("text"))
-      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+    df.select(id.as("__id"), CrossHash.md5Long(text).as("__digest"))
+      .groupBy(col("__digest"))
+      .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
+
+  /** Collision-checked exact dedup: groups on the digest (8-byte shuffle
+    * key) but keeps one representative text per group and counts distinct
+    * texts inside each digest bucket, so a digest collision is detectable
+    * (`n_texts > 1`) instead of silently merging distinct documents. */
+  def exactVerified(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("__id"), text.as("__text"), CrossHash.md5Long(text).as("__digest"))
+      .groupBy(col("__digest"))
+      .agg(
+        min(col("__id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        count_distinct(col("__text")).as("n_texts"))
+      .select("keep_id", "n_copies", "n_texts")
 
   /** Distinct word-n-gram shingle hashes per document: (id, hv), hv < P.
     * posexplode + window `lead` keeps the whole stage codegen'd (see
