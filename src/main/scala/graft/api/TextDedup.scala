@@ -24,30 +24,42 @@ import org.apache.spark.sql.functions._
 object TextDedup {
 
   /** Exact dedup: one row per distinct text with the kept (min) id and the
-    * multiplicity. The groupBy key is the text's 56-bit md5 digest, NOT the
-    * text itself — the dedup shuffle carries 8-byte keys instead of whole
-    * documents (at 100 TB that is the difference between shuffling 8 bytes
-    * and shuffling kilobytes per row). Collision risk at 2^56: ~N²/2^57 —
-    * negligible below ~10^7 docs per digest-partition; use [[exactVerified]]
-    * when byte-exactness must be proven. */
+    * multiplicity. The groupBy key is the text's FULL 128-bit md5 digest
+    * (16-byte binary), NOT the text itself — the dedup shuffle carries
+    * 16-byte keys instead of whole documents (at 100 TB that is the
+    * difference between shuffling 16 bytes and shuffling kilobytes per
+    * row). The collision bound is global over the whole keyspace, N²/2^129:
+    * even at 10^12 documents the expected number of colliding pairs is
+    * < 10^-12, so silent merges are genuinely negligible (a 56-bit key
+    * would NOT be: its N²/2^57 bound predicts thousands of silent merges
+    * at 10^10–10^11 docs). Use [[exactVerified]] when byte-exactness must
+    * be proven rather than probabilistically assumed. */
   def exact(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("__id"), CrossHash.md5Long(text).as("__digest"))
+    df.select(id.as("__id"), unhex(md5(text.cast("string"))).as("__digest"))
       .groupBy(col("__digest"))
       .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
-  /** Collision-checked exact dedup: groups on the digest (8-byte shuffle
-    * key) but keeps one representative text per group and counts distinct
-    * texts inside each digest bucket, so a digest collision is detectable
-    * (`n_texts > 1`) instead of silently merging distinct documents. */
+  /** Collision-DETECTING exact dedup: groups on the same 128-bit digest as
+    * [[exact]] and additionally counts distinct raw texts per digest group,
+    * so a collision surfaces as `n_texts > 1` instead of a silent merge.
+    * The digest is returned so callers can join colliding rows back to the
+    * input and repair them (re-group just those digests by raw text) — a
+    * merged row with `n_texts > 1` spans distinct documents and its
+    * keep_id/n_copies must not be trusted as-is.
+    *
+    * Cost note: unlike [[exact]], the raw text still crosses the shuffle
+    * here — it rides inside the partial `count_distinct` aggregation state —
+    * so this variant trades the small-key saving for proof. Output:
+    * (digest, keep_id, n_copies, n_texts); no text column is returned. */
   def exactVerified(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("__id"), text.as("__text"), CrossHash.md5Long(text).as("__digest"))
+    df.select(id.as("__id"), text.as("__text"), unhex(md5(text.cast("string"))).as("__digest"))
       .groupBy(col("__digest"))
       .agg(
         min(col("__id")).as("keep_id"),
         count(lit(1)).as("n_copies"),
         count_distinct(col("__text")).as("n_texts"))
-      .select("keep_id", "n_copies", "n_texts")
+      .select(col("__digest").as("digest"), col("keep_id"), col("n_copies"), col("n_texts"))
 
   /** Distinct word-n-gram shingle hashes per document: (id, hv), hv < P.
     * posexplode + window `lead` keeps the whole stage codegen'd (see
@@ -82,11 +94,45 @@ object TextDedup {
       .select(col("id"), col("x.band").as("band"), col("x.bv").as("bv"))
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Drops LSH buckets larger than `maxBucket` before a band self-join.
+    *
+    * A degenerate bucket (N identical or boilerplate documents sharing one
+    * band value) makes the self-join quadratic in that bucket — N=10^6
+    * identical docs is 5·10^11 pairs from a single bucket. Capping is the
+    * standard production guard: identical-document floods are [[exact]]
+    * dedup's job, not the near-dup join's. Dropping is never silent: the
+    * oversized buckets are counted first (one cheap aggregation over the
+    * band keys — O(buckets), vs the quadratic join it prevents) and logged
+    * at WARN with bucket and member counts. The cap itself is enforced with
+    * a broadcast anti-join against the (tiny) oversized-key list, so the
+    * bands relation is not re-shuffled. */
+  private def capBuckets(bands: DataFrame, keys: Seq[String], maxBucket: Int,
+      what: String): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket $maxBucket too small to form any pair")
+    val keyCols = keys.map(col)
+    val big = bands.groupBy(keyCols: _*).agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > maxBucket)
+    val stats = big.agg(count(lit(1)).as("nb"), sum(col("__bn")).as("nm")).head()
+    if (stats.getLong(0) == 0) bands
+    else {
+      log.warn(s"$what: dropping ${stats.getLong(0)} LSH bucket(s) larger than " +
+        s"$maxBucket (${stats.getLong(1)} member rows) from the candidate join; " +
+        "identical-document floods belong to exact dedup")
+      bands.join(broadcast(big.select(keyCols: _*)), keys, "left_anti")
+    }
+  }
+
   /** Candidate pairs from shared LSH buckets: (a, b, n_bands), a < b.
-    * Equi-join on the bucket key — shuffle cost ∝ bucket sizes. */
-  def candidatePairs(bands: DataFrame): DataFrame = {
-    val x = bands.as("x")
-    val y = bands.as("y")
+    * Equi-join on the bucket key — shuffle cost ∝ bucket sizes, with
+    * buckets larger than `maxBucket` excluded (see [[capBuckets]]; the
+    * oversized-bucket count is computed eagerly and logged, so calling this
+    * runs one small Spark job before the returned plan executes). */
+  def candidatePairs(bands: DataFrame, maxBucket: Int = 10000): DataFrame = {
+    val capped = capBuckets(bands, Seq("band", "bv"), maxBucket, "candidatePairs")
+    val x = capped.as("x")
+    val y = capped.as("y")
     x.join(y,
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
@@ -127,14 +173,17 @@ object TextDedup {
   }
 
   /** Near-dup pairs from SimHash fingerprints: band on bit chunks, then
-    * Hamming-filter. (a, b, hamming), a < b, hamming <= maxHamming. */
+    * Hamming-filter. (a, b, hamming), a < b, hamming <= maxHamming.
+    * Buckets larger than `maxBucket` are excluded from the band join, with
+    * the drop counted and logged (see [[capBuckets]]). */
   def simhashPairs(fingerprints: DataFrame, bands: Int = 4, bitsPerBand: Int = 12,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8, maxBucket: Int = 10000): DataFrame = {
     val mask = (1L << bitsPerBand) - 1
-    val sbands = fingerprints
+    val sbands0 = fingerprints
       .select(col("id"), col("f"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("f"), col("band"),
         expr(s"shiftright(f, $bitsPerBand * band) & $mask").as("bv"))
+    val sbands = capBuckets(sbands0, Seq("band", "bv"), maxBucket, "simhashPairs")
     val scand = sbands.as("x")
       .join(sbands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&

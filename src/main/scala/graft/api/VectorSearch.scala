@@ -1,8 +1,7 @@
 package graft.api
 
-import graft.functions.{CrossHash, VectorExprs}
+import graft.functions.{CrossHash, TopKAgg, VectorExprs}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Public similarity-search API over arbitrary (id, vector) DataFrames.
@@ -12,7 +11,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: queries are broadcast against the partitioned corpus
   * (brute force), or both sides reduce to LSH bucket keys first (ANN) so
   * the join is an equi-join on an 8-bit key. At 100 TB the corpus never
-  * shuffles for a search.
+  * shuffles for a search: signatures are a narrow projection (no exchange),
+  * and per-query top-k is a bounded heap aggregate (map-side combined), not
+  * a window whose parallelism would collapse to the number of queries.
   */
 object VectorSearch {
 
@@ -24,6 +25,20 @@ object VectorSearch {
   private def cosine(qv: Column, qn: Column, v: Column, n: Column): Column =
     VectorExprs.dot_product(qv, v) / (qn * n)
 
+  /** Two-phase per-qid top-k over scored (qid, nid, cos) rows: a bounded
+    * min-heap aggregate reduces every map partition to ≤ k entries per qid
+    * BEFORE the exchange, so the shuffle carries O(k × partitions) rows per
+    * query instead of the full scored product. Row order and values are
+    * identical to `row_number() OVER (PARTITION BY qid ORDER BY cos DESC,
+    * nid)` + `rnk <= k`. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(TopKAgg.top_k_agg(col("cos"), col("nid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "x")))
+      .select(col("qid"), col("x.id").as("nid"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        round(col("x.score"), 4).as("cos"))
+
   /** Exact top-k cosine neighbors of each query vector (excluding self-id).
     * The query set is broadcast; corpus stays partitioned. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -31,25 +46,24 @@ object VectorSearch {
     val cos = cosine(col("qv"), col("qn"), col("v"), col("nrm"))
     val scored = corpus.join(broadcast(q), col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("nid"), cos.as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("nid"), col("rnk"), round(col("cos"), 4).as("cos"))
+    topKPerQuery(scored, k)
   }
 
-  /** Sign-LSH bucket signature per vector: (id, v, nrm, sig). `planes`
-    * defaults to the engine's deterministic hyperplanes. */
+  /** Sign-LSH bucket signature per vector: (id, v, nrm, sig).
+    *
+    * The hyperplanes are deterministic host-side constants
+    * ([[CrossHash.hyperplanes]]), so the whole signature is ONE narrow
+    * projection — `nPlanes` codegen'd dot products against literal arrays,
+    * folded into a bit mask. No join, no aggregation, no exchange: the
+    * corpus is read once and never shuffles to get its signatures. */
   def signLsh(corpus: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes $nPlanes out of range")
     val planes = CrossHash.hyperplanes(nPlanes, dim)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val planesDf = planes.toSeq.zipWithIndex.map { case (h, p) => (p, h.toSeq) }
-      .toDF("p", "h")
-    val sig = corpus.join(broadcast(planesDf))
-      .groupBy("id")
-      .agg(sum(when(VectorExprs.dot_product(col("v"), col("h")) > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L)).as("sig"))
-    corpus.join(sig, "id")
+    val sig = (0 until nPlanes).map { p =>
+      val plane = array(planes(p).map(lit): _*)
+      when(VectorExprs.dot_product(col("v"), plane) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    corpus.withColumn("sig", sig)
   }
 
   /** ANN top-k: exact cosine re-rank within the query's LSH bucket. */
@@ -60,10 +74,7 @@ object VectorSearch {
     val scored = withSig.join(broadcast(q),
         col("sig") === col("qsig") && col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("nid"), cos.as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("nid"), col("rnk"), round(col("cos"), 4).as("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** Near-duplicate vector pairs above a cosine threshold, blocked by a

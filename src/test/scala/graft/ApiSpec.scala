@@ -37,6 +37,70 @@ class ApiSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
   }
 
+  test("exactVerified detects (no) collisions and exposes the digest for repair") {
+    val v = TextDedup.exactVerified(docs, col("article_id"), col("body"))
+    assert(v.columns.toSeq == Seq("digest", "keep_id", "n_copies", "n_texts"))
+    val rows = v.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getLong(3) == 1L), "md5-128 must not collide here")
+    val dup = rows.find(_.getLong(1) == 1L).get
+    assert(dup.getLong(2) == 2L) // ids 1 and 4 share one digest
+    assert(dup.getAs[Array[Byte]]("digest").length == 16, "full 128-bit digest")
+  }
+
+  test("LSH bucket cap drops a degenerate identical-text flood, keeps real near-dups") {
+    val flood = (1L to 1000L).map(i =>
+      (i, "identical boilerplate disclaimer text repeated across this corpus verbatim"))
+    val a = (2001L, "spark catalyst optimizer rewrites logical plans into efficient physical operators nightly")
+    val b = (2002L, "spark catalyst optimizer rewrites logical plans into efficient physical operators daily")
+    val c = (3001L, a._2) // exact copy of 2001 — a small (non-flood) bucket of its own
+    val df = (flood :+ a :+ b :+ c).toDF("article_id", "body")
+
+    // the flood is exact dedup's job — one keep row with 1000 copies
+    val exact = TextDedup.exact(df, col("article_id"), col("body")).collect()
+    assert(exact.exists(r => r.getLong(0) == 1L && r.getLong(1) == 1000L))
+
+    // minhash: all 4 flood band-buckets have 1000 members -> dropped at cap 100;
+    // without the cap this single bucket alone is 1000*999/2 = 499500 pairs
+    val hashes = TextDedup.shingleHashes(df, col("article_id"), col("body"))
+    val cand = TextDedup.candidatePairs(TextDedup.minhashBands(hashes), maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!cand.exists(p => p._1 <= 1000L && p._2 <= 1000L), "flood pairs must be dropped")
+    assert(cand.contains((2001L, 2002L)), "real near-dup pair must survive the cap")
+
+    // simhash: identical fingerprints -> identical band values -> same drop
+    val fp = TextDedup.simhash(df, col("article_id"), col("body"))
+    val sp = TextDedup.simhashPairs(fp, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!sp.exists(p => p._1 <= 1000L && p._2 <= 1000L), "flood pairs must be dropped")
+    assert(sp.contains((2001L, 3001L)), "small-bucket dup pair must survive the cap")
+  }
+
+  test("TopKAgg pipeline matches the row_number window formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic scores with planted ties: cos repeats every 17 values
+    val scored = (for (q <- 0L until 4L; n <- 0L until 200L if n != q)
+      yield (q, n, ((n * 31 + q * 7) % 17).toDouble / 17.0)).toDF("qid", "nid", "cos")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    val viaWindow = scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 10)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("cos"), 4).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val viaAgg = scored.groupBy("qid")
+      .agg(graft.functions.TopKAgg.top_k_agg(col("cos"), col("nid"), 10).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "x")))
+      .select(col("qid"), col("x.id").as("nid"),
+        (col("pos") + 1).cast("int").as("rnk"), round(col("x.score"), 4).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(viaAgg == viaWindow)
+    // fewer rows than k: returns all, still ordered
+    val tiny = Seq((9L, 1L, 0.5), (9L, 2L, 0.9)).toDF("qid", "nid", "cos")
+    val t = tiny.groupBy("qid")
+      .agg(graft.functions.TopKAgg.top_k_agg(col("cos"), col("nid"), 10).as("tk"))
+      .select(posexplode(col("tk"))).collect()
+    assert(t.length == 2 && t(0).getStruct(1).getLong(0) == 2L)
+  }
+
   test("TextProfile on a user schema") {
     val st = TextProfile.stats(docs, col("article_id"), col("body"))
       .collect().map(r => r.getLong(0) -> r).toMap

@@ -66,6 +66,36 @@ class PlanSpec extends SparkSpec {
       s"query side not broadcast:\n$p")
   }
 
+  test("exact dedup shuffles the 16-byte digest, not document text") {
+    val p = planString(Dedup.qDedupExact.fn(spark, sf()))
+    assert("""hashpartitioning\(__digest""".r.findAllIn(p).nonEmpty,
+      s"dedup exchange key is not the digest:\n$p")
+    assert("""hashpartitioning\([^)]*text""".r.findAllIn(p).isEmpty,
+      s"dedup exchange keyed on raw text:\n$p")
+    // map-side combine happens before the digest exchange
+    assert(p.contains("partial_min"), s"no partial aggregation before exchange:\n$p")
+  }
+
+  test("sign-LSH signature is one narrow projection: no exchange, no join") {
+    import org.apache.spark.sql.functions._
+    val n = graft.api.VectorSearch.withNorm(
+      Tables.embeddings(spark, sf()), col("vec_id"), col("embedding"))
+    val p = planString(graft.api.VectorSearch.signLsh(n, nPlanes = 8, dim = 64))
+    assert(!p.contains("Exchange"), s"signature projection shuffles the corpus:\n$p")
+    assert(!p.contains("Join"), s"signature computed via a join:\n$p")
+  }
+
+  test("top-k reduces scored rows before the per-qid exchange, no window") {
+    import org.apache.spark.sql.functions._
+    val n = graft.api.VectorSearch.withNorm(
+      Tables.embeddings(spark, sf()), col("vec_id"), col("embedding"))
+    val p = planString(graft.api.VectorSearch.topK(n, n.where(col("id") < 3), k = 5))
+    // bounded-heap aggregate: partial (map-side) + final ObjectHashAggregate
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no two-phase top-k aggregation:\n$p")
+    assert(!p.contains("Window"), s"top-k still uses a per-qid window:\n$p")
+  }
+
   test("dot_product expression is codegen-capable (no fallback)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
