@@ -7,23 +7,27 @@ import org.apache.spark.sql.functions._
 /** Source connectors for the wire-format message stream (reference R1:
   * `PulsarSource.java` — a parallel shared-subscription Pulsar consumer).
   *
-  * No Pulsar broker exists in this environment (and none is buildable
-  * offline), so the connector surface is modeled by the sources Spark ships
-  * with, which cover the Pulsar behaviors that matter semantically
-  * (SURVEY.md §7.3):
+  * Three sources, broadest contract first:
   *
-  *   - earliest-offset start          → file-stream reads all existing files;
-  *     `rate` source starts at t0
-  *   - partitioned parallel consume   → `maxFilesPerTrigger` / `rowsPerSecond`
-  *     across input partitions
-  *   - redelivery & checkpoint-ack    → offset WAL + commit log under
-  *     `checkpointLocation` (exactly-once source tracking)
-  *
-  * A production Pulsar DSv2 connector would implement `MicroBatchStream`
-  * with `MessageId` ranges as offsets; the plumbing downstream of `load()`
-  * is identical, which is the point of modeling it this way.
+  *   - [[brokerStream]] — the real connector: a DSv2 `MicroBatchStream`
+  *     ([[MsgDataSource]], `.format("graft-msgs")`) over the in-process
+  *     [[MsgBroker]], with `MessageId`-range offsets, checkpoint-coupled
+  *     ack (retry loop per `PulsarSource.java:79-118`) and ack-timeout
+  *     redelivery (`:149`);
+  *   - [[fileStream]] — replayable file corpus for deterministic
+  *     recovery tests;
+  *   - [[rateStream]] — synthetic soak load.
   */
 object MessageSource {
+
+  /** Stream from a registered [[MsgBroker]] via the `graft-msgs` DSv2
+    * connector. Columns: `(value STRING, partition INT, seq LONG)`. */
+  def brokerStream(spark: SparkSession, broker: String,
+      maxPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("graft-msgs").option("broker", broker)
+    maxPerTrigger.foreach(n => r.option("maxPerTrigger", n.toString))
+    r.load()
+  }
 
   /** File-stream of raw message lines (one wire-format string per line). */
   def fileStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =

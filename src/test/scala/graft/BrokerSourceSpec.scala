@@ -1,0 +1,186 @@
+package graft
+
+import graft.sources.{MessageSource, MsgBroker, MsgOffset}
+import graft.streaming.MsgPipeline
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** The DSv2 `graft-msgs` connector (reference R1, `PulsarSource.java`):
+  * parallel partitioned consume, checkpoint-coupled ack with retries,
+  * ack-timeout redelivery, earliest-position start.
+  *
+  * Ack timing note: Spark delivers `commit(end)` for batch N while
+  * constructing batch N+1 — one batch of lag, mirroring the reference's
+  * ack-on-checkpoint-complete notification. Tests that assert "everything
+  * acked" publish one sentinel `flush` message to force that next batch;
+  * the sentinel itself then sits unacked (retained == 1). The sentinel's
+  * module is "flush", so the session fan-out drops it and it never
+  * pollutes delivered-payload assertions. */
+class BrokerSourceSpec extends SparkSpec {
+
+  private def mk(module: String, sendTs: Long, tail: String): String =
+    module.padTo(16, ' ') + sendTs.toString.padTo(16, ' ') + (" " * 32) + tail
+
+  private val flushMsg = mk("flush", 1L, "flush\n")
+
+  private def ckpt(tag: String): String =
+    Files.createTempDirectory(s"ckpt-$tag").toString
+
+  /** Drain all data, then force one more batch so the tail batch acks. */
+  private def drainAndAck(b: MsgBroker,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable()
+    b.publish(flushMsg)
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("offset json round-trips") {
+    val o = MsgOffset(Map(0 -> 12L, 3 -> 0L, 1 -> 7L))
+    assert(MsgOffset.parse(o.json()) == o)
+    assert(MsgOffset.parse("{}") == MsgOffset(Map.empty))
+  }
+
+  test("fan-out end-to-end; commit acks the broker (checkpoint-coupled)") {
+    val b = MsgBroker.create("e2e", numPartitions = 3)
+    (1 to 30).foreach(i => b.publish(mk("session", 1000000L + i, s"t$i\n")))
+    b.publish(mk("heartbeat", 1000000L, "hb\n"))
+    b.publish("short")
+
+    val tails = new ConcurrentHashMap[Long, Seq[String]]
+    drainAndAck(b, MsgPipeline.runFanOut(
+      MessageSource.brokerStream(spark, "e2e"), ckpt("e2e"), () => 2000000L,
+      (ds, id) => tails.put(id, ds.collect().toSeq),
+      (_, _) => ()))
+
+    assert(tails.values.asScala.flatten.toSet == (1 to 30).map(i => s"t$i\n").toSet)
+    // every data message acked exactly because its batch committed
+    // (PulsarSource.java:79-118 coupling); only the sentinel is in flight
+    assert(b.retainedTotal == 1, "committed batches must ack and truncate the broker")
+    assert(b.acks >= 3, "each partition acked at least once")
+  }
+
+  test("kill mid-stream, restart from checkpoint: no loss, no dupes") {
+    val b = MsgBroker.create("rec", numPartitions = 4)
+    b.publishAll((1 to 100).map(i => mk("session", 1000000L + i, s"p$i\n")))
+
+    val dir = ckpt("rec")
+    val seen = new ConcurrentHashMap[Long, Seq[String]] // batchId-keyed: replays overwrite
+    def start() = MsgPipeline.runFanOut(
+      MessageSource.brokerStream(spark, "rec", maxPerTrigger = Some(8L)),
+      dir, () => 2000000L,
+      (ds, id) => seen.put(id, ds.collect().toSeq),
+      (_, _) => ())
+
+    val q1 = start()
+    var waited = 0
+    while (seen.size < 2 && waited < 300) { Thread.sleep(100); waited += 1 }
+    q1.stop()
+    val afterFirst = seen.values.asScala.flatten.size
+    assert(afterFirst < 100, "first run should have stopped mid-stream")
+
+    drainAndAck(b, start())
+
+    val delivered = seen.values.asScala.flatten.toSeq
+    assert(delivered.size == 100, "exactly-once per batchId: no loss, no dupes")
+    assert(delivered.toSet == (1 to 100).map(i => s"p$i\n").toSet)
+    assert(b.retainedTotal == 1, "restart run must ack the remainder (sentinel in flight)")
+  }
+
+  test("uncommitted batch is redelivered after ack timeout (no loss)") {
+    val b = MsgBroker.create("redeliver", numPartitions = 2, ackTimeoutMs = 1L)
+    (1 to 6).foreach(i => b.publish(mk("session", 1000000L + i, s"r$i\n")))
+
+    val dir = ckpt("redeliver")
+    val seen = new ConcurrentHashMap[Long, Seq[String]]
+    @volatile var failFirst = true
+    def start() = MsgPipeline.runFanOut(
+      MessageSource.brokerStream(spark, "redeliver"), dir, () => 2000000L,
+      (ds, id) => {
+        val rows = ds.collect().toSeq
+        if (failFirst) { failFirst = false; throw new RuntimeException("sink down") }
+        seen.put(id, rows)
+      },
+      (_, _) => ())
+
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination(5000)
+    }
+    assert(seen.isEmpty, "failed batch must not count as delivered")
+    assert(b.retainedTotal == 6, "unacked messages stay retained in the broker")
+
+    Thread.sleep(5) // exceed the 1 ms ack timeout
+    drainAndAck(b, start()) // offset WAL re-plans the same ranges -> broker redelivery
+    assert(seen.values.asScala.flatten.toSet == (1 to 6).map(i => s"r$i\n").toSet)
+    assert(b.redelivered == 6, "broker observed ack-timeout redelivery of the whole batch")
+    assert(b.retainedTotal == 1)
+  }
+
+  test("transient ack failures are retried with backoff, then succeed") {
+    val b = MsgBroker.create("ackretry", numPartitions = 1)
+    b.failNextAcks.set(2) // two transient failures, third attempt lands
+    (1 to 5).foreach(i => b.publish(mk("session", 1000000L + i, s"a$i\n")))
+
+    val rows = new ConcurrentHashMap[Long, Long]
+    drainAndAck(b, spark.readStream.format("graft-msgs")
+      .option("broker", "ackretry")
+      .option("ackBackoffMs", "1") // keep the 3-retry loop fast in tests
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt("ackretry"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        rows.put(id, df.count()); ()
+      }
+      .start())
+
+    assert(rows.values.asScala.map(l => l: Long).sum == 6) // 5 data + 1 sentinel
+    assert(b.ackAttempts >= 3, "two failures + one success")
+    assert(b.retainedTotal == 1, "ack landed after retries (PulsarSource.java:105-117)")
+  }
+
+  test("fresh query starts at the earliest retained position (acked skipped)") {
+    val b = MsgBroker.create("earliest", numPartitions = 2)
+    (1 to 4).foreach(i => b.publish(mk("session", 1000000L + i, s"old$i\n")))
+
+    drainAndAck(b, spark.readStream.format("graft-msgs").option("broker", "earliest").load()
+      .writeStream.option("checkpointLocation", ckpt("earliest1"))
+      .format("memory").queryName("earliest_run1").start())
+    assert(b.retainedTotal == 1) // old1..4 acked, sentinel retained
+
+    (5 to 6).foreach(i => b.publish(mk("session", 1000000L + i, s"new$i\n")))
+    val q2 = spark.readStream.format("graft-msgs").option("broker", "earliest").load()
+      .writeStream.option("checkpointLocation", ckpt("earliest2"))
+      .format("memory").queryName("earliest_run2").start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    import spark.implicits._
+    val got = spark.table("earliest_run2").select("value").as[String].collect().toSet
+    assert(got.map(_.substring(64)) == Set("flush\n", "new5\n", "new6\n"),
+      "Earliest position = acked watermark (old1..4 trimmed), like PulsarSource.java:146")
+  }
+
+  test("maxPerTrigger caps each micro-batch but starves no partition") {
+    val b = MsgBroker.create("cap", numPartitions = 4)
+    (1 to 40).foreach(i => b.publishTo(i % 4, mk("session", 1000000L + i, s"c$i\n")))
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = MessageSource.brokerStream(spark, "cap", maxPerTrigger = Some(10L))
+      .writeStream
+      .option("checkpointLocation", ckpt("cap"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    assert(batchSizes.sum == 40)
+    assert(batchSizes.size >= 4, s"cap of 10 over 40 msgs needs >= 4 batches, got $batchSizes")
+    assert(batchSizes.forall(_ <= 12), s"each batch near the cap: $batchSizes")
+  }
+}
