@@ -1,6 +1,9 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,58 +15,94 @@ final case class MediaRow(
     height: Int,
     fmt: String)
 
-/** Output of the (stubbed) decoder. */
+/** Decoder output: container stats + per-channel pixel means. */
 final case class MediaFeatures(
     doc_id: Long,
     n_bytes: Int,
-    mean_byte: Float,
-    feature: Array[Float])
+    width: Int,
+    height: Int,
+    channels: Int,
+    mean_r: Double,
+    mean_g: Double,
+    mean_b: Double)
 
 /** Multimodal columns (SURVEY.md §2.B / builder prompt): image/audio/video
   * as opaque `binary` columns with typed metadata, decoded/feature-extracted
   * in batch-shaped per-partition passes.
   *
-  * No media codecs ship in this container, so [[Multimodal.decodeStub]] is a
-  * clearly-marked deterministic FAKE decoder (byte-moment features). The
-  * Spark-side plumbing is real and tested: binary column + metadata schema,
-  * typed `Dataset[MediaRow]`, per-partition iterator processing (one decoder
-  * init per partition — the Scala analog of `mapInPandas` batch shape), and
-  * partition-count control so decode parallelism tracks input splits.
+  * The decode is REAL: media is a genuine PNG/BMP byte stream (encoded with
+  * `javax.imageio`, the only codec stack in this container) and
+  * [[Multimodal.decode]] reads it back pixel-by-pixel. The synthesized
+  * images are solid-color with channel values derived from `doc_id`, so the
+  * decoded per-channel means are integer-exact and the whole
+  * encode→binary-column→partitioned-decode pipeline is verified by a DuckDB
+  * oracle computing the same values from metadata alone — a hash mismatch
+  * anywhere in codec, schema, or plumbing fails the gate.
+  *
+  * Scale shape: encode and decode run in `mapPartitions` (one codec init
+  * per partition — the Scala analog of `mapInPandas` batch processing);
+  * media bytes never enter a shuffle key; decode parallelism tracks input
+  * splits.
   */
 object Multimodal {
 
-  /** Synthesize a media table from `documents`: text bytes stand in for an
-    * encoded image; metadata derives deterministically from n_chars. */
+  /** Deterministic channel color for a doc: (r, g, b) from doc_id. */
+  private def rgb(docId: Long): (Int, Int, Int) =
+    ((docId % 256).toInt, (docId * 7 % 256).toInt, (docId * 13 % 256).toInt)
+
+  /** Encode a solid-color image of the given size as PNG or BMP bytes. */
+  def encodeImage(docId: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+    val (r, g, b) = rgb(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val gfx = img.createGraphics()
+    gfx.setColor(new java.awt.Color(r, g, b))
+    gfx.fillRect(0, 0, w, h)
+    gfx.dispose()
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, fmt, out), s"no imageio writer for '$fmt'")
+    out.toByteArray
+  }
+
+  /** Real image decode: parse the container, read every pixel, return
+    * (width, height, bands, per-band means). Throws on undecodable bytes —
+    * a corrupt media column should fail loudly, not yield fake features. */
+  def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable media (${bytes.length} bytes)")
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    val sums = new Array[Long](bands)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < bands) { sums(c) += raster.getSample(x, y, c); c += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, bands, sums.map(_.toDouble / (w.toLong * h)))
+  }
+
+  /** Synthesize a media table from `documents`: a real encoded PNG (src0)
+    * or BMP (others) per document; dimensions derive from n_chars. Encoding
+    * runs per partition (one codec init per split). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        col("text").cast("binary").as("media"),
-        (col("n_chars") % 640 + 1).cast("int").as("width"),
-        (col("n_chars") % 480 + 1).cast("int").as("height"),
-        when(col("source") === "src0", "png")
-          .when(col("source") === "src1", "jpeg")
-          .otherwise("webp").as("fmt"))
-      .as[MediaRow]
-  }
-
-  /** STUB decoder — deterministic fake standing in for a real image/audio
-    * decode (no codec libs in this container). Produces 4 byte-moment
-    * "features"; a real implementation would replace ONLY this function,
-    * the partitioned plumbing around it is production-shaped. */
-  def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    var s0 = 0L; var s1 = 0L; var mn = 255; var mx = 0
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      s0 += b; s1 += b.toLong * b
-      if (b < mn) mn = b
-      if (b > mx) mx = b
-      i += 1
-    }
-    val n = math.max(bytes.length, 1)
-    Array(s0.toFloat / n, s1.toFloat / n, mn.toFloat, mx.toFloat)
+      .select(col("doc_id"), col("n_chars"),
+        when(col("source") === "src0", "png").otherwise("bmp").as("fmt"))
+      .as[(Long, Long, String)]
+      .mapPartitions { rows =>
+        // per-partition codec init would go here (pooled, like the
+        // reference's per-sink HTTP client manager)
+        rows.map { case (id, nChars, fmt) =>
+          val w = (nChars % 64 + 1).toInt
+          val h = (nChars % 48 + 1).toInt
+          MediaRow(id, encodeImage(id, w, h, fmt), w, h, fmt)
+        }
+      }
   }
 
   /** Frame sampling: n equal-sized byte slices (video frame-sample shape). */
@@ -76,22 +115,35 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder init would go here (pooled, like the
-      // reference's per-sink HTTP client manager)
       rows.map { r =>
-        val f = decodeStub(r.media)
-        MediaFeatures(r.doc_id, r.media.length, f(0), f)
+        val (w, h, bands, means) = decode(r.media)
+        MediaFeatures(r.doc_id, r.media.length, w, h, bands,
+          means(0), if (bands > 1) means(1) else means(0),
+          if (bands > 2) means(2) else means(0))
       }
     }
   }
 
-  /** Rows-only declared query (decoder is a stub, so no SQL oracle): the
-    * full pipeline media → decode → per-format feature aggregate. */
-  val qMultimodalFeatures: QueryDef = QueryDef.rowsOnly("q_multimodal_features") { (s, d) =>
-    import s.implicits._
-    val feats = extractFeatures(mediaTable(s, d))
-    feats.toDF()
-      .select(col("doc_id"), col("n_bytes"), round(col("mean_byte").cast("double"), 4).as("mean_byte"))
+  /** Declared query: media → real decode → per-image stats, oracle-checked
+    * against the metadata-derived closed form (solid-color images make the
+    * channel means integer-exact). `n_bytes` is container-dependent and
+    * deliberately excluded. */
+  val qMultimodalFeatures: QueryDef = QueryDef.sql(
+    "q_multimodal_features",
+    """SELECT doc_id,
+      |       CAST(n_chars % 64 + 1 AS INTEGER) AS width,
+      |       CAST(n_chars % 48 + 1 AS INTEGER) AS height,
+      |       3 AS channels,
+      |       round(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_r,
+      |       round(CAST(doc_id * 7 % 256 AS DOUBLE), 4) AS mean_g,
+      |       round(CAST(doc_id * 13 % 256 AS DOUBLE), 4) AS mean_b
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    extractFeatures(mediaTable(s, d)).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
       .orderBy("doc_id")
   }
 

@@ -62,19 +62,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("multimodal: stub decode is deterministic and batch-shaped") {
-    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf()))
-    val rows = feats.collect()
-    assert(rows.length == Tables.documents(spark, sf()).count())
-    rows.foreach { f =>
-      assert(f.feature.length == 4)
-      assert(f.n_bytes > 0)
-      assert(f.feature(2) <= f.feature(3)) // min byte <= max byte
+  test("multimodal: real imageio decode recovers dims and exact channel means") {
+    val media = Multimodal.mediaTable(spark, sf()).collect()
+    assert(media.length == Tables.documents(spark, sf()).count())
+    // the binary column holds genuine container bytes, both formats present
+    assert(media.exists(_.fmt == "png") && media.exists(_.fmt == "bmp"))
+    media.take(5).foreach { m =>
+      val magicPng = m.media.take(4).sameElements(Array(0x89, 'P', 'N', 'G').map(_.toByte))
+      val magicBmp = m.media.take(2).sameElements("BM".getBytes)
+      assert(if (m.fmt == "png") magicPng else magicBmp, s"doc ${m.doc_id}: bad ${m.fmt} magic")
     }
-    // deterministic: same input -> same features
-    val again = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf()))
-      .collect().map(f => f.doc_id -> f.feature.toSeq).toMap
-    rows.foreach(f => assert(again(f.doc_id) == f.feature.toSeq))
+
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf())).collect()
+    feats.foreach { f =>
+      assert(f.channels == 3)
+      assert(f.n_bytes > 0)
+      // decoded per-channel means are exactly the doc_id-derived fill color
+      assert(f.mean_r == (f.doc_id % 256).toDouble, s"doc ${f.doc_id} mean_r")
+      assert(f.mean_g == (f.doc_id * 7 % 256).toDouble)
+      assert(f.mean_b == (f.doc_id * 13 % 256).toDouble)
+    }
+    // decoded dims match the metadata the image was encoded from
+    val meta = media.map(m => m.doc_id -> ((m.width, m.height))).toMap
+    feats.foreach(f => assert((f.width, f.height) == meta(f.doc_id),
+      s"doc ${f.doc_id}: decoded dims must match metadata"))
+  }
+
+  test("multimodal: undecodable media fails loudly, not with fake features") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decode("definitely not an image".getBytes)
+    }
   }
 
   test("frame sampling covers the byte range in order") {
