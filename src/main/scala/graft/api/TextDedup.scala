@@ -94,43 +94,20 @@ object TextDedup {
       .select(col("id"), col("x.band").as("band"), col("x.bv").as("bv"))
   }
 
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
-  /** Drops LSH buckets larger than `maxBucket` before a band self-join.
-    *
-    * A degenerate bucket (N identical or boilerplate documents sharing one
-    * band value) makes the self-join quadratic in that bucket — N=10^6
-    * identical docs is 5·10^11 pairs from a single bucket. Capping is the
-    * standard production guard: identical-document floods are [[exact]]
-    * dedup's job, not the near-dup join's. Dropping is never silent: the
-    * oversized buckets are counted first (one cheap aggregation over the
-    * band keys — O(buckets), vs the quadratic join it prevents) and logged
-    * at WARN with bucket and member counts. The cap itself is enforced with
-    * a broadcast anti-join against the (tiny) oversized-key list, so the
-    * bands relation is not re-shuffled. */
-  private def capBuckets(bands: DataFrame, keys: Seq[String], maxBucket: Int,
-      what: String): DataFrame = {
-    require(maxBucket >= 2, s"maxBucket $maxBucket too small to form any pair")
-    val keyCols = keys.map(col)
-    val big = bands.groupBy(keyCols: _*).agg(count(lit(1)).as("__bn"))
-      .where(col("__bn") > maxBucket)
-    val stats = big.agg(count(lit(1)).as("nb"), sum(col("__bn")).as("nm")).head()
-    if (stats.getLong(0) == 0) bands
-    else {
-      log.warn(s"$what: dropping ${stats.getLong(0)} LSH bucket(s) larger than " +
-        s"$maxBucket (${stats.getLong(1)} member rows) from the candidate join; " +
-        "identical-document floods belong to exact dedup")
-      bands.join(broadcast(big.select(keyCols: _*)), keys, "left_anti")
-    }
-  }
+  /** Oversized-bucket census for [[candidatePairs]]/[[simhashPairs]] inputs:
+    * the (band, bv) buckets the cap will drop. Audit drops with this —
+    * capping is deliberate but should never be invisible. */
+  def oversizedBuckets(bands: DataFrame, maxBucket: Int = 10000): DataFrame =
+    BucketCap.oversized(bands, Seq("band", "bv"), maxBucket)
 
   /** Candidate pairs from shared LSH buckets: (a, b, n_bands), a < b.
     * Equi-join on the bucket key — shuffle cost ∝ bucket sizes, with
-    * buckets larger than `maxBucket` excluded (see [[capBuckets]]; the
-    * oversized-bucket count is computed eagerly and logged, so calling this
-    * runs one small Spark job before the returned plan executes). */
+    * buckets larger than `maxBucket` excluded (lazy broadcast anti-join,
+    * [[BucketCap.cap]]; no job runs at plan-construction time). Inspect
+    * drops with [[oversizedBuckets]]; persist `bands` so the census and
+    * both join sides share one computed stage. */
   def candidatePairs(bands: DataFrame, maxBucket: Int = 10000): DataFrame = {
-    val capped = capBuckets(bands, Seq("band", "bv"), maxBucket, "candidatePairs")
+    val capped = BucketCap.cap(bands, Seq("band", "bv"), maxBucket)
     val x = capped.as("x")
     val y = capped.as("y")
     x.join(y,
@@ -174,8 +151,8 @@ object TextDedup {
 
   /** Near-dup pairs from SimHash fingerprints: band on bit chunks, then
     * Hamming-filter. (a, b, hamming), a < b, hamming <= maxHamming.
-    * Buckets larger than `maxBucket` are excluded from the band join, with
-    * the drop counted and logged (see [[capBuckets]]). */
+    * Buckets larger than `maxBucket` are excluded from the band join
+    * (lazy, [[BucketCap.cap]]; audit with [[oversizedBuckets]]). */
   def simhashPairs(fingerprints: DataFrame, bands: Int = 4, bitsPerBand: Int = 12,
       maxHamming: Int = 8, maxBucket: Int = 10000): DataFrame = {
     val mask = (1L << bitsPerBand) - 1
@@ -183,7 +160,7 @@ object TextDedup {
       .select(col("id"), col("f"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("id"), col("f"), col("band"),
         expr(s"shiftright(f, $bitsPerBand * band) & $mask").as("bv"))
-    val sbands = capBuckets(sbands0, Seq("band", "bv"), maxBucket, "simhashPairs")
+    val sbands = BucketCap.cap(sbands0, Seq("band", "bv"), maxBucket)
     val scand = sbands.as("x")
       .join(sbands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&

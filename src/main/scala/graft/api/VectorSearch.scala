@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorSearch {
 
-  /** Normalize input: (id, v ARRAY<DOUBLE>, nrm). */
-  def withNorm(df: DataFrame, id: Column, vec: Column): DataFrame =
-    df.select(id.as("id"), transform(vec, x => x.cast("double")).as("v"))
+  /** Normalize input: (id, v ARRAY<DOUBLE>, nrm, keep...). Pass-through
+    * columns (labels, block keys) ride the same single scan — don't
+    * re-join them on id afterwards, that re-reads the corpus. */
+  def withNorm(df: DataFrame, id: Column, vec: Column, keep: Column*): DataFrame =
+    df.select(id.as("id") +: transform(vec, x => x.cast("double")).as("v") +: keep: _*)
       .withColumn("nrm", VectorExprs.l2_norm(col("v")))
 
   private def cosine(qv: Column, qn: Column, v: Column, n: Column): Column =
@@ -40,7 +42,12 @@ object VectorSearch {
         round(col("x.score"), 4).as("cos"))
 
   /** Exact top-k cosine neighbors of each query vector (excluding self-id).
-    * The query set is broadcast; corpus stays partitioned. */
+    * The query set is broadcast; corpus stays partitioned.
+    *
+    * Null handling: candidates whose cosine or id is null are ignored, and
+    * a query whose every candidate scored null yields no output rows (a
+    * DESC-nulls-last window would emit null-scored rows when a group has
+    * fewer than k non-null candidates — see [[graft.functions.TopKAgg]]). */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val cos = cosine(col("qv"), col("qn"), col("v"), col("nrm"))
@@ -66,7 +73,8 @@ object VectorSearch {
     corpus.withColumn("sig", sig)
   }
 
-  /** ANN top-k: exact cosine re-rank within the query's LSH bucket. */
+  /** ANN top-k: exact cosine re-rank within the query's LSH bucket.
+    * Null handling matches [[topK]]: null-scored candidates are ignored. */
   def annTopK(withSig: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("qid"), col("v").as("qv"),
       col("nrm").as("qn"), col("sig").as("qsig"))
@@ -79,9 +87,18 @@ object VectorSearch {
 
   /** Near-duplicate vector pairs above a cosine threshold, blocked by a
     * coarse partition column (label / cluster / LSH bucket) so the
-    * self-join never goes all-pairs. */
-  def nearDuplicates(corpus: DataFrame, block: Column, minCosine: Double): DataFrame = {
-    val blocked = corpus.withColumn("__blk", block)
+    * self-join never goes all-pairs.
+    *
+    * Blocks larger than `maxBlock` are excluded from the join entirely
+    * (lazy broadcast anti-join, [[BucketCap.cap]]): the self-join is
+    * quadratic PER BLOCK, so one hot block value (a dominant label, an
+    * empty-string key) would otherwise reintroduce the all-pairs blowup
+    * the blocking exists to prevent. Audit what a cap would drop with
+    * `BucketCap.oversized(corpus.withColumn("b", block), Seq("b"), max)`;
+    * prefer a finer block key (e.g. an LSH bucket) over raising the cap. */
+  def nearDuplicates(corpus: DataFrame, block: Column, minCosine: Double,
+      maxBlock: Int = 10000): DataFrame = {
+    val blocked = BucketCap.cap(corpus.withColumn("__blk", block), Seq("__blk"), maxBlock)
     val cos = cosine(col("a.v"), col("a.nrm"), col("b.v"), col("b.nrm"))
     blocked.as("a").join(blocked.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.id") < col("b.id"))

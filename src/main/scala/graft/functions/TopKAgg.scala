@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -31,9 +31,13 @@ case class TopKAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.PriorityQueue[TopKAgg.Entry]]
-  with BinaryLike[Expression] {
+  with ExpectsInputTypes with BinaryLike[Expression] {
 
   require(k >= 1, s"k must be positive, got $k")
+
+  // analysis-time validation: an INT id or DECIMAL score is an
+  // AnalysisException here, not an executor-side ClassCastException
+  override def inputTypes = Seq(DoubleType, LongType) // score, id
 
   override def prettyName: String = "top_k_agg"
   override def dataType: DataType = TopKAgg.OutType
@@ -66,9 +70,14 @@ case class TopKAgg(
   }
 
   override def eval(heap: java.util.PriorityQueue[TopKAgg.Entry]): Any = {
-    val arr = new Array[TopKAgg.Entry](heap.size)
+    // drain a COPY: eval must not mutate the buffer (the non-destructive
+    // convention of e.g. ApproximatePercentile — a window/running use would
+    // call eval repeatedly on the same buffer)
+    val copy = new java.util.PriorityQueue[TopKAgg.Entry](TopKAgg.WorstFirst)
+    copy.addAll(heap)
+    val arr = new Array[TopKAgg.Entry](copy.size)
     var i = arr.length - 1
-    while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // drain worst-first → best-first array
+    while (i >= 0) { arr(i) = copy.poll(); i -= 1 } // drain worst-first → best-first array
     new GenericArrayData(arr.map(e => InternalRow(e.id, e.score)): Array[Any])
   }
 

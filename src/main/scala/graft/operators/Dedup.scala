@@ -43,11 +43,19 @@ object Dedup {
             .mkString("\n  UNION ALL ")}
        |)""".stripMargin
 
+  /** Oracle mirror of the Spark-side bucket cap (BucketCap.cap, default
+    * 10000): buckets above the cap are excluded in BOTH engines, so the
+    * algorithms stay identical at any scale factor. At test SFs no bucket
+    * is near the cap and the filter is a no-op. */
   private val candCte: String =
-    """cand AS (
+    """bigb AS (
+      |  SELECT band, bv FROM bands GROUP BY band, bv HAVING count(*) > 10000
+      |),
+      |cand AS (
       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_bands
       |  FROM bands x JOIN bands y
       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM bigb g WHERE g.band = x.band AND g.bv = x.bv)
       |  GROUP BY x.doc_id, y.doc_id
       |)""".stripMargin
 
@@ -148,10 +156,14 @@ object Dedup {
        |  SELECT doc_id, b AS band, (f >> (12 * b)) & 4095 AS bv
        |  FROM fp, (SELECT unnest(range(0, 4)) AS b) g
        |),
+       |sbig AS (
+       |  SELECT band, bv FROM sbands GROUP BY band, bv HAVING count(*) > 10000
+       |),
        |scand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM sbands x JOIN sbands y
        |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM sbig g WHERE g.band = x.band AND g.bv = x.bv)
        |)
        |SELECT c.a, c.b, CAST(bit_count(xor(fa.f, fb.f)) AS INTEGER) AS hamming
        |FROM scand c

@@ -38,11 +38,11 @@ object Similarity {
   private def normSql(v: String): String =
     s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform($v, x -> x * x)), (acc, x) -> acc + x))"
 
-  /** Base vectors cast to double, with norms (public API shape). */
+  /** Base vectors cast to double, with norms; `label` rides the same
+    * single scan of embeddings (no re-join on id). */
   private def normed(s: SparkSession, d: String): DataFrame =
     graft.api.VectorSearch
-      .withNorm(Tables.embeddings(s, d), col("vec_id"), col("embedding"))
-      .join(Tables.embeddings(s, d).select(col("vec_id").as("id"), col("label")), "id")
+      .withNorm(Tables.embeddings(s, d), col("vec_id"), col("embedding"), col("label"))
 
   private val normedCte: String =
     s"""e AS (
@@ -73,14 +73,19 @@ object Similarity {
        |),
        |n AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM ec)""".stripMargin
 
-  /** Embedding-cosine near-dup detection, blocked by label. */
+  /** Embedding-cosine near-dup detection, blocked by label. The oracle
+    * mirrors the Spark-side block cap (blocks > 10000 rows excluded), so
+    * both engines compute the identical algorithm at every scale factor —
+    * at sf0.01 no label block is near the cap and the filter is a no-op. */
   val qEmbedNeardup: QueryDef = QueryDef.sql(
     "q_embed_neardup",
-    s"""WITH $eCorpusCte
+    s"""WITH $eCorpusCte,
+       |bigblk AS (SELECT label FROM n GROUP BY label HAVING count(*) > 10000)
        |SELECT a.vec_id AS a, b.vec_id AS b,
        |       round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 4) AS cos
        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.99
+       |  AND NOT EXISTS (SELECT 1 FROM bigblk g WHERE g.label = a.label)
        |ORDER BY a, b""".stripMargin) { (s, d) =>
     graft.api.VectorSearch
       .nearDuplicates(eCorpus(s, d), block = col("label"), minCosine = 0.99)

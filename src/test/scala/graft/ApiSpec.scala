@@ -76,6 +76,52 @@ class ApiSpec extends SparkSpec {
     assert(sp.contains((2001L, 3001L)), "small-bucket dup pair must survive the cap")
   }
 
+  test("nearDuplicates block cap drops a hot block, keeps small blocks") {
+    // one hot block of 1000 mutually-colinear vectors (499500 pairs if
+    // joined) + a small block with one planted colinear pair
+    val flood = (1L to 1000L).map(i => (i, Array(1.0f, 0.0f), "hot"))
+    val small = Seq(
+      (2001L, Array(0.0f, 1.0f), "cool"),
+      (2002L, Array(0.0f, 2.0f), "cool"), // colinear with 2001
+      (2003L, Array(1.0f, 1.0f), "cool"))
+    val df = (flood ++ small).toDF("item", "emb", "grp")
+    val n = VectorSearch.withNorm(df, col("item"), col("emb"), col("grp"))
+    val dups = VectorSearch.nearDuplicates(n, col("grp"), minCosine = 0.999, maxBlock = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((2001L, 2002L)),
+      "hot block dropped (quadratic guard), small-block pair survives")
+  }
+
+  test("candidate/near-dup plan construction launches no Spark job (lazy cap)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val hashes = TextDedup.shingleHashes(docs, col("article_id"), col("body"))
+      TextDedup.candidatePairs(TextDedup.minhashBands(hashes))
+      TextDedup.simhashPairs(TextDedup.simhash(docs, col("article_id"), col("body")))
+      val vecs = Seq((1L, Array(1.0f, 0.0f), "x")).toDF("item", "emb", "grp")
+      VectorSearch.nearDuplicates(
+        VectorSearch.withNorm(vecs, col("item"), col("emb"), col("grp")),
+        col("grp"), minCosine = 0.9)
+      Thread.sleep(500) // let any stray listener events drain
+      assert(jobs.get() == 0, "plan construction must not run an eager census job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("TopKAgg rejects wrong input types at analysis time") {
+    val df = Seq((1, 1.0)).toDF("id_int", "score")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy().agg(graft.functions.TopKAgg.top_k_agg(
+        col("score"), col("id_int"), 5)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+  }
+
   test("TopKAgg pipeline matches the row_number window formulation exactly") {
     import org.apache.spark.sql.expressions.Window
     // deterministic scores with planted ties: cos repeats every 17 values

@@ -8,20 +8,22 @@ class ExtensionsSpec extends SparkSpec {
   test("dot_product and md5long56 callable from SQL via extensions") {
     // Builder.create() makes a fresh session (getOrCreate would return the
     // shared one, silently dropping extensions); SparkContext is reused.
+    // Do NOT close() this session: SparkSession.close() stops the SHARED
+    // SparkContext and kills every suite that runs afterwards (sessions
+    // have no context-preserving close). One leaked session per run is
+    // harmless; a stopped context is not.
     val s: SparkSession = SparkSession.builder()
       .master("local[4]")
       .withExtensions(new GraftExtensions)
       .create()
-    try {
-      val r = s.sql(
-        """SELECT dot_product(array(1d, 2d), array(3d, 4d)) AS d,
-          |       md5long56('hello') AS h""".stripMargin).head()
-      assert(r.getDouble(0) == 11.0)
-      // same value the conv(substr(md5)) formulation yields
-      val md = java.security.MessageDigest.getInstance("MD5")
-      assert(r.getLong(1) ==
-        graft.functions.Md5Long56.first56Bits(md.digest("hello".getBytes("UTF-8"))))
-    } finally s.close()
+    val r = s.sql(
+      """SELECT dot_product(array(1d, 2d), array(3d, 4d)) AS d,
+        |       md5long56('hello') AS h""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    // same value the conv(substr(md5)) formulation yields
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(r.getLong(1) ==
+      graft.functions.Md5Long56.first56Bits(md.digest("hello".getBytes("UTF-8"))))
   }
 
   test("sliding windows over the delay stream (batch analog)") {

@@ -64,6 +64,12 @@ class PlanSpec extends SparkSpec {
     val p = planString(Similarity.qSimTopk.fn(spark, sf()))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$p")
+    // label rides the normed projection: corpus side is ONE scan of
+    // embeddings, not a scan + id-self-join to re-attach label
+    // (AQE prints Final + Initial plans; count the final section only)
+    val finalPlan = p.split("== Initial Plan ==").head
+    val scans = """Scan parquet""".r.findAllIn(finalPlan).length
+    assert(scans == 2, s"expect 2 embeddings scans (corpus + broadcast queries), got $scans:\n$p")
   }
 
   test("exact dedup shuffles the 16-byte digest, not document text") {
