@@ -11,12 +11,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // config layering (GraftConfig, reference R15): CLI > env > props file;
+    // the driver's env contract (SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS) is
+    // unchanged — those are the env keys the layer reads
+    val cfg = GraftConfig.load(args,
+      defaults = GraftConfig.Default.copy(parallelism = 32))
+    val sfDir = cfg.sfDir
+    val spark = cfg.sessionBuilder("graft-bench")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       // local[32] single-JVM: default page size scales with heap and makes
       // every sort/agg task zero out ~64MB pages — GC storms that tax
@@ -30,8 +31,6 @@ object Bench {
       // multi-second write-burst stalls that surface as random query spikes
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -10,7 +10,8 @@ import scala.jdk.CollectionConverters._
 /** Runnable end-to-end demo of the streaming pipeline: events-derived
   * wire-format corpus → file-stream source → parse/route fan-out →
   * count-or-time batched bulk sink + windowed delay metrics. Usage:
-  * `runMain graft.StreamDemo [sfDir]`. */
+  * `runMain graft.StreamDemo [sfDir] [-c props] [-p parallelism]`
+  * (config layering per [[GraftConfig]], reference R15). */
 object StreamDemo {
   private val posts = new ConcurrentLinkedQueue[Int]
   private val metrics = new ConcurrentLinkedQueue[String]
@@ -20,24 +21,22 @@ object StreamDemo {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-stream-demo")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cfg = GraftConfig.load(args, defaults = GraftConfig.Default.copy(
+      parallelism = 4, sfDir = "/root/testdata/sf0.001", batchNum = 100))
+    val sfDir = cfg.sfDir
+    val spark = cfg.sessionBuilder("graft-stream-demo").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     // scale-path state store (bounded executor memory; state on local disk)
     streaming.StatefulOps.useRocksDbStateStore(spark)
 
     val dir = java.nio.file.Files.createTempDirectory("demo-src").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("demo-ckpt").toString
+    val ckpt = cfg.checkpointDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("demo-ckpt").toString)
     MessageSource.writeReplayCorpus(spark, sfDir, dir, nFiles = 4)
 
-    val sink = new BatchedSink(() => new RecordingTransport, batchNum = 100, batchTimeSec = 5)
+    val sink = new BatchedSink(() => new RecordingTransport,
+      batchNum = cfg.batchNum, batchTimeSec = cfg.batchTimeSec)
     val q = MsgPipeline.runFanOut(
       MessageSource.fileStream(spark, dir, maxFilesPerTrigger = 2),
       ckpt,
