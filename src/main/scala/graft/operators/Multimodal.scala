@@ -46,12 +46,20 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
+  /** ImageIO defaults to disk-backed stream caching: every read/write spins
+    * up a temp FILE, ~ms of filesystem work per image — at a few thousand
+    * images per task that dominates decode itself. All images here pass
+    * through in-memory byte arrays, so the cache buys nothing. One-time
+    * JVM-wide switch, forced on first codec use in each executor. */
+  private lazy val inMemoryStreams: Unit = ImageIO.setUseCache(false)
+
   /** Deterministic channel color for a doc: (r, g, b) from doc_id. */
   private def rgb(docId: Long): (Int, Int, Int) =
     ((docId % 256).toInt, (docId * 7 % 256).toInt, (docId * 13 % 256).toInt)
 
   /** Encode a solid-color image of the given size as PNG or BMP bytes. */
   def encodeImage(docId: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+    inMemoryStreams
     val (r, g, b) = rgb(docId)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
     val gfx = img.createGraphics()
@@ -67,6 +75,7 @@ object Multimodal {
     * (width, height, bands, per-band means). Throws on undecodable bytes —
     * a corrupt media column should fail loudly, not yield fake features. */
   def decode(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+    inMemoryStreams
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, s"undecodable media (${bytes.length} bytes)")
     val raster = img.getRaster
@@ -94,6 +103,11 @@ object Multimodal {
       .select(col("doc_id"), col("n_chars"),
         when(col("source") === "src0", "png").otherwise("bmp").as("fmt"))
       .as[(Long, Long, String)]
+      // codec work scales with cores, not input splits: `documents` arrives
+      // as one small parquet split, which would serialize every encode on a
+      // single task. The exchange carries only (id, n_chars, fmt) — the
+      // media bytes are generated after it.
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         // per-partition codec init would go here (pooled, like the
         // reference's per-sink HTTP client manager)
