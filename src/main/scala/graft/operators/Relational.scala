@@ -451,8 +451,58 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Salted skew join ([[graft.api.Skew.saltedJoin]]): the fact side's hot
+    * order keys spread over 8 salt buckets; results are provably identical
+    * to the plain equi-join, which is exactly what the oracle checks. At
+    * 100 TB this is the manual fallback for skew AQE can't split (e.g. the
+    * dim side also hot-spots after replication). */
+  val qJoinSkew: QueryDef = QueryDef.sql(
+    "q_join_skew",
+    """SELECT o.o_orderpriority,
+      |       count(*) AS n_items,
+      |       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_extendedprice"), col("l_discount"))
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.api.Skew.saltedJoin(fact, dim, key = "okey", buckets = 8)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Two-phase (salted) aggregation ([[graft.api.Skew.twoPhaseAgg]]): a hot
+    * group key reduces through 16 parallel partials before the final
+    * per-key merge; decimal partial sums keep the result bit-identical to
+    * the one-phase plan the oracle runs. */
+  val qSkewAgg: QueryDef = QueryDef.sql(
+    "q_skew_agg",
+    """SELECT l_returnflag AS key,
+      |       count(*) AS n_rows,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY key""".stripMargin) { (s, d) =>
+    graft.api.Skew.twoPhaseAgg(
+      Tables.lineitem(s, d),
+      key = col("l_returnflag"),
+      buckets = 16,
+      partial = Seq(count(lit(1)).as("c"), dsum(col("l_quantity")).as("q")),
+      finalAgg = Seq(sum(col("c")).as("n_rows"),
+        round(sum(col("q")).cast("double"), 2).as("sum_qty")))
+      .orderBy("key")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qScanLineitem, qScanPart, qJoinBroadcast, qJoinShuffle, qJoinSemi, qJoinAnti,
+    qJoinSkew, qSkewAgg,
     qAggDelay, qAggDistinct, qAggRollup, qGroupingSets, qAggApprox,
     qWindowRank, qWindowRunning,
     qTopk, qUnion, qStringDateFns, qDateTrunc, qJsonExtract, qFromJson,
