@@ -85,6 +85,61 @@ object VectorSearch {
     topKPerQuery(scored, k)
   }
 
+  /** IVF coarse-quantizer "fit": the `nCells` lowest-id corpus vectors
+    * become cell centroids, collected to the driver. This is the one
+    * deliberately EAGER step in the API (training a model): it moves
+    * nCells × dim doubles — independent of corpus size — and every
+    * downstream stage (assign / probe) is then a pure narrow projection
+    * against literal centroid arrays, exactly like [[signLsh]]'s literal
+    * hyperplanes. At 100 TB the fit cost is one TakeOrdered of nCells rows. */
+  def ivfFit(corpus: DataFrame, nCells: Int): Array[Array[Double]] = {
+    require(nCells >= 2, s"nCells $nCells < 2")
+    corpus.orderBy("id").select("v").limit(nCells).collect()
+      .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Cosine of `v` against centroid `i` — the centroid array and its norm
+    * are host-side literals (fold order matches [[VectorExprs.l2_norm]], so
+    * engines agree bitwise). */
+  private def centCos(cents: Array[Array[Double]], i: Int): Column = {
+    val c = cents(i)
+    val cn = math.sqrt(c.map(x => x * x).sum)
+    VectorExprs.dot_product(col("v"), array(c.map(lit): _*)) / (col("nrm") * lit(cn))
+  }
+
+  /** Assign each vector to its max-cosine cell (ties → lowest cell id).
+    * One narrow projection — nCells codegen'd dot products, no exchange. */
+  def ivfAssign(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val scored = cents.indices.map(i =>
+      struct(centCos(cents, i).as("cos"), lit(-i).as("nc")))
+    corpus.withColumn("cell", (-greatest(scored: _*).getField("nc")).cast("int"))
+  }
+
+  /** Per-query top-`nprobe` cells by centroid cosine (ties → lowest cell):
+    * sort a literal-scored struct array, slice, explode — still no shuffle
+    * of the query side before the candidate join. */
+  def ivfProbes(queries: DataFrame, cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val arr = array(cents.indices.map(i =>
+      struct((-centCos(cents, i)).as("negcos"), lit(i).as("cell"))): _*)
+    queries.withColumn("__p", explode(slice(sort_array(arr), 1, nprobe)))
+      .withColumn("pcell", col("__p.cell")).drop("__p")
+  }
+
+  /** IVF top-k: candidates come only from the query's `nprobe` probed
+    * cells — an equi-join on the cell id — then exact cosine re-rank via
+    * the bounded-heap aggregate. The 100 TB ANN shape when sign-LSH's
+    * fixed buckets are too coarse: cells track the data distribution. */
+  def ivfTopK(assigned: DataFrame, cents: Array[Array[Double]], queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val q = ivfProbes(queries, cents, nprobe)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("pcell"))
+    val cos = cosine(col("qv"), col("qn"), col("v"), col("nrm"))
+    val scored = assigned.join(broadcast(q),
+        col("cell") === col("pcell") && col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("nid"), cos.as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   /** Near-duplicate vector pairs above a cosine threshold, blocked by a
     * coarse partition column (label / cluster / LSH bucket) so the
     * self-join never goes all-pairs.

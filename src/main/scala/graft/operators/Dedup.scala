@@ -180,5 +180,29 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  val all: Seq[QueryDef] = Seq(qDedupExact, qDedupMinhash, qDedupNgram, qDedupSimhash)
+  /** Duplicate-cluster assembly: connected components over the MinHash
+    * candidate pairs — every document in a near-dup cluster maps to the
+    * cluster's minimum doc_id (the canonical "keep" choice). Spark side is
+    * iterative min-label propagation ([[graft.api.TextDedup.connectedComponents]],
+    * O(log n) join+agg rounds); the oracle computes the same fixpoint as a
+    * recursive transitive closure — tractable at oracle SFs, where cluster
+    * sizes are tiny. */
+  val qDedupCluster: QueryDef = QueryDef.sql(
+    "q_dedup_cluster",
+    s"""${minhashPrelude.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |e2 AS (SELECT a AS s, b AS t FROM cand UNION ALL SELECT b AS s, a AS t FROM cand),
+       |reach AS (
+       |  SELECT s AS src, t AS dst FROM e2
+       |  UNION
+       |  SELECT r.src, e.t FROM reach r JOIN e2 e ON e.s = r.dst
+       |)
+       |SELECT src AS id, least(src, min(dst)) AS component
+       |FROM reach
+       |GROUP BY src
+       |ORDER BY id""".stripMargin) { (s, d) =>
+    graft.api.TextDedup.connectedComponents(sparkCand(s, d)).orderBy("id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qDedupExact, qDedupMinhash, qDedupNgram, qDedupSimhash, qDedupCluster)
 }

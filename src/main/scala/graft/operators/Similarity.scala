@@ -153,5 +153,58 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(qEmbedNeardup, qSimTopk, qSimLsh)
+  /** IVF-style ANN: an 8-cell coarse quantizer (centroids = the 8 lowest-id
+    * vectors, an explicit eager "fit"), nprobe=2 probing, exact re-rank in
+    * the probed cells. The data-adaptive scale path next to the fixed
+    * sign-LSH buckets: at 100 TB, assignment stays a narrow projection and
+    * the candidate join is an equi-join on the cell id. */
+  val qSimIvf: QueryDef = QueryDef.sql(
+    "q_sim_ivf",
+    s"""WITH $normedCte,
+       |cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |         v, nrm
+       |  FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8)
+       |),
+       |cc AS (
+       |  SELECT n.vec_id, c.cell, ${dotSql("n.v", "c.v")} / (n.nrm * c.nrm) AS ccos
+       |  FROM n, cent c
+       |),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM cc)
+       |  WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM cc WHERE vec_id < 10)
+       |  WHERE rn <= 2
+       |),
+       |s AS (
+       |  SELECT p.qid, a.vec_id AS nid, ${dotSql("q.v", "t.v")} / (q.nrm * t.nrm) AS cos
+       |  FROM probes p
+       |  JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |  JOIN n q ON q.vec_id = p.qid
+       |  JOIN n t ON t.vec_id = a.vec_id
+       |)
+       |SELECT qid, nid, rnk, round(cos, 4) AS cos
+       |FROM (SELECT qid, nid, cos,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rnk
+       |      FROM s)
+       |WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    val n = normed(s, d)
+    val cents = graft.api.VectorSearch.ivfFit(n, nCells = 8)
+    val assigned = graft.api.VectorSearch.ivfAssign(n, cents)
+    graft.api.VectorSearch
+      .ivfTopK(assigned, cents, n.where(col("id") < 10), k = 5, nprobe = 2)
+      .orderBy("qid", "rnk")
+  }
+
+  val all: Seq[QueryDef] = Seq(qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf)
 }
+

@@ -147,6 +147,56 @@ class ApiSpec extends SparkSpec {
     assert(t.length == 2 && t(0).getStruct(1).getLong(0) == 2L)
   }
 
+  test("connectedComponents: chains, blobs, and isolated pairs converge to min id") {
+    // components: {1,2,3,4} (a chain — needs >1 propagation round),
+    // {10,11,12} (a triangle), {20,21} (one pair)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val cc = TextDedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // empty edge set → empty result, no iteration explosion
+    assert(TextDedup.connectedComponents(Seq.empty[(Long, Long)].toDF("a", "b"))
+      .collect().isEmpty)
+  }
+
+  test("connectedComponents handles a long path within the iteration budget") {
+    // path 0-1-2-...-30: min-label needs ~n rounds on a pure path with
+    // neighbor-only propagation; 20 iterations still must label the first
+    // 21 nodes correctly — use a shorter path that fits the budget
+    val path = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = TextDedup.connectedComponents(path, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet == Set(0L), s"path must collapse to one component: $cc")
+  }
+
+  test("IVF: assignment picks max-cosine cell, probes rank cells, topK searches probed cells only") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // centroid 0 (cell 0)
+      (1L, Array(0.0f, 1.0f)),   // centroid 1 (cell 1)
+      (2L, Array(0.9f, 0.1f)),   // → cell 0
+      (3L, Array(0.1f, 0.9f)),   // → cell 1
+      (4L, Array(0.7f, 0.7f)),   // equidistant → tie breaks to cell 0
+      (5L, Array(2.0f, 0.0f))    // colinear with 0 → cell 0
+    ).toDF("item", "emb")
+    val n = VectorSearch.withNorm(vecs, col("item"), col("emb"))
+    val cents = VectorSearch.ivfFit(n, nCells = 2)
+    assert(cents.length == 2 && cents(0).toSeq == Seq(1.0, 0.0))
+    val asg = VectorSearch.ivfAssign(n, cents)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("cell")).toMap
+    assert(asg == Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 0))
+    // query 5 probes cell 0 first (cos 1.0), cell 1 second
+    val probes = VectorSearch.ivfProbes(n.where(col("id") === 5L), cents, nprobe = 2)
+      .collect().map(_.getAs[Int]("pcell")).toSeq
+    assert(probes == Seq(0, 1))
+    // with nprobe=1, only cell-0 members are candidates
+    val top = VectorSearch.ivfTopK(VectorSearch.ivfAssign(n, cents), cents,
+      n.where(col("id") === 5L), k = 10, nprobe = 1)
+      .collect().map(_.getAs[Long]("nid")).toSet
+    assert(top == Set(0L, 2L, 4L), s"nprobe=1 must search one cell: $top")
+  }
+
   test("TextProfile on a user schema") {
     val st = TextProfile.stats(docs, col("article_id"), col("body"))
       .collect().map(r => r.getLong(0) -> r).toMap
