@@ -102,6 +102,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"top-k still uses a per-qid window:\n$p")
   }
 
+  test("IVF assignment is a narrow projection: no exchange, no join") {
+    import org.apache.spark.sql.functions._
+    val n = graft.api.VectorSearch.withNorm(
+      Tables.embeddings(spark, sf()), col("vec_id"), col("embedding"))
+    val cents = graft.api.VectorSearch.ivfFit(n, nCells = 4)
+    val p = planString(graft.api.VectorSearch.ivfAssign(n, cents))
+    assert(!p.contains("Exchange"), s"IVF assignment shuffles the corpus:\n$p")
+    assert(!p.contains("Join"), s"IVF assignment computed via a join:\n$p")
+    // probing is equally narrow on the query side
+    val pp = planString(graft.api.VectorSearch.ivfProbes(
+      n.where(col("id") < 3), cents, nprobe = 2))
+    assert(!pp.contains("Exchange") && !pp.contains("Join"),
+      s"IVF probe projection not narrow:\n$pp")
+  }
+
   test("dot_product expression is codegen-capable (no fallback)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
