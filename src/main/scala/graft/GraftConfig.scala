@@ -15,17 +15,26 @@ import scala.jdk.CollectionConverters._
   * default.
   *
   * Properties keys: `parallelism`, `sf_dir`, `checkpoint_dir`,
-  * `trigger_ms`, `batch_num`, `batch_time_sec`.
+  * `source_dir`, `trigger_ms`, `batch_num`, `batch_time_sec`.
   * CLI: `-c <file>` properties file, `-p <n>` parallelism override
   * (the reference's flags, `:70-77`); a bare first argument is an
   * `sf_dir` override (back-compat with `runMain graft.StreamDemo <dir>`).
   * Env: `SPARK_GRAFT_CPUS`, `SPARK_GRAFT_SF_DIR`,
-  * `SPARK_GRAFT_CHECKPOINT_DIR`, `SPARK_GRAFT_TRIGGER_MS`.
+  * `SPARK_GRAFT_CHECKPOINT_DIR`, `SPARK_GRAFT_SOURCE_DIR`,
+  * `SPARK_GRAFT_TRIGGER_MS`.
+  *
+  * `source_dir` exists because a file-stream source path is PART of the
+  * checkpoint contract: resuming a checkpoint whose source dir was a
+  * previous run's temp directory reads a nonexistent path. Jobs that
+  * configure `checkpoint_dir` for real resume should pin `source_dir`
+  * alongside it; jobs that leave the source ephemeral get a per-run
+  * namespaced checkpoint instead (see `StreamDemo`).
   */
 final case class GraftConfig(
     parallelism: Int,
     sfDir: String,
     checkpointDir: Option[String],
+    sourceDir: Option[String],
     triggerMs: Long,
     batchNum: Int,
     batchTimeSec: Long) {
@@ -48,6 +57,7 @@ object GraftConfig {
     parallelism = 8, // DataStreamProcessingJob.java:92
     sfDir = "/root/testdata/sf0.1",
     checkpointDir = None,
+    sourceDir = None,
     triggerMs = 5000L, // checkpoint pacing, DataStreamProcessingJob.java:104-105
     batchNum = 1000, // CTSDB thresholds, DataStreamProcessingJob.java:157-158
     batchTimeSec = 5L)
@@ -82,6 +92,8 @@ object GraftConfig {
       sfDir = pick(cliSfDir, "SPARK_GRAFT_SF_DIR", "sf_dir").getOrElse(defaults.sfDir),
       checkpointDir = pick(None, "SPARK_GRAFT_CHECKPOINT_DIR", "checkpoint_dir")
         .orElse(defaults.checkpointDir),
+      sourceDir = pick(None, "SPARK_GRAFT_SOURCE_DIR", "source_dir")
+        .orElse(defaults.sourceDir),
       triggerMs = pick(None, "SPARK_GRAFT_TRIGGER_MS", "trigger_ms")
         .map(_.toLong).getOrElse(defaults.triggerMs),
       batchNum = props.get("batch_num").map(_.toInt).getOrElse(defaults.batchNum),

@@ -30,10 +30,25 @@ object StreamDemo {
     // scale-path state store (bounded executor memory; state on local disk)
     streaming.StatefulOps.useRocksDbStateStore(spark)
 
-    val dir = java.nio.file.Files.createTempDirectory("demo-src").toString
-    val ckpt = cfg.checkpointDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("demo-ckpt").toString)
-    MessageSource.writeReplayCorpus(spark, sfDir, dir, nFiles = 4)
+    // A file-stream source path is part of the checkpoint contract: with a
+    // configured checkpoint_dir but an ephemeral (per-run temp) source dir,
+    // a restart would resume against the PREVIOUS run's vanished directory.
+    // So: stable source + stable checkpoint → genuine resume; ephemeral
+    // source → namespace the checkpoint under a per-run subdirectory.
+    val dir = cfg.sourceDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("demo-src").toString)
+    val ckpt = (cfg.checkpointDir, cfg.sourceDir) match {
+      case (Some(c), Some(_)) => c
+      case (Some(c), None) =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+          c, java.nio.file.Paths.get(dir).getFileName.toString)).toString
+      case (None, _) =>
+        java.nio.file.Files.createTempDirectory("demo-ckpt").toString
+    }
+    // only seed an empty source dir: a stable dir keeps its corpus so the
+    // resumed query's processed-files log still matches what's on disk
+    val existing = Option(new java.io.File(dir).listFiles()).map(_.length).getOrElse(0)
+    if (existing == 0) MessageSource.writeReplayCorpus(spark, sfDir, dir, nFiles = 4)
 
     val sink = new BatchedSink(() => new RecordingTransport,
       batchNum = cfg.batchNum, batchTimeSec = cfg.batchTimeSec)

@@ -139,22 +139,34 @@ object TextDedup {
     * reachable from the node — i.e. the canonical "keep" representative of
     * each duplicate cluster.
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbors' labels, converging
-    * in O(diameter) ≤ O(log n) rounds for near-dup graphs (clusters are
-    * tiny; the graph is a forest of dense blobs). Each round is one
-    * shuffle join + one aggregate; the DRIVER sees only the converged/not
-    * bit per round (an `isEmpty` action), never data — this is the same
-    * loop structure GraphX/production CC jobs run at 100 TB scale.
+    * Algorithm: min-label propagation with pointer jumping. Each round a
+    * node takes the min of its own label and its neighbors' labels
+    * (propagation — O(diameter) alone), then follows its label one hop
+    * through the label map (`lbl := lbl(lbl)`, path halving). The jump
+    * step halves label-chain lengths every round, so a chain of m
+    * duplicates converges in O(log m) rounds instead of O(m) — the same
+    * shortcutting idea as the large-star/small-star MapReduce CC
+    * algorithm. Labels are always node ids within the same component
+    * (neighbor-min stays in-component; the jump follows an in-component
+    * id), so at fixpoint every node carries the component's minimum id.
+    * Each round is two shuffle joins + one aggregate; the DRIVER sees
+    * only the converged/not bit per round (an `isEmpty` over the already-
+    * checkpointed frame), never data — the loop structure production CC
+    * jobs run at 100 TB scale.
+    *
+    * Throws `IllegalStateException` if the budget is exhausted before the
+    * fixpoint: non-converged labels would silently split one duplicate
+    * cluster into several "canonical" ids downstream — wrong keep-lists —
+    * so running out of rounds must be loud, never a return value.
     *
     * The edge list is persisted for the duration (every round joins it),
     * and each round's labels are `localCheckpoint`ed: the round's plan
-    * references the previous labels twice (directly + inside the neighbor
-    * aggregate), so without truncating lineage the LOGICAL plan doubles
-    * per round — exponential analysis/explain cost by round ~15 even
-    * though the persisted data is tiny. Checkpointing makes every round's
-    * plan O(1). (On a cluster with lost-executor concerns, swap for
-    * `checkpoint()` to reliable storage — same shape.) */
+    * references the previous labels three times (join + neighbor
+    * aggregate + jump), so without truncating lineage the LOGICAL plan
+    * grows geometrically — exponential analysis/explain cost by round
+    * ~15 even though the persisted data is tiny. Checkpointing makes
+    * every round's plan O(1). (On a cluster with lost-executor concerns,
+    * swap for `checkpoint()` to reliable storage — same shape.) */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
@@ -167,18 +179,29 @@ object TextDedup {
     while (!converged && it < maxIter) {
       val nbrMin = sym.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nlbl"))
-      val next = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val stepped = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // pointer jump (path halving) through the PREVIOUS round's label map:
+      // lbl := min(lbl, labels(lbl)). A stale pointer still doubles the
+      // covered distance per round (on a chain, d' = 2d+1), keeping the
+      // loop O(log m) — and joining the checkpointed `labels` instead of
+      // `stepped` avoids evaluating the neighbor aggregate twice.
+      val next = stepped.as("s")
+        .join(labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
+          col("s.lbl") === col("jid"), "left")
+        .select(col("s.id").as("id"), col("prev"),
+          least(col("s.lbl"), coalesce(col("jlbl"), col("s.lbl"))).as("lbl"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.select(col("id").as("oid"), col("lbl").as("olbl")),
-          col("id") === col("oid"))
-        .where(col("n.lbl") =!= col("olbl"))
-        .isEmpty
-      labels = next
+      converged = next.where(col("lbl") =!= col("prev")).isEmpty
+      labels = next.select("id", "lbl")
       it += 1
     }
     sym.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — a duplicate " +
+        "cluster has diameter larger than the budget; raise maxIter " +
+        "(rounds needed grow with log(max chain length), not corpus size)")
     labels.select(col("id"), col("lbl").as("component"))
   }
 

@@ -115,8 +115,16 @@ final class MsgMicroBatchStream(
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
   /** Advance each partition toward the broker end, capped proportionally to
-    * availability when the limit is `maxRows` (always making progress on any
-    * non-empty partition so a tiny cap cannot starve one partition). */
+    * availability when the limit is `maxRows`. The allocation walks the
+    * partitions (sorted, deterministic) with a running remainder, so the
+    * batch NEVER exceeds the cap — a per-partition `max(1, share)` bump
+    * without the remainder could overshoot by numPartitions-1 rows. The
+    * proportional share is computed in BigInt because `avail * cap` can
+    * overflow Long for a deep backlog combined with a large cap (which
+    * would produce a negative take and a malformed offset). If the cap is
+    * smaller than the number of backlogged partitions, trailing partitions
+    * get 0 this trigger; they drain on subsequent triggers as earlier
+    * partitions' backlogs shrink toward their (smaller) shares. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[MsgOffset].seqs
     val ends = broker.endOffsets
@@ -128,9 +136,13 @@ final class MsgMicroBatchStream(
     }
     if (total <= cap) MsgOffset(ends)
     else {
-      val takes = avail.map { case (p, a) =>
-        p -> (if (a == 0) 0L else math.max(1L, a * cap / total))
-      }
+      var remaining = math.max(0L, cap)
+      val takes = avail.toSeq.sortBy(_._1).map { case (p, a) =>
+        val share = if (a == 0) 0L else math.max(1L, (BigInt(a) * cap / total).toLong)
+        val take = math.min(math.min(share, a), remaining)
+        remaining -= take
+        p -> take
+      }.toMap
       MsgOffset(ends.map { case (p, _) =>
         p -> (from.getOrElse(p, 0L) + takes(p))
       })

@@ -161,14 +161,26 @@ class ApiSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
-  test("connectedComponents handles a long path within the iteration budget") {
-    // path 0-1-2-...-30: min-label needs ~n rounds on a pure path with
-    // neighbor-only propagation; 20 iterations still must label the first
-    // 21 nodes correctly — use a shorter path that fits the budget
-    val path = (0L until 15L).map(i => (i, i + 1)).toDF("a", "b")
-    val cc = TextDedup.connectedComponents(path, maxIter = 20)
+  test("connectedComponents collapses a 200-node path in a logarithmic budget") {
+    // path 0-1-2-...-200: neighbor-only min-label would need ~200 rounds;
+    // pointer jumping covers distance d' = 2d+1 per round, so 12 rounds
+    // (2^12 > 200 with slack) must fully collapse it — this pins the
+    // O(log diameter) claim, not just eventual correctness
+    val path = (0L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = TextDedup.connectedComponents(path, maxIter = 12)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc.values.toSet == Set(0L), s"path must collapse to one component: $cc")
+    assert(cc.size == 201 && cc.values.toSet == Set(0L),
+      s"path must collapse to one component: ${cc.filterNot(_._2 == 0L)}")
+  }
+
+  test("connectedComponents throws instead of returning non-converged labels") {
+    // budget exhausted before the fixpoint: silent split labels would
+    // poison downstream keep-lists, so the loop must fail loudly
+    val path = (0L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      TextDedup.connectedComponents(path, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("IVF: assignment picks max-cosine cell, probes rank cells, topK searches probed cells only") {

@@ -181,6 +181,34 @@ class BrokerSourceSpec extends SparkSpec {
 
     assert(batchSizes.sum == 40)
     assert(batchSizes.size >= 4, s"cap of 10 over 40 msgs needs >= 4 batches, got $batchSizes")
-    assert(batchSizes.forall(_ <= 12), s"each batch near the cap: $batchSizes")
+    assert(batchSizes.forall(_ <= 10), s"the cap is a hard bound per batch: $batchSizes")
+  }
+
+  test("admission control never exceeds the cap and is overflow-safe") {
+    import graft.sources.MsgMicroBatchStream
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+    // cap smaller than the number of backlogged partitions: the old
+    // max(1, share)-per-partition scheme would take 6 rows for cap=4
+    val b = MsgBroker.create("adm", numPartitions = 6)
+    (0 until 30).foreach(i => b.publishTo(i % 6, mk("session", 1L + i, s"a$i\n")))
+    val stream = new MsgMicroBatchStream("adm", ackRetries = 0, ackBackoffMs = 0L,
+      maxPerTrigger = Some(4L))
+    val start = MsgOffset(b.earliestOffsets)
+    val end = stream.latestOffset(start, ReadLimit.maxRows(4L))
+      .asInstanceOf[MsgOffset]
+    val takes = end.seqs.map { case (p, s) => s - start.seqs(p) }
+    assert(takes.forall(_ >= 0L), s"no negative take: $takes")
+    assert(takes.sum == 4L, s"cap is a hard bound (and fully used): $takes")
+
+    // overflow guard: a checkpointed start offset far behind the end (deep
+    // backlog) times a large cap overflows Long in `avail * cap`; the
+    // BigInt share must keep every take non-negative and within the cap
+    val deep = MsgOffset(Map(0 -> -(1L << 60), 1 -> 0L, 2 -> 0L, 3 -> 0L, 4 -> 0L, 5 -> 0L))
+    val cap = 1L << 40
+    val end2 = stream.latestOffset(deep, ReadLimit.maxRows(cap)).asInstanceOf[MsgOffset]
+    val takes2 = end2.seqs.map { case (p, s) => s - deep.seqs(p) }
+    assert(takes2.forall(_ >= 0L), s"overflow produced a negative take: $takes2")
+    assert(takes2.sum <= cap, s"overflow broke the cap: $takes2")
   }
 }

@@ -26,12 +26,23 @@ class GraftConfigSpec extends AnyFunSuite {
       """parallelism=16
         |sf_dir=/data/sf1
         |checkpoint_dir=/ckpt
+        |source_dir=/src-corpus
         |trigger_ms=2500
         |batch_num=200
         |batch_time_sec=9
         |""".stripMargin)
     val c = GraftConfig.load(Array("-c", f), env = Map.empty)
-    assert(c == GraftConfig(16, "/data/sf1", Some("/ckpt"), 2500L, 200, 9L))
+    assert(c == GraftConfig(16, "/data/sf1", Some("/ckpt"), Some("/src-corpus"), 2500L, 200, 9L))
+  }
+
+  test("source_dir layers like checkpoint_dir (env over props)") {
+    val f = propsFile("source_dir=/from/props\n")
+    assert(GraftConfig.load(Array("-c", f), env = Map.empty)
+      .sourceDir.contains("/from/props"))
+    assert(GraftConfig.load(Array("-c", f),
+        env = Map("SPARK_GRAFT_SOURCE_DIR" -> "/from/env"))
+      .sourceDir.contains("/from/env"))
+    assert(GraftConfig.load(Array.empty, env = Map.empty).sourceDir.isEmpty)
   }
 
   test("precedence: CLI -p beats env beats properties (reference :94-96)") {
