@@ -43,6 +43,22 @@ object TextProfile {
       .groupBy("word")
       .agg(count(lit(1)).as("tf"), countDistinct(col("id")).as("df"))
 
+  /** Per-(doc, word) tf-idf: `tf · ln(N/df)`. Shuffle budget: one map-side-
+    * combined groupBy on (id, word); document frequency is derived from the
+    * tf frame (already one row per (doc, word) — far smaller than the raw
+    * token stream), and the corpus size joins in as a broadcast scalar, so
+    * nothing rescans or reshuffles the documents. */
+  def tfidf(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tf = df.select(id.as("id"), explode(split(text, " ")).as("word"))
+      .groupBy("id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("word"), col("tf"), col("df"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+  }
+
   /** Order-sensitive rolling-hash fingerprint per document. */
   def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(

@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Analytic extensions beyond the relational spine (SURVEY.md §2.B):
+  * pivot, cube, exact percentiles, deterministic stratified sampling, and
+  * time-series gap-filling — the reporting/curation operators a user of a
+  * general engine reaches for next.
+  *
+  * Scale notes:
+  *   - [[qPivot]] passes the pivot values EXPLICITLY: `pivot(col)` without
+  *     values runs an eager distinct-collect job over the fact table at
+  *     plan time — at 100 TB that is a full extra pass before the query
+  *     even starts;
+  *   - [[qAggCube]]/cube expands each input row into 2^k grouping
+  *     combinations BEFORE the shuffle but the aggregate stays map-side
+  *     combined, so the shuffle carries (groups × 2^k) partial rows, not
+  *     data rows;
+  *   - [[qPercentiles]] uses exact `percentile` (sort-based within group;
+  *     only 3 groups here). For high-cardinality groups at 100 TB the
+  *     approx sketch (`q_agg_approx`) is the scale path — both are
+  *     declared, the choice is the caller's accuracy/cost tradeoff;
+  *   - [[qSampleStratified]] is a narrow deterministic predicate
+  *     ([[graft.api.Sampling]]) — no shuffle, replay-safe, pushed to the
+  *     scan;
+  *   - [[qGapfill]] builds the dense grid from per-series spans via
+  *     `sequence`+`explode` — grid size ∝ series × slots, never a
+  *     cross-join of the fact table.
+  */
+object Analytic {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,6)"))
+
+  private val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val PrioCols =
+    Seq("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
+
+  /** Pivot: order counts by status × priority. Values are explicit (no
+    * plan-time distinct scan); sanitized column names keep both engines'
+    * identifier rules out of the comparison. */
+  val qPivot: QueryDef = QueryDef.sql(
+    "q_pivot",
+    s"""SELECT o_orderstatus AS status,
+       |${Priorities.zip(PrioCols).map { case (v, c) =>
+             s"       count(*) FILTER (WHERE o_orderpriority = '$v') AS $c" }
+           .mkString(",\n")}
+       |FROM orders
+       |GROUP BY o_orderstatus
+       |ORDER BY status""".stripMargin) { (s, d) =>
+    val pivoted = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("status"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+    val renamed = Priorities.zip(PrioCols).foldLeft(pivoted) {
+      case (df, (v, c)) => df.withColumnRenamed(v, c)
+    }
+    // a (status, priority) combo with zero rows pivots to null; count
+    // semantics (and the oracle's FILTER form) want 0
+    renamed.select(col("status") +:
+        PrioCols.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+      .orderBy("status")
+  }
+
+  /** CUBE over (returnflag, linestatus): all 2^2 grouping combinations in
+    * one pass. Same coalesce convention as q_agg_rollup (no real nulls in
+    * the grouping columns). */
+  val qAggCube: QueryDef = QueryDef.sql(
+    "q_agg_cube",
+    """SELECT coalesce(l_returnflag, '<all>') AS rflag,
+      |       coalesce(l_linestatus, '<all>') AS lstatus,
+      |       count(*) AS cnt,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rflag, lstatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(dsum(col("l_quantity")).cast("double"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("rflag", "lstatus")
+  }
+
+  /** Exact percentiles (p25/p50/p75 linear interpolation) per return flag.
+    * Only dyadic fractions are declared: their interpolation weights are
+    * exact powers of two, so `lo + (hi-lo)·f` and `(1-f)·lo + f·hi` agree
+    * bit-for-bit and the engines' differing formulations can't diverge. */
+  val qPercentiles: QueryDef = QueryDef.sql(
+    "q_percentiles",
+    """SELECT l_returnflag,
+      |       count(*) AS n,
+      |       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+      |       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      |       round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+      |       round(min(l_quantity), 4) AS qmin,
+      |       round(max(l_quantity), 4) AS qmax
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("l_quantity"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 4).as("p75"),
+        round(min(col("l_quantity")), 4).as("qmin"),
+        round(max(col("l_quantity")), 4).as("qmax"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Deterministic stratified sample of lineitem: per-flag Bernoulli rates
+    * (A 10%, N 5%, R 25%) decided by an md5-derived bucket of the unique
+    * row key ([[graft.api.Sampling]]) — replay-safe, engine-reproducible,
+    * no shuffle. One pass computes totals and sampled aggregates. */
+  val qSampleStratified: QueryDef = QueryDef.sql(
+    "q_sample_stratified",
+    s"""WITH k AS (
+       |  SELECT l_returnflag, l_quantity,
+       |         ${graft.functions.CrossHash.md5LongSql(
+                    "concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber)")} % 1000 AS bkt,
+       |         CASE l_returnflag WHEN 'A' THEN 100 WHEN 'N' THEN 50 ELSE 250 END AS rate
+       |  FROM lineitem
+       |)
+       |SELECT l_returnflag,
+       |       count(*) AS n_total,
+       |       count(*) FILTER (WHERE bkt < rate) AS n_sampled,
+       |       round(CAST(count(*) FILTER (WHERE bkt < rate) AS DOUBLE) / count(*), 4) AS frac,
+       |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE bkt < rate) AS DOUBLE), 2) AS sampled_qty
+       |FROM k
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val rate = when(col("l_returnflag") === "A", 100)
+      .when(col("l_returnflag") === "N", 50).otherwise(250)
+    val kept = graft.api.Sampling.bucket(1000,
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber")) < rate
+    li.select(col("l_returnflag"), col("l_quantity"), kept.as("kept"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("kept"), 1)).as("n_sampled"),
+        round(count(when(col("kept"), 1)).cast("double") / count(lit(1)), 4).as("frac"),
+        round(dsum(when(col("kept"), col("l_quantity"))).cast("double"), 2).as("sampled_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Time-series gap-fill: sparse per-hour aggregates densified onto each
+    * series' full hour grid — zero-fill for counts, last-observation-
+    * carried-forward for the value column (`last(..., ignoreNulls)` over
+    * an ordered window; the grid starts at each series' first observed
+    * hour, so LOCF never sees a leading null). */
+  val qGapfill: QueryDef = QueryDef.sql(
+    "q_gapfill",
+    """WITH f AS (
+      |  SELECT event_type, ts, value FROM events
+      |  WHERE event_type IN ('purchase', 'error') AND value > 200
+      |),
+      |h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+      |         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+      |  FROM f GROUP BY 1, 2
+      |),
+      |span AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM h GROUP BY 1),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM span
+      |)
+      |SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:00') AS hour,
+      |       coalesce(n, 0) AS n,
+      |       last_value(sum_v IGNORE NULLS) OVER (
+      |         PARTITION BY g.event_type ORDER BY g.h
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum_v
+      |FROM grid g
+      |LEFT JOIN h ON h.event_type = g.event_type AND h.h = g.h
+      |ORDER BY g.event_type, hour""".stripMargin) { (s, d) =>
+    val f = Tables.events(s, d)
+      .where(col("event_type").isin("purchase", "error") && col("value") > 200)
+    val hourly = f
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        round(dsum(col("value")).cast("double"), 4).as("sum_v"))
+    val grid = hourly
+      .groupBy("event_type").agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(
+        col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sum_v"), ignoreNulls = true).over(w).as("locf_sum_v"))
+      .orderBy("event_type", "hour")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qPivot, qAggCube, qPercentiles, qSampleStratified, qGapfill)
+}

@@ -413,15 +413,20 @@ object Relational {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY status, priority""".stripMargin) { (s, d) =>
-    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
-    s.sql(
-      """SELECT coalesce(o_orderstatus, '<all>') AS status,
-        |       coalesce(o_orderpriority, '<all>') AS priority,
-        |       count(*) AS cnt,
-        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total
-        |FROM orders_gs
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY status, priority""".stripMargin)
+    // native Dataset.groupingSets (Spark 4) — same Column-API style as the
+    // rest of the suite, no temp view / SQL string detour
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(dsum(col("o_totalprice")).cast("double"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        col("cnt"), col("total"))
+      .orderBy("status", "priority")
   }
 
   /** Sketch aggregates (HLL distinct, t-digest percentiles): the scale path

@@ -205,6 +205,35 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf)
+  /** Per-label centroids — the k-means/IVF training step as a declared
+    * operator (the IVF query's coarse quantizer is the trivially-
+    * deterministic "first 8 vectors" fit; this is the data-adaptive one).
+    * posexplode shuffles (label, dim, x) — 8-byte keyed doubles, map-side
+    * combined — never whole vectors; DECIMAL partial sums keep each
+    * centroid component independent of partition order. */
+  val qEmbedCentroids: QueryDef = QueryDef.sql(
+    "q_embed_centroids",
+    s"""WITH $normedCte,
+       |g AS (SELECT unnest(range(0, 64)) AS dim)
+       |SELECT label, CAST(dim AS INTEGER) AS dim,
+       |       count(*) AS n_vecs,
+       |       round(CAST(sum(CAST(v[dim + 1] AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) + 0.0 AS c
+       |FROM n, g
+       |GROUP BY label, dim
+       |ORDER BY label, dim""".stripMargin) { (s, d) =>
+    normed(s, d)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        // + 0.0 canonicalizes IEEE -0.0 (a centroid component can round to
+        // negative zero, which hashes differently from 0.0)
+        (round(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4) + 0.0).as("c"))
+      .select(col("label"), col("dim").cast("int").as("dim"), col("n_vecs"), col("c"))
+      .orderBy("label", "dim")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qEmbedCentroids)
 }
 

@@ -117,5 +117,72 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(qTextStats, qLangId, qTextTf, qTextFingerprint)
+  /** tf-idf term weighting: top 100 (doc, term) pairs corpus-wide. The
+    * idf uses real `ln` — Java's and DuckDB's `log` agree bit-for-bit on
+    * these rationals (both correctly-rounded IEEE doubles), pinned by the
+    * oracle hash-match. Ordering is on the ROUNDED score with (doc_id,
+    * word) tie-breaks, so the comparison can't hinge on sub-round ulps. */
+  val qTextTfidf: QueryDef = QueryDef.sql(
+    "q_text_tfidf",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, word, tf, df,
+      |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+      |FROM tf JOIN dfreq USING (word) CROSS JOIN n
+      |ORDER BY tfidf DESC, doc_id, word
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    graft.api.TextProfile
+      .tfidf(Tables.documents(s, d), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("tfidf"), 4).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("word"))
+      .limit(100)
+  }
+
+  /** Training-corpus quality gate: per-doc keep/drop decision with the
+    * first failing rule as the reason — the curation filter a data
+    * pipeline runs before dedup. Pure per-row arithmetic; the predicate
+    * thresholds compare UNROUNDED ratios (identical doubles in both
+    * engines), rounding only at the output boundary. */
+  val qQualityFilter: QueryDef = QueryDef.sql(
+    "q_quality_filter",
+    s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       |st AS (
+       |  SELECT doc_id,
+       |         CAST(len(w) AS INTEGER) AS n_tokens,
+       |         CAST(len(list_filter(w, x -> list_contains($stopListSql, x))) AS DOUBLE) / len(w) AS stop_r,
+       |         CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr
+       |  FROM tok
+       |)
+       |SELECT doc_id, n_tokens,
+       |       round(stop_r, 4) AS stop_ratio,
+       |       round(ttr, 4) AS ttr,
+       |       (n_tokens >= 20 AND stop_r >= 0.02 AND ttr >= 0.4 AND ttr <= 0.9) AS keep,
+       |       CASE WHEN n_tokens < 20 THEN 'too_short'
+       |            WHEN stop_r < 0.02 THEN 'low_stopword'
+       |            WHEN ttr < 0.4 THEN 'repetitive'
+       |            WHEN ttr > 0.9 THEN 'near_unique'
+       |            ELSE 'ok' END AS reason
+       |FROM st
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.api.TextProfile
+      .stats(Tables.documents(s, d), col("doc_id"), col("text"), Stopwords)
+      .select(
+        col("id").as("doc_id"), col("n_tokens"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        round(col("ttr"), 4).as("ttr"),
+        (col("n_tokens") >= 20 && col("stop_ratio") >= 0.02 &&
+          col("ttr") >= 0.4 && col("ttr") <= 0.9).as("keep"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("stop_ratio") < 0.02, "low_stopword")
+          .when(col("ttr") < 0.4, "repetitive")
+          .when(col("ttr") > 0.9, "near_unique")
+          .otherwise("ok").as("reason"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qTextStats, qLangId, qTextTf, qTextFingerprint, qTextTfidf, qQualityFilter)
 }
