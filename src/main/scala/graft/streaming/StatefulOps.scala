@@ -58,6 +58,26 @@ object StatefulOps {
         col("session_window.end").as("sess_end"),
         col("n_events"))
 
+  /** Watermarked stream-stream interval join: right rows matching on
+    * `keyCond` within `[leftTs, leftTs + within]`. BOTH sides carry
+    * watermarks and the join condition bounds event-time distance — that
+    * pair is what lets Spark evict buffered rows once the watermark passes
+    * the interval. Without it a stream-stream join buffers both streams
+    * forever, which no 100 TB stream survives; with it, state is
+    * O(rate × (watermark + within)). Inner join, append output. */
+  def intervalJoin(
+      left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      keyCond: org.apache.spark.sql.Column,
+      within: String = "5 seconds",
+      watermark: String = "10 seconds"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(
+        right.withWatermark(rightTs, watermark),
+        keyCond &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"interval $within"))
+
   /** Custom state machine: assemble sessions with a 30s quiet-gap timeout.
     * Demonstrates arbitrary per-key state where `session_window` semantics
     * are not enough (e.g. emitting mid-session checkpoints). */

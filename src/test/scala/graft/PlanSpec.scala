@@ -117,6 +117,63 @@ class PlanSpec extends SparkSpec {
       s"IVF probe projection not narrow:\n$pp")
   }
 
+  test("bucketed tables sort-merge join with no exchange (co-located join)") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB co-location story: both fact tables bucketed on the join
+    // key at write time -> the recurring join runs with ZERO shuffles
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    Tables.orders(spark, sf()).write
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").mode("overwrite").saveAsTable("orders_b")
+    Tables.lineitem(spark, sf()).write
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").mode("overwrite").saveAsTable("lineitem_b")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("l_quantity"))
+      val p = planString(j)
+      assert(p.contains("SortMergeJoin"), s"expected sort-merge join:\n$p")
+      assert(!"""Exchange""".r.findAllIn(p.split("== Initial Plan ==").head).hasNext,
+        s"bucketed join still shuffles:\n$p")
+      assert(j.count() ==
+        Tables.lineitem(spark, sf()).join(Tables.orders(spark, sf()),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("partitioned write + partition pruning: non-matching partitions never read") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    Tables.events(spark, sf())
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    // no aggregate: keep the plan exchange-free so the scan is a direct
+    // leaf (AQE would wrap it in a query stage behind a shuffle)
+    val df = spark.read.parquet(dir)
+      .where(col("day") === "2024-01-05")
+      .select("event_id", "event_type", "day")
+    val p = planString(df)
+    // the filter lands in PartitionFilters (directory-level pruning), so
+    // the scan touches only the one matching partition's files
+    assert("""PartitionFilters: \[[^\]]*day[^\]]*2024-01-05""".r.findAllIn(p).nonEmpty,
+      s"day filter not applied at partition level:\n$p")
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scanned = finalPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.contains(1), s"expected exactly 1 partition scanned, got $scanned")
+  }
+
   test("dot_product expression is codegen-capable (no fallback)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -86,6 +86,39 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").select("payload").as[String].collect().sorted.toSeq == Seq("a", "b"))
   }
 
+  test("stream-stream interval join matches in-window rows, bounded state") {
+    val orders = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val ships = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val l = orders.toDF().toDF("lts", "k", "order_v")
+    val r = ships.toDF().toDF("rts", "k2", "ship_v")
+    val joined = StatefulOps.intervalJoin(
+        l, "lts", r, "rts", org.apache.spark.sql.functions.col("k") ===
+          org.apache.spark.sql.functions.col("k2"),
+        within = "5 seconds", watermark = "10 seconds")
+      .select("k", "order_v", "ship_v")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    orders.addData((ts(100), 1L, "o1"), (ts(200), 2L, "o2"))
+    ships.addData(
+      (ts(103), 1L, "s1"),  // within [100, 105] → match
+      (ts(108), 1L, "s1b"), // past the 5s interval → no match
+      (ts(199), 2L, "s2"))  // before the order   → no match
+    q.processAllAvailable()
+    // advance both watermarks so in-window results emit and state evicts
+    // (distinct keys — the sentinels must not join each other)
+    orders.addData((ts(1000), 8L, "late"))
+    ships.addData((ts(1000), 9L, "late"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssjoin")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "o1", "s1")),
+      s"interval join matched the wrong rows: $rows")
+  }
+
   test("session assembly via flatMapGroupsWithState emits on quiet gap") {
     val input = MemoryStream[SessionEvent](spark)
     val q = StatefulOps.assembleSessions(spark, input.toDS(), gapMs = 30000)
