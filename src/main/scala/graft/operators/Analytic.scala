@@ -203,6 +203,32 @@ object Analytic {
       .orderBy("event_type", "hour")
   }
 
+  /** Distribution window functions: ntile buckets, percent_rank, cume_dist
+    * per priority over the price order. The window ORDER BY includes the
+    * unique key so rank-derived values are tie-free and deterministic.
+    * One exchange on the partition key — same plan class as q_window_rank. */
+  val qWindowDist: QueryDef = QueryDef.sql(
+    "q_window_dist",
+    """SELECT o_orderkey, o_orderpriority,
+      |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |       round(percent_rank() OVER w, 4) AS pct_rank,
+      |       round(cume_dist() OVER w, 4) AS cume
+      |FROM orders
+      |WHERE o_orderkey % 20 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .where(col("o_orderkey") % 20 === 0)
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qPivot, qAggCube, qPercentiles, qSampleStratified, qGapfill)
+    qPivot, qAggCube, qPercentiles, qSampleStratified, qGapfill, qWindowDist)
 }

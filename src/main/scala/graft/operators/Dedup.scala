@@ -203,6 +203,31 @@ object Dedup {
     graft.api.TextDedup.connectedComponents(sparkCand(s, d)).orderBy("id")
   }
 
+  /** Edit-distance verification over LSH candidates: exact Levenshtein as
+    * the strictest verify stage (character-level, order-sensitive — catches
+    * what set-based Jaccard can't, e.g. word reorders). O(len²) per pair,
+    * so it runs ONLY on candidate pairs — never all-pairs: at 100 TB the
+    * cost is ∝ LSH candidates, same contract as [[qDedupNgram]]. */
+  val qDedupEditdist: QueryDef = QueryDef.sql(
+    "q_dedup_editdist",
+    s"""$minhashPrelude
+       |SELECT c.a, c.b, CAST(levenshtein(x.text, y.text) AS INTEGER) AS dist
+       |FROM cand c
+       |JOIN corpus x ON x.doc_id = c.a
+       |JOIN corpus y ON y.doc_id = c.b
+       |WHERE levenshtein(x.text, y.text) <= 60
+       |ORDER BY a, b""".stripMargin) { (s, d) =>
+    val corpus = Corpora.dedupCorpus(s, d)
+    sparkCand(s, d)
+      .join(corpus.select(col("doc_id").as("ida"), col("text").as("ta")), col("ida") === col("a"))
+      .join(corpus.select(col("doc_id").as("idb"), col("text").as("tb")), col("idb") === col("b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .where(col("dist") <= 60)
+      .select(col("a"), col("b"), col("dist").cast("int").as("dist"))
+      .orderBy("a", "b")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qDedupMinhash, qDedupNgram, qDedupSimhash, qDedupCluster)
+    qDedupExact, qDedupMinhash, qDedupNgram, qDedupSimhash, qDedupCluster,
+    qDedupEditdist)
 }

@@ -209,6 +209,38 @@ class ApiSpec extends SparkSpec {
     assert(top == Set(0L, 2L, 4L), s"nprobe=1 must search one cell: $top")
   }
 
+  test("Sampling: deterministic decisions, per-stratum rates in binomial bounds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val rate = when(col("lang") === "en", 100).otherwise(500)
+    def run() = graft.api.Sampling.stratified(df, rate, 1000, col("id"))
+      .collect().map(_.getLong(0)).toSet
+    val s1 = run()
+    // replay-safety: the decision is a pure function of the key, so a
+    // second evaluation (≈ a retried task) keeps exactly the same rows
+    assert(s1 == run())
+    val en = s1.count(_ % 2 == 0)
+    val de = s1.count(_ % 2 != 0)
+    assert(en > 50 && en < 200, s"en stratum at 10% of 1000 sampled $en")
+    assert(de > 380 && de < 620, s"de stratum at 50% of 1000 sampled $de")
+  }
+
+  test("tfidf: corpus-wide words weigh zero, rare words weigh most") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common rare common"), (2L, "common mid"), (3L, "common mid x")
+    ).toDF("doc", "body")
+    val out = graft.api.TextProfile.tfidf(docs, col("doc"), col("body"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(out((1L, "common")) == 0.0, "df == N must weigh ln(1) = 0")
+    assert(out((1L, "rare")) > out((2L, "mid")), "df=1 must outweigh df=2")
+    // Spark's log expression evaluates via StrictMath.log (can differ from
+    // Math.log by 1 ulp); query outputs round to 4 dp, which absorbs it
+    assert(out((1L, "rare")) == StrictMath.log(3.0), "tf=1 · ln(3/1)")
+  }
+
   test("TextProfile on a user schema") {
     val st = TextProfile.stats(docs, col("article_id"), col("body"))
       .collect().map(r => r.getLong(0) -> r).toMap

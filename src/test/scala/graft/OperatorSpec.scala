@@ -94,6 +94,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("gapfill: dense contiguous hour grid per series, LOCF never null") {
+    val rows = operators.Analytic.qGapfill.fn(spark, sf()).collect()
+    val byType = rows.groupBy(_.getString(0))
+    assert(byType.keySet == Set("purchase", "error"))
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:00")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    byType.foreach { case (t, rs) =>
+      val hours = rs.map(r => fmt.parse(r.getString(1)).getTime)
+      // contiguous: every consecutive grid step is exactly one hour
+      assert(hours.sliding(2).forall { case Array(a, b) => b - a == 3600000L },
+        s"$t grid has holes")
+      // genuinely sparse input: the grid must contain filled zeros
+      assert(rs.exists(_.getLong(2) == 0L), s"$t has no gap to fill")
+      // LOCF: first row is an observation, then never null
+      assert(rs.forall(!_.isNullAt(3)), s"$t locf produced nulls")
+    }
+  }
+
   test("frame sampling covers the byte range in order") {
     val bytes = (0 until 100).map(_.toByte).toArray
     val frames = Multimodal.frameSample(bytes, 4)
