@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** A parsed session event flowing through the stateful operators. */
 final case class SessionEvent(user: String, event_time: java.sql.Timestamp, payload: String)
@@ -108,5 +108,61 @@ object StatefulOps {
             Iterator.empty
           }
       }
+  }
+
+  /** The same session assembly on Spark 4's `transformWithState` — the
+    * successor stateful API: typed per-key state handles (`ValueState`)
+    * instead of one opaque state object, explicit event-time timers
+    * instead of a single timeout slot, and a RocksDB-only state backend
+    * (call [[useRocksDbStateStore]] before starting the query). Semantics
+    * are identical to [[assembleSessions]]; both are declared so a caller
+    * can migrate per-query. */
+  def assembleSessionsTws(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gapMs: Long = 30000): Dataset[SessionSummary] = {
+    import spark.implicits._
+    events
+      .withWatermark("event_time", "1 minute")
+      .groupByKey(_.user)
+      .transformWithState(
+        new SessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+  }
+}
+
+/** `transformWithState` session state machine: one `ValueState` per user,
+  * one event-time timer armed at last-event + gap; a newer event re-arms
+  * the timer (deleting the stale one), and expiry emits the summary and
+  * clears the state — so state size is O(active sessions). */
+private final class SessionProcessor(gapMs: Long)
+  extends StatefulProcessor[String, SessionEvent, SessionSummary] {
+
+  @transient private var sess: ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[SessionState](
+      "sess", Encoders.product[SessionState], TTLConfig.NONE)
+
+  override def handleInputRows(user: String, rows: Iterator[SessionEvent],
+      timers: TimerValues): Iterator[SessionSummary] = {
+    val ts = rows.map(_.event_time.getTime).toSeq
+    val prev =
+      if (sess.exists()) sess.get()
+      else SessionState(0, Long.MaxValue, Long.MinValue)
+    if (prev.n > 0) getHandle.deleteTimer(prev.endMs + gapMs)
+    val next = SessionState(
+      prev.n + ts.size,
+      math.min(prev.startMs, ts.min),
+      math.max(prev.endMs, ts.max))
+    sess.update(next)
+    getHandle.registerTimer(next.endMs + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(user: String, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[SessionSummary] = {
+    val s = sess.get()
+    sess.clear()
+    Iterator(SessionSummary(user, s.n, s.startMs, s.endMs, s.endMs - s.startMs))
   }
 }

@@ -142,6 +142,35 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains("u2") && out("u2").n_events == 1)
   }
 
+  test("transformWithState session assembly matches fMGWS semantics (Spark 4 API)") {
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StatefulOps.useRocksDbStateStore(spark)
+    try {
+      val input = MemoryStream[SessionEvent](spark)
+      val q = StatefulOps.assembleSessionsTws(spark, input.toDS(), gapMs = 30000)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_sessions").start()
+      def ev(user: String, sec: Long) =
+        SessionEvent(user, new java.sql.Timestamp(sec * 1000), "p")
+      input.addData(ev("u1", 100), ev("u1", 110), ev("u2", 105))
+      q.processAllAvailable()
+      input.addData(ev("u3", 1000)) // watermark past u1/u2 timers
+      q.processAllAvailable()
+      input.addData(ev("u3", 2000))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("tws_sessions").as[SessionSummary].collect()
+        .map(s => s.user -> s).toMap
+      assert(out.contains("u1") && out("u1").n_events == 2 &&
+        out("u1").duration_ms == 10000)
+      assert(out.contains("u2") && out("u2").n_events == 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("sink failure fails the batch; restart redelivers it (no loss)") {
     val input = MemoryStream[String](spark)
     val ckpt = Files.createTempDirectory("ckpt-retry").toString
