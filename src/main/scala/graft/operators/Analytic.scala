@@ -229,6 +229,58 @@ object Analytic {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** Correlation / covariance / stddev from exact decimal moments: ONE
+    * map-side-combined aggregation collects (n, Σx, Σy, Σxy, Σx², Σy²)
+    * through DECIMAL partial sums — exact, partition-order independent —
+    * then the closed-form statistics evaluate in double on the driver-side
+    * of the aggregate. The builtin `corr`/`covar_samp` use streaming
+    * co-moment accumulation whose float result depends on merge order (not
+    * reproducible across partitionings, let alone engines); the moment
+    * formulation is the 100 TB-deterministic shape and shuffles 6 numbers
+    * per group. */
+  val qCorrStats: QueryDef = QueryDef.sql(
+    "q_corr_stats",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |         count(*) AS n,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+      |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+      |         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS syy
+      |  FROM lineitem
+      |  GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n,
+      |       round((n * sxy - sx * sy) / (n * (n - 1)), 4) AS covar_s,
+      |       round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4) AS std_qty,
+      |       round(sqrt((n * syy - sy * sy) / (n * (n - 1))), 4) AS std_price,
+      |       round((n * sxy - sx * sy) /
+      |             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS corr_qp
+      |FROM m
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val dec27 = (c: org.apache.spark.sql.Column) => sum(c.cast("decimal(27,6)"))
+    val m = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).cast("double").as("sx"),
+        dsum(col("l_extendedprice")).cast("double").as("sy"),
+        dec27(col("l_quantity") * col("l_extendedprice")).cast("double").as("sxy"),
+        dec27(col("l_quantity") * col("l_quantity")).cast("double").as("sxx"),
+        dec27(col("l_extendedprice") * col("l_extendedprice")).cast("double").as("syy"))
+    val n = col("n"); val sx = col("sx"); val sy = col("sy")
+    m.select(
+        col("l_returnflag"), n,
+        round((n * col("sxy") - sx * sy) / (n * (n - lit(1))), 4).as("covar_s"),
+        round(sqrt((n * col("sxx") - sx * sx) / (n * (n - lit(1)))), 4).as("std_qty"),
+        round(sqrt((n * col("syy") - sy * sy) / (n * (n - lit(1)))), 4).as("std_price"),
+        round((n * col("sxy") - sx * sy) /
+          (sqrt(n * col("sxx") - sx * sx) * sqrt(n * col("syy") - sy * sy)), 4).as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qPivot, qAggCube, qPercentiles, qSampleStratified, qGapfill, qWindowDist)
+    qPivot, qAggCube, qPercentiles, qSampleStratified, qGapfill, qWindowDist,
+    qCorrStats)
 }

@@ -117,6 +117,32 @@ class PlanSpec extends SparkSpec {
       s"IVF probe projection not narrow:\n$pp")
   }
 
+  test("stratified sample is one scan, no join — the decision is a pushed predicate") {
+    val p = planString(Analytic.qSampleStratified.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Join"), s"sampling must not join a seed table:\n$p")
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1,
+      s"sampling must read lineitem exactly once:\n$p")
+  }
+
+  test("pivot is one aggregation pass with map-side partials (no per-value scans)") {
+    val p = planString(Analytic.qPivot.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1,
+      s"pivot must read orders exactly once:\n$p")
+    assert("HashAggregate".r.findAllIn(finalPlan).size >= 2,
+      s"pivot lost partial aggregation:\n$p")
+  }
+
+  test("corr moments shuffle 6 partials per group, single scan") {
+    val p = planString(Analytic.qCorrStats.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1,
+      s"moment collection must read lineitem once:\n$p")
+    assert(finalPlan.contains("partial_sum") || finalPlan.contains("partial"),
+      s"moments not map-side combined:\n$p")
+  }
+
   test("bucketed tables sort-merge join with no exchange (co-located join)") {
     import org.apache.spark.sql.functions._
     // the 100 TB co-location story: both fact tables bucketed on the join
