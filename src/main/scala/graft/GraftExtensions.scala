@@ -1,9 +1,10 @@
 package graft
 
-import graft.functions.{DotProduct, Md5Long56}
+import graft.functions.{DotProduct, Md5Long56, SimhashAgg, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Session extension registering the engine's custom Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT dot_product(a, b)")` works the
@@ -27,5 +28,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("md5long56"),
       new ExpressionInfo(classOf[Md5Long56].getName, "md5long56"),
       (args: Seq[Expression]) => Md5Long56(args.head)))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimhashAgg].getName, "simhash_agg"),
+      (args: Seq[Expression]) =>
+        SimhashAgg(args(0), args(1), litInt(args(2), "simhash_agg bits"))))
+    e.injectFunction((
+      new FunctionIdentifier("top_k_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "top_k_agg"),
+      (args: Seq[Expression]) =>
+        TopKAgg(args(0), args(1), litInt(args(2), "top_k_agg k"))))
+  }
+
+  /** Shape parameters (bits, k) size the aggregation buffer, so they must
+    * be plan-time constants — reject anything but an int literal loudly. */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an INTEGER literal, got: ${other.sql}")
   }
 }

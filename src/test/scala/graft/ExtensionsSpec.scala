@@ -24,6 +24,25 @@ class ExtensionsSpec extends SparkSpec {
     val md = java.security.MessageDigest.getInstance("MD5")
     assert(r.getLong(1) ==
       graft.functions.Md5Long56.first56Bits(md.digest("hello".getBytes("UTF-8"))))
+
+    // custom aggregates from SQL, equal to the Column-API formulation
+    s.range(0, 100).selectExpr("id % 3 AS g", "id", "cast(id as double) AS sc")
+      .createOrReplaceTempView("ext_t")
+    val tk = s.sql(
+      """SELECT g, top_k_agg(sc, id, 2) AS tk FROM ext_t GROUP BY g ORDER BY g""")
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)))
+    assert(tk.toMap == Map(0L -> Seq(99L, 96L), 1L -> Seq(97L, 94L), 2L -> Seq(98L, 95L)))
+    val sh = s.sql(
+      """SELECT simhash_agg(id, 1 + id % 2, 16) AS f FROM ext_t""").head().getLong(0)
+    import org.apache.spark.sql.functions._
+    val shCol = s.table("ext_t")
+      .agg(graft.functions.SimhashAgg.simhash_agg(col("id"), lit(1) + col("id") % 2, 16))
+      .head().getLong(0)
+    assert(sh == shCol, "SQL and Column API must produce the identical fingerprint")
+    // shape params must be literals — loud analysis-time failure otherwise
+    val err = intercept[Exception] { s.sql("SELECT top_k_agg(sc, id, g) FROM ext_t").head() }
+    assert(err.getMessage.contains("INTEGER literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("INTEGER literal")))
   }
 
   test("sliding windows over the delay stream (batch analog)") {
