@@ -119,6 +119,85 @@ object Multimodal {
       }
   }
 
+  /** Encode a 2-D gradient image: per-pixel channels are closed-form
+    * functions of (doc_id, x, y) — r varies with x, g with y, b constant —
+    * so any pixel-sampling operator downstream has a metadata-computable
+    * oracle while still exercising a real codec round-trip. */
+  def encodeGradient(docId: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
+    inMemoryStreams
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((docId + x) % 256).toInt)
+        raster.setSample(x, y, 1, ((docId * 7 + 3 * y) % 256).toInt)
+        raster.setSample(x, y, 2, (docId * 13 % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, fmt, out), s"no imageio writer for '$fmt'")
+    out.toByteArray
+  }
+
+  /** Gradient media table: same schema/partitioning as [[mediaTable]], but
+    * pixels vary within each image (losslessly encoded: PNG/BMP only). */
+  def gradientMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        when(col("source") === "src0", "png").otherwise("bmp").as("fmt"))
+      .as[(Long, Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars, fmt) =>
+          val w = (nChars % 64 + 1).toInt
+          val h = (nChars % 48 + 1).toInt
+          MediaRow(id, encodeGradient(id, w, h, fmt), w, h, fmt)
+        }
+      }
+  }
+
+  /** Resize-sample + 64-bit average-hash: decode, nearest-neighbor sample
+    * a `grid`×`grid` lattice (the resize step — top-left rule, x = i·w/grid,
+    * integer floor, so it is exactly reproducible), integer luma per sample
+    * (`(299r + 587g + 114b) / 1000`), threshold against the mean. This is
+    * the standard aHash perceptual fingerprint: near-identical images land
+    * within a few Hamming bits, so the [[graft.api.TextDedup.simhashPairs]]
+    * banding machinery applies unchanged to image near-dup at 100 TB. */
+  def averageHash(bytes: Array[Byte], grid: Int = 8): Long = {
+    inMemoryStreams
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable media (${bytes.length} bytes)")
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    val lumas = new Array[Int](grid * grid)
+    var i = 0
+    while (i < grid) {
+      val x = i * w / grid
+      var j = 0
+      while (j < grid) {
+        val y = j * h / grid
+        lumas(i * grid + j) =
+          (raster.getSample(x, y, 0) * 299 + raster.getSample(x, y, 1) * 587 +
+            raster.getSample(x, y, 2) * 114) / 1000
+        j += 1
+      }
+      i += 1
+    }
+    val mean = lumas.sum.toDouble / (grid * grid)
+    var hash = 0L
+    var k = 0
+    while (k < grid * grid) {
+      if (lumas(k) > mean) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
   /** Frame sampling: n equal-sized byte slices (video frame-sample shape). */
   def frameSample(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
     val step = math.max(bytes.length / math.max(n, 1), 1)
@@ -161,5 +240,45 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(qMultimodalFeatures)
+  /** Declared query: gradient media → real decode → resize-sample →
+    * average-hash, split into two 32-bit halves (a 64-bit hash can set bit
+    * 63; BIGINT `1<<63` overflows in ANSI engines, and the halves keep
+    * every value positive in both). The oracle recomputes the sampled
+    * lumas from the gradient's closed form — a mismatch anywhere in the
+    * codec round-trip, the sampling lattice, the luma arithmetic, or the
+    * thresholding fails the gate. */
+  val qImagePhash: QueryDef = QueryDef.sql(
+    "q_image_phash",
+    """WITH m AS (SELECT doc_id, n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h FROM documents),
+      |g AS (SELECT unnest(range(0, 8)) AS i),
+      |px AS (
+      |  SELECT doc_id,
+      |         CAST(gi.i * 8 + gj.i AS INTEGER) AS idx,
+      |         (((doc_id + (gi.i * w) // 8) % 256) * 299 +
+      |          ((doc_id * 7 + 3 * ((gj.i * h) // 8)) % 256) * 587 +
+      |          ((doc_id * 13) % 256) * 114) // 1000 AS luma
+      |  FROM m, g gi, g gj
+      |),
+      |mu AS (SELECT doc_id, sum(luma) / 64.0 AS mu FROM px GROUP BY doc_id)
+      |SELECT p.doc_id,
+      |       bit_or(CASE WHEN p.luma > mu.mu AND p.idx >= 32
+      |                   THEN CAST(1 AS BIGINT) << (p.idx - 32) ELSE CAST(0 AS BIGINT) END) AS phash_hi,
+      |       bit_or(CASE WHEN p.luma > mu.mu AND p.idx < 32
+      |                   THEN CAST(1 AS BIGINT) << p.idx ELSE CAST(0 AS BIGINT) END) AS phash_lo
+      |FROM px p JOIN mu ON mu.doc_id = p.doc_id
+      |GROUP BY p.doc_id
+      |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    gradientMediaTable(s, d)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val hash = averageHash(r.media)
+          (r.doc_id, hash >>> 32, hash & 0xFFFFFFFFL)
+        }
+      }
+      .toDF("doc_id", "phash_hi", "phash_lo")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qMultimodalFeatures, qImagePhash)
 }

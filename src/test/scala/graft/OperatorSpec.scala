@@ -94,6 +94,20 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("average-hash: format-independent, stable under brightness shift") {
+    import graft.operators.Multimodal
+    // lossless codecs must hash identically: the hash reads pixels, not bytes
+    val png = Multimodal.averageHash(Multimodal.encodeGradient(10L, 33, 25, "png"))
+    val bmp = Multimodal.averageHash(Multimodal.encodeGradient(10L, 33, 25, "bmp"))
+    assert(png == bmp, "pixel-identical png/bmp must collide")
+    // a global brightness shift (adjacent doc ids shift all channels
+    // uniformly, away from the mod-256 wrap) moves the mean with the
+    // samples: a perceptual near-duplicate, within a few Hamming bits
+    val shifted = Multimodal.averageHash(Multimodal.encodeGradient(11L, 33, 25, "png"))
+    assert(java.lang.Long.bitCount(png ^ shifted) <= 8,
+      s"brightness shift flipped ${java.lang.Long.bitCount(png ^ shifted)} bits")
+  }
+
   test("gapfill: dense contiguous hour grid per series, LOCF never null") {
     val rows = operators.Analytic.qGapfill.fn(spark, sf()).collect()
     val byType = rows.groupBy(_.getString(0))
