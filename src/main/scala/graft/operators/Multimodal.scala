@@ -198,6 +198,54 @@ object Multimodal {
     hash
   }
 
+  /** Encode a mono 16-bit PCM WAV through the real `javax.sound` container
+    * writer. Samples are a closed-form function of (doc_id, n) —
+    * `((doc_id·31 + n·17) mod 65536) − 32768`, a deterministic sawtooth —
+    * so waveform statistics computed after a real container decode have a
+    * metadata-only oracle, the same pattern as the gradient images. */
+  def encodeWav(docId: Long, nSamples: Int): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var n = 0
+    while (n < nSamples) {
+      val s = (((docId * 31 + n.toLong * 17) % 65536) - 32768).toInt
+      pcm(2 * n) = (s & 0xff).toByte          // little-endian int16
+      pcm(2 * n + 1) = ((s >> 8) & 0xff).toByte
+      n += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real audio decode: parse the WAV container via `javax.sound`, read
+    * every PCM frame, return (n_samples, sample_rate, channels, peak, rms).
+    * Throws on an unparsable container — same loud-failure contract as
+    * [[decode]]. */
+  def decodeWav(bytes: Array[Byte]): (Long, Int, Int, Int, Double) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"expected 16-bit LE PCM, got $fmt")
+    val raw = in.readAllBytes()
+    val nSamples = raw.length / 2
+    var peak = 0
+    var sumSq = 0L
+    var n = 0
+    while (n < nSamples) {
+      val s = ((raw(2 * n) & 0xff) | (raw(2 * n + 1) << 8)).toShort.toInt
+      if (math.abs(s) > peak) peak = math.abs(s)
+      sumSq += s.toLong * s
+      n += 1
+    }
+    (nSamples.toLong, fmt.getSampleRate.toInt, fmt.getChannels, peak,
+      math.sqrt(sumSq.toDouble / nSamples))
+  }
+
   /** Frame sampling: n equal-sized byte slices (video frame-sample shape). */
   def frameSample(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
     val step = math.max(bytes.length / math.max(n, 1), 1)
@@ -280,5 +328,44 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(qMultimodalFeatures, qImagePhash)
+  /** Declared query: per-document WAV (n_chars samples) → real container
+    * decode → waveform stats. The oracle regenerates each sample from the
+    * closed form and recomputes peak/rms — container header, PCM byte
+    * order, and the frame loop are all inside the hash gate. */
+  val qAudioFeatures: QueryDef = QueryDef.sql(
+    "q_audio_features",
+    """WITH k AS (
+      |  SELECT doc_id, unnest(range(0, n_chars)) AS n FROM documents
+      |),
+      |s AS (
+      |  SELECT doc_id, ((doc_id * 31 + n * 17) % 65536) - 32768 AS smp FROM k
+      |)
+      |SELECT doc_id,
+      |       count(*) AS n_samples,
+      |       8000 AS sample_rate,
+      |       1 AS channels,
+      |       CAST(max(abs(smp)) AS INTEGER) AS peak,
+      |       round(sqrt(sum(smp * smp) / count(*)), 4) AS rms
+      |FROM s
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars) =>
+          val wav = encodeWav(id, nChars.toInt)
+          val (n, rate, ch, peak, rms) = decodeWav(wav)
+          (id, n, rate, ch, peak, rms)
+        }
+      }
+      .toDF("doc_id", "n_samples", "sample_rate", "channels", "peak", "rms")
+      .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+        col("channels"), col("peak"), round(col("rms"), 4).as("rms"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qMultimodalFeatures, qImagePhash, qAudioFeatures)
 }

@@ -108,6 +108,21 @@ class OperatorSpec extends SparkSpec {
       s"brightness shift flipped ${java.lang.Long.bitCount(png ^ shifted)} bits")
   }
 
+  test("audio: real WAV container round-trip recovers exact PCM, fails loudly on junk") {
+    import graft.operators.Multimodal
+    val wav = Multimodal.encodeWav(42L, 100)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE",
+      "encode must produce a genuine WAV container")
+    val (n, rate, ch, peak, rms) = Multimodal.decodeWav(wav)
+    assert(n == 100 && rate == 8000 && ch == 1)
+    // decoded stats equal the closed form the samples were generated from
+    val samples = (0 until 100).map(k => ((42L * 31 + k.toLong * 17) % 65536 - 32768).toInt)
+    assert(peak == samples.map(math.abs).max)
+    assert(rms == math.sqrt(samples.map(s => s.toLong * s).sum.toDouble / 100))
+    intercept[Exception] { Multimodal.decodeWav(Array.fill(64)(7.toByte)) }
+  }
+
   test("gapfill: dense contiguous hour grid per series, LOCF never null") {
     val rows = operators.Analytic.qGapfill.fn(spark, sf()).collect()
     val byType = rows.groupBy(_.getString(0))
