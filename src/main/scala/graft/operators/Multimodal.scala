@@ -367,5 +367,57 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(qMultimodalFeatures, qImagePhash, qAudioFeatures)
+  /** Declared query: per-document "video" — a container of 2–4 real PNG
+    * frames (concatenated, with a typed frame-offset index, the
+    * binary-plus-metadata shape the multimodal contract prescribes) —
+    * frame-extracted by offset slice and REALLY decoded per frame. Frame f
+    * is a solid color derived from (doc_id + 131·f), so per-frame means
+    * have a closed-form oracle: container assembly, the offset index, the
+    * slice extraction, and the per-frame codec are all hash-gated. */
+  val qVideoFrames: QueryDef = QueryDef.sql(
+    "q_video_frames",
+    """WITH f AS (
+      |  SELECT doc_id, n_chars, unnest(range(0, (n_chars % 3) + 2)) AS frame
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(frame AS INTEGER) AS frame,
+      |       CAST(n_chars % 16 + 1 AS INTEGER) AS width,
+      |       CAST(n_chars % 12 + 1 AS INTEGER) AS height,
+      |       round(CAST((doc_id + 131 * frame) % 256 AS DOUBLE), 4) AS mean_r,
+      |       round(CAST((doc_id + 131 * frame) * 7 % 256 AS DOUBLE), 4) AS mean_g,
+      |       round(CAST((doc_id + 131 * frame) * 13 % 256 AS DOUBLE), 4) AS mean_b
+      |FROM f
+      |ORDER BY doc_id, frame""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .repartition(s.sparkContext.defaultParallelism)
+      .flatMap { case (id, nChars) =>
+        val nF = (nChars % 3 + 2).toInt
+        val w = (nChars % 16 + 1).toInt
+        val h = (nChars % 12 + 1).toInt
+        // container assembly: concatenated real PNG frames + offset index
+        val frames = (0 until nF).map(f => encodeImage(id + 131L * f, w, h, "png"))
+        val offsets = frames.scanLeft(0)(_ + _.length)
+        val media = Array.concat(frames: _*)
+        // extraction under test: slice frame f out of the container by its
+        // offsets and decode it with the real codec
+        (0 until nF).map { f =>
+          val bytes = java.util.Arrays.copyOfRange(media, offsets(f), offsets(f + 1))
+          val (dw, dh, _, means) = decode(bytes)
+          (id, f, dw, dh, means(0), means(1), means(2))
+        }
+      }
+      .toDF("doc_id", "frame", "width", "height", "mean_r", "mean_g", "mean_b")
+      .select(col("doc_id"), col("frame"), col("width"), col("height"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"))
+      .orderBy("doc_id", "frame")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qMultimodalFeatures, qImagePhash, qAudioFeatures, qVideoFrames)
 }

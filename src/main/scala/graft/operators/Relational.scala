@@ -456,6 +456,30 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Regex string functions: extract / replace-all / match. Patterns are
+    * deliberately restricted to the POSIX-compatible subset (character
+    * classes, groups, alternation, anchors) where Java's regex (Spark) and
+    * RE2 (DuckDB, and most native engines) agree — backrefs/lookarounds
+    * would be Java-only and are not declared surface. */
+  val qRegexFns: QueryDef = QueryDef.sql(
+    "q_regex_fns",
+    """SELECT p_partkey,
+      |       CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER) AS brand_num,
+      |       regexp_replace(p_type, '[AEIOU]', '*', 'g') AS type_masked,
+      |       regexp_matches(p_type, '^(ECONOMY|SMALL)') AS is_small_econ
+      |FROM part
+      |WHERE p_size > 45
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .where(col("p_size") > 45)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).cast("int").as("brand_num"),
+        regexp_replace(col("p_type"), "[AEIOU]", "*").as("type_masked"),
+        col("p_type").rlike("^(ECONOMY|SMALL)").as("is_small_econ"))
+      .orderBy("p_partkey")
+  }
+
   /** Salted skew join ([[graft.api.Skew.saltedJoin]]): the fact side's hot
     * order keys spread over 8 salt buckets; results are provably identical
     * to the plain equi-join, which is exactly what the oracle checks. At
@@ -511,5 +535,5 @@ object Relational {
     qAggDelay, qAggDistinct, qAggRollup, qGroupingSets, qAggApprox,
     qWindowRank, qWindowRunning,
     qTopk, qUnion, qStringDateFns, qDateTrunc, qJsonExtract, qFromJson,
-    qArrayFns)
+    qArrayFns, qRegexFns)
 }
