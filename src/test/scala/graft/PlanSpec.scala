@@ -117,6 +117,24 @@ class PlanSpec extends SparkSpec {
       s"IVF probe projection not narrow:\n$pp")
   }
 
+  test("rank-limit filters get WindowGroupLimit pushdown (no full window materialization)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // row_number() <= k is the window-top-k idiom; Catalyst's
+    // InferWindowGroupLimit inserts a per-partition group limit BEFORE the
+    // window sort, so each group materializes k rows, not all rows — the
+    // built-in optimization that makes a custom top-k rewrite rule
+    // unnecessary for the window formulation (TopKAgg still wins when the
+    // output is an aggregate, PlanSpec above)
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+    val df = Tables.orders(spark, sf())
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+    val p = planString(df)
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed into a group limit:\n$p")
+  }
+
   test("stratified sample is one scan, no join — the decision is a pushed predicate") {
     val p = planString(Analytic.qSampleStratified.fn(spark, sf()))
     val finalPlan = p.split("== Initial Plan ==").head
