@@ -22,7 +22,7 @@ object Skew {
       skewed: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
     require(buckets > 0)
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(buckets)).cast("int"))
+      pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*), lit(buckets)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -41,7 +41,7 @@ object Skew {
       finalAgg: Seq[Column]): DataFrame = {
     require(buckets > 0 && partial.nonEmpty && finalAgg.nonEmpty)
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(buckets)).cast("int"))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(buckets)).cast("int"))
     salted
       .groupBy(key.as("__key"), col("__salt"))
       .agg(partial.head, partial.tail: _*)

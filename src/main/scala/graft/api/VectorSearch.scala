@@ -67,7 +67,7 @@ object VectorSearch {
     require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes $nPlanes out of range")
     val planes = CrossHash.hyperplanes(nPlanes, dim)
     val sig = (0 until nPlanes).map { p =>
-      val plane = array(planes(p).map(lit): _*)
+      val plane = array(planes(p).toIndexedSeq.map(lit): _*)
       when(VectorExprs.dot_product(col("v"), plane) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
     corpus.withColumn("sig", sig)
@@ -104,7 +104,7 @@ object VectorSearch {
   private def centCos(cents: Array[Array[Double]], i: Int): Column = {
     val c = cents(i)
     val cn = math.sqrt(c.map(x => x * x).sum)
-    VectorExprs.dot_product(col("v"), array(c.map(lit): _*)) / (col("nrm") * lit(cn))
+    VectorExprs.dot_product(col("v"), array(c.toIndexedSeq.map(lit): _*)) / (col("nrm") * lit(cn))
   }
 
   /** Assign each vector to its max-cosine cell (ties → lowest cell id).

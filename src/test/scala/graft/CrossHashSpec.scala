@@ -37,6 +37,21 @@ class CrossHashSpec extends SparkSpec {
     }
   }
 
+  test("property: perm maps [0, P) into [0, P) for every permutation") {
+    import graft.functions.CrossHash
+    val rng = new scala.util.Random(8128L)
+    val hs = Seq(0L, 1L, CrossHash.P - 1) ++ (1 to 50).map(_ => rng.nextLong().abs % CrossHash.P)
+    (0 until 16).foreach { j =>
+      val (a, b) = CrossHash.Perms(j)
+      hs.foreach { h =>
+        val v = (h * a + b) % CrossHash.P
+        assert(v >= 0 && v < CrossHash.P, s"perm $j out of range for h=$h: $v")
+        // no Long overflow en route: h·a must stay under 2^62
+        assert(h <= (Long.MaxValue - b) / a, s"perm $j would overflow at h=$h")
+      }
+    }
+  }
+
   test("permutation constants stay within overflow-safe bounds") {
     CrossHash.Perms.foreach { case (a, b) =>
       assert(a > 0 && a < (1L << 21), s"a=$a")

@@ -123,6 +123,27 @@ class OperatorSpec extends SparkSpec {
     intercept[Exception] { Multimodal.decodeWav(Array.fill(64)(7.toByte)) }
   }
 
+  test("property: codec round-trips hold across generated ids/dims (incl. sub-lattice images)") {
+    import graft.operators.Multimodal
+    val rng = new scala.util.Random(20260812L) // deterministic cases
+    (1 to 25).foreach { _ =>
+      val id = rng.nextLong().abs % 1000000
+      val w = rng.nextInt(70) + 1 // includes w < 8: lattice degenerates, must not crash
+      val h = rng.nextInt(50) + 1
+      // image: pixel-identical encodes hash identically in both lossless formats
+      val a = Multimodal.averageHash(Multimodal.encodeGradient(id, w, h, "png"))
+      val b = Multimodal.averageHash(Multimodal.encodeGradient(id, w, h, "bmp"))
+      assert(a == b, s"id=$id w=$w h=$h: png/bmp hash mismatch")
+      // audio: decoded stats equal the closed form for arbitrary lengths
+      val n = rng.nextInt(500) + 1
+      val (dn, _, _, peak, rms) = Multimodal.decodeWav(Multimodal.encodeWav(id, n))
+      val samples = (0 until n).map(k => ((id * 31 + k.toLong * 17) % 65536 - 32768).toInt)
+      assert(dn == n && peak == samples.map(math.abs).max &&
+        rms == math.sqrt(samples.map(s => s.toLong * s).sum.toDouble / n),
+        s"id=$id n=$n: wav round-trip mismatch")
+    }
+  }
+
   test("gapfill: dense contiguous hour grid per series, LOCF never null") {
     val rows = operators.Analytic.qGapfill.fn(spark, sf()).collect()
     val byType = rows.groupBy(_.getString(0))
