@@ -205,6 +205,23 @@ object TextDedup {
     labels.select(col("id"), col("lbl").as("component"))
   }
 
+  /** End-to-end dedup keep-list: one `(id, keep)` row per document, where
+    * `keep` is true for every document outside any near-dup cluster and
+    * for each cluster's canonical (minimum-id) representative. This is the
+    * operator a corpus pipeline actually materializes — `docs.join(
+    * keepList, "id").where($"keep")` IS the deduplicated corpus. Cost =
+    * [[connectedComponents]] over the pairs + one left join against the
+    * (tiny — only clustered ids) component map, broadcast-eligible at any
+    * realistic duplicate rate. */
+  def keepList(docs: DataFrame, id: Column, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val cc = connectedComponents(pairs, maxIter)
+    docs.select(id.as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"),
+        (col("component").isNull || col("component") === col("id")).as("keep"))
+  }
+
   /** SimHash fingerprints: (id, f) with `bits`-bit weighted-bit signature.
     * One map-side-combined groupBy; md5 once per distinct (id, token). The
     * bit-sum fold runs in [[graft.functions.SimhashAgg]] — a custom

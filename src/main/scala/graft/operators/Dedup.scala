@@ -227,7 +227,33 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** The materialization step: per-document keep/drop decision — cluster
+    * minima and unclustered documents keep, everything else drops. What a
+    * corpus pipeline joins against to emit the deduplicated dataset. */
+  val qDedupKeep: QueryDef = QueryDef.sql(
+    "q_dedup_keep",
+    s"""${minhashPrelude.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |e2 AS (SELECT a AS s, b AS t FROM cand UNION ALL SELECT b AS s, a AS t FROM cand),
+       |reach AS (
+       |  SELECT s AS src, t AS dst FROM e2
+       |  UNION
+       |  SELECT r.src, e.t FROM reach r JOIN e2 e ON e.s = r.dst
+       |),
+       |comp AS (
+       |  SELECT src AS id, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src
+       |)
+       |SELECT c.doc_id AS id,
+       |       (comp.component IS NULL OR comp.component = c.doc_id) AS keep
+       |FROM corpus c
+       |LEFT JOIN comp ON comp.id = c.doc_id
+       |ORDER BY id""".stripMargin) { (s, d) =>
+    graft.api.TextDedup
+      .keepList(Corpora.dedupCorpus(s, d), col("doc_id"), sparkCand(s, d))
+      .orderBy("id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupMinhash, qDedupNgram, qDedupSimhash, qDedupCluster,
-    qDedupEditdist)
+    qDedupEditdist, qDedupKeep)
 }

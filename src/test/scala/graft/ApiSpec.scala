@@ -161,6 +161,17 @@ class ApiSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("keepList: cluster minima and singletons keep, other members drop") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 8L).map(Tuple1(_)).toDF("doc")
+    // clusters {1,2,3} and {5,6}; docs 4,7,8 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val keep = TextDedup.keepList(docs, col("doc"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keep == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true,
+      5L -> true, 6L -> false, 7L -> true, 8L -> true))
+  }
+
   test("connectedComponents collapses a 200-node path in a logarithmic budget") {
     // path 0-1-2-...-200: neighbor-only min-label would need ~200 rounds;
     // pointer jumping covers distance d' = 2d+1 per round, so 12 rounds
