@@ -162,6 +162,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("sources: csv and json round-trip the star schema with explicit schemas") {
+    import org.apache.spark.sql.functions._
+    // source-format breadth: the same relation read back from csv and
+    // json lines must match the parquet original bit-for-bit. Explicit
+    // schemas everywhere — schema inference is a full extra pass over the
+    // data at 100 TB and type-guesses timestamps/decimals wrong.
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val orig = Tables.orders(spark, sf())
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    orig.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    orig.write.mode("overwrite").json(s"$dir/json")
+    val schema = orig.schema
+    val fromCsv = spark.read.schema(schema).option("header", "true").csv(s"$dir/csv")
+    val fromJson = spark.read.schema(schema).json(s"$dir/json")
+    assert(fromCsv.count() == orig.count() && fromJson.count() == orig.count())
+    // full-row equality via anti-joins in both directions
+    Seq(fromCsv, fromJson).foreach { back =>
+      assert(back.join(orig, orig.columns.toSeq, "left_anti").isEmpty,
+        "rows appeared that the parquet original does not have")
+      assert(orig.join(back, orig.columns.toSeq, "left_anti").isEmpty,
+        "rows lost in the format round-trip")
+    }
+    assert(fromCsv.schema == schema && fromJson.schema == schema)
+  }
+
   test("frame sampling covers the byte range in order") {
     val bytes = (0 until 100).map(_.toByte).toArray
     val frames = Multimodal.frameSample(bytes, 4)
