@@ -57,7 +57,13 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       val heavy = Set("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
         "q_dedup_simhash", "q_embed_neardup", "q_sim_topk", "q_sim_lsh",
-        "q_text_fingerprint", "q_text_stats", "q_string_date_fns")
+        "q_text_fingerprint", "q_text_stats", "q_string_date_fns",
+        // round-5 additions with large generated aggregate classes: left
+        // cold, C2 can't finish compiling them before the timed run and
+        // the query intermittently executes interpreted (measured 2.2s
+        // compiled vs 33.8s interpreted for q_corr_stats)
+        "q_corr_stats", "q_agg_cube", "q_dedup_cluster", "q_dedup_keep",
+        "q_percentiles", "q_sample_stratified")
       SparkEntry.defs.filter(q => heavy(q.name)).foreach { q =>
         try q.fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
