@@ -456,6 +456,37 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Null-safe equi-join (`<=>` / `IS NOT DISTINCT FROM`): null keys MATCH
+    * null keys instead of vanishing — the semantics needed when the join
+    * key is legitimately optional. Planted nulls via `nullif`; still plans
+    * as a hash join (null-safe equality is a valid equi-join key), so the
+    * scale shape is identical to a plain equi-join. */
+  val qJoinNullsafe: QueryDef = QueryDef.sql(
+    "q_join_nullsafe",
+    """WITH d AS (
+      |  SELECT DISTINCT nullif(l_returnflag, 'N') AS k FROM lineitem
+      |),
+      |f AS (
+      |  SELECT nullif(l_returnflag, 'N') AS fk, l_quantity FROM lineitem
+      |)
+      |SELECT coalesce(d.k, '<null>') AS key,
+      |       count(*) AS n_rows,
+      |       round(CAST(sum(CAST(f.l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
+      |FROM f JOIN d ON f.fk IS NOT DISTINCT FROM d.k
+      |GROUP BY 1
+      |ORDER BY key""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val dim = li.select(nullif(col("l_returnflag"), lit("N")).as("k")).distinct()
+    val fact = li.select(
+      nullif(col("l_returnflag"), lit("N")).as("fk"), col("l_quantity"))
+    fact.join(dim, col("fk") <=> col("k"))
+      .groupBy(coalesce(col("k"), lit("<null>")).as("key"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(dsum(col("l_quantity")).cast("double"), 2).as("sum_qty"))
+      .orderBy("key")
+  }
+
   /** Regex string functions: extract / replace-all / match. Patterns are
     * deliberately restricted to the POSIX-compatible subset (character
     * classes, groups, alternation, anchors) where Java's regex (Spark) and
@@ -531,7 +562,7 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(
     qScanLineitem, qScanPart, qJoinBroadcast, qJoinShuffle, qJoinSemi, qJoinAnti,
-    qJoinSkew, qSkewAgg,
+    qJoinNullsafe, qJoinSkew, qSkewAgg,
     qAggDelay, qAggDistinct, qAggRollup, qGroupingSets, qAggApprox,
     qWindowRank, qWindowRunning,
     qTopk, qUnion, qStringDateFns, qDateTrunc, qJsonExtract, qFromJson,

@@ -44,6 +44,14 @@ class PlanSpec extends SparkSpec {
     assert(pa.contains("LeftAnti"), s"anti join missing:\n$pa")
   }
 
+  test("null-safe join plans as a hash join, not nested-loop") {
+    val p = planString(Relational.qJoinNullsafe.fn(spark, sf()))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"null-safe equality lost its equi-join plan:\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"null-safe join degenerated to a product:\n$p")
+  }
+
   test("agg queries keep partial (map-side) aggregation") {
     val p = planString(Relational.qAggDelay.fn(spark, sf()))
     // two HashAggregate nodes: partial + final
