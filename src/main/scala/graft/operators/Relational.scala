@@ -456,6 +456,36 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Full outer join over two sparse aggregates (size-filtered vs
+    * key-sparse subsets): brands present on only one side survive with the
+    * other side's metrics null (coalesced to 0 at the output boundary). Same single-shuffle scale shape as the inner
+    * join — outer-ness changes emission, not movement. */
+  val qJoinOuter: QueryDef = QueryDef.sql(
+    "q_join_outer",
+    """WITH big AS (
+      |  SELECT p_brand, count(*) AS n_big FROM part WHERE p_size > 47 GROUP BY p_brand
+      |),
+      |sparse AS (
+      |  SELECT p_brand, count(*) AS n_sparse FROM part WHERE p_partkey % 37 = 0 GROUP BY p_brand
+      |)
+      |SELECT coalesce(big.p_brand, sparse.p_brand) AS brand,
+      |       coalesce(n_big, 0) AS n_big,
+      |       coalesce(n_sparse, 0) AS n_sparse
+      |FROM big FULL OUTER JOIN sparse ON big.p_brand = sparse.p_brand
+      |ORDER BY brand""".stripMargin) { (s, d) =>
+    val p = Tables.part(s, d)
+    val big = p.where(col("p_size") > 47)
+      .groupBy(col("p_brand").as("bb")).agg(count(lit(1)).as("n_big"))
+    val sparse = p.where(col("p_partkey") % 37 === 0)
+      .groupBy(col("p_brand").as("pb")).agg(count(lit(1)).as("n_sparse"))
+    big.join(sparse, col("bb") === col("pb"), "full_outer")
+      .select(
+        coalesce(col("bb"), col("pb")).as("brand"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("n_sparse"), lit(0L)).as("n_sparse"))
+      .orderBy("brand")
+  }
+
   /** Null-safe equi-join (`<=>` / `IS NOT DISTINCT FROM`): null keys MATCH
     * null keys instead of vanishing — the semantics needed when the join
     * key is legitimately optional. Planted nulls via `nullif`; still plans
@@ -562,7 +592,7 @@ object Relational {
 
   val all: Seq[QueryDef] = Seq(
     qScanLineitem, qScanPart, qJoinBroadcast, qJoinShuffle, qJoinSemi, qJoinAnti,
-    qJoinNullsafe, qJoinSkew, qSkewAgg,
+    qJoinNullsafe, qJoinOuter, qJoinSkew, qSkewAgg,
     qAggDelay, qAggDistinct, qAggRollup, qGroupingSets, qAggApprox,
     qWindowRank, qWindowRunning,
     qTopk, qUnion, qStringDateFns, qDateTrunc, qJsonExtract, qFromJson,
