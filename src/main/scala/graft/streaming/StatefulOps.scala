@@ -64,19 +64,26 @@ object StatefulOps {
     * pair is what lets Spark evict buffered rows once the watermark passes
     * the interval. Without it a stream-stream join buffers both streams
     * forever, which no 100 TB stream survives; with it, state is
-    * O(rate × (watermark + within)). Inner join, append output. */
+    * O(rate × (watermark + within)). Append output.
+    *
+    * `joinType` also admits the outer variants ("left_outer" etc.): an
+    * unmatched preserved-side row is emitted with nulls once the watermark
+    * passes its interval — i.e. when the engine can PROVE no match can
+    * still arrive, the only sound emission point on unbounded streams. */
   def intervalJoin(
       left: DataFrame, leftTs: String,
       right: DataFrame, rightTs: String,
       keyCond: org.apache.spark.sql.Column,
       within: String = "5 seconds",
-      watermark: String = "10 seconds"): DataFrame =
+      watermark: String = "10 seconds",
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermark)
       .join(
         right.withWatermark(rightTs, watermark),
         keyCond &&
           col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"interval $within"))
+          col(rightTs) <= col(leftTs) + expr(s"interval $within"),
+        joinType)
 
   /** Custom state machine: assemble sessions with a 30s quiet-gap timeout.
     * Demonstrates arbitrary per-key state where `session_window` semantics

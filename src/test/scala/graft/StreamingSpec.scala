@@ -119,6 +119,38 @@ class StreamingSpec extends SparkSpec {
       s"interval join matched the wrong rows: $rows")
   }
 
+  test("left-outer interval join emits unmatched rows once the watermark proves no match") {
+    val orders = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val ships = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val joined = StatefulOps.intervalJoin(
+        orders.toDF().toDF("lts", "k", "order_v"), "lts",
+        ships.toDF().toDF("rts", "k2", "ship_v"), "rts",
+        org.apache.spark.sql.functions.col("k") ===
+          org.apache.spark.sql.functions.col("k2"),
+        within = "5 seconds", watermark = "10 seconds",
+        joinType = "left_outer")
+      .select("k", "order_v", "ship_v")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_outer").start()
+
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    orders.addData((ts(100), 1L, "matched"), (ts(100), 2L, "unmatched"))
+    ships.addData((ts(103), 1L, "s1"))
+    q.processAllAvailable()
+    // watermark far past both intervals: the unmatched order must now emit
+    // with a null ship side (distinct sentinel keys so they don't join)
+    orders.addData((ts(1000), 8L, "late"))
+    ships.addData((ts(1000), 9L, "late"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssjoin_outer")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(rows.contains((1L, "matched", Some("s1"))), s"in-window match missing: $rows")
+    assert(rows.contains((2L, "unmatched", None)),
+      s"watermark-proven unmatched row not emitted with nulls: $rows")
+  }
+
   test("session assembly via flatMapGroupsWithState emits on quiet gap") {
     val input = MemoryStream[SessionEvent](spark)
     val q = StatefulOps.assembleSessions(spark, input.toDS(), gapMs = 30000)
