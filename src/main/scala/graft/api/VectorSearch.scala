@@ -85,17 +85,50 @@ object VectorSearch {
     topKPerQuery(scored, k)
   }
 
-  /** IVF coarse-quantizer "fit": the `nCells` lowest-id corpus vectors
-    * become cell centroids, collected to the driver. This is the one
-    * deliberately EAGER step in the API (training a model): it moves
-    * nCells × dim doubles — independent of corpus size — and every
-    * downstream stage (assign / probe) is then a pure narrow projection
-    * against literal centroid arrays, exactly like [[signLsh]]'s literal
-    * hyperplanes. At 100 TB the fit cost is one TakeOrdered of nCells rows. */
+  /** IVF seed "fit": the `nCells` lowest-id corpus vectors become cell
+    * centroids, collected to the driver. Deterministic and cheap (one
+    * TakeOrdered of nCells rows) but NOT data-adaptive — arbitrary seeds
+    * won't track a skewed distribution, so recall and cell balance degrade
+    * on real corpora. Use [[ivfFitKMeans]] for a trained quantizer; this
+    * remains as its deterministic seeding step. */
   def ivfFit(corpus: DataFrame, nCells: Int): Array[Array[Double]] = {
     require(nCells >= 2, s"nCells $nCells < 2")
     corpus.orderBy("id").select("v").limit(nCells).collect()
       .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Distributed k-means (Lloyd) coarse-quantizer fit. Seeds from
+    * [[ivfFit]] (deterministic lowest-id vectors), then `iters` rounds of:
+    * assign every vector to its max-cosine cell ([[ivfAssign]] — a narrow
+    * projection against literal centroids, no exchange), re-centroid with
+    * one groupBy over (cell, dim) — DECIMAL(18,6) partial sums so each
+    * component is independent of partition/accumulation order, rounded to
+    * 4 dp (`+ 0.0` canonicalizes IEEE −0.0) so a SQL oracle reproduces the
+    * trained model bit-for-bit. Cells that go empty keep their previous
+    * centroid (deterministic, no respawn heuristic).
+    *
+    * Model-fit scale shape: per round the driver moves only the model
+    * (nCells × dim doubles, independent of corpus size); the corpus is
+    * re-scanned with NEW literal centroids each round, so the logical plan
+    * stays O(1) across rounds (no lineage growth — nothing to checkpoint).
+    * The explode shuffles (cell, dim, x) triples, map-side combined down
+    * to ≤ nCells × dim rows per partition before the exchange. At 100 TB
+    * persist the normalized corpus before calling; the loop itself makes
+    * iters + 1 passes. */
+  def ivfFitKMeans(corpus: DataFrame, nCells: Int, iters: Int = 2): Array[Array[Double]] = {
+    require(iters >= 1, s"iters $iters < 1")
+    var cents = ivfFit(corpus, nCells)
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(corpus, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg((round(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4) + 0.0).as("c"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getAs[Int]("cell"))(r.getAs[Int]("dim")) = r.getAs[Double]("c"))
+      cents = next
+    }
+    cents
   }
 
   /** Cosine of `v` against centroid `i` — the centroid array and its norm
@@ -128,7 +161,9 @@ object VectorSearch {
   /** IVF top-k: candidates come only from the query's `nprobe` probed
     * cells — an equi-join on the cell id — then exact cosine re-rank via
     * the bounded-heap aggregate. The 100 TB ANN shape when sign-LSH's
-    * fixed buckets are too coarse: cells track the data distribution. */
+    * fixed buckets are too coarse: with an [[ivfFitKMeans]]-trained
+    * quantizer the cells track the data distribution (the raw [[ivfFit]]
+    * seeds do not — they are arbitrary lowest-id vectors). */
   def ivfTopK(assigned: DataFrame, cents: Array[Array[Double]], queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
     val q = ivfProbes(queries, cents, nprobe)

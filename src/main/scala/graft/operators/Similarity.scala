@@ -153,22 +153,61 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** IVF-style ANN: an 8-cell coarse quantizer (centroids = the 8 lowest-id
-    * vectors, an explicit eager "fit"), nprobe=2 probing, exact re-rank in
-    * the probed cells. The data-adaptive scale path next to the fixed
-    * sign-LSH buckets: at 100 TB, assignment stays a narrow projection and
-    * the candidate join is an equi-join on the cell id. */
+  /** DuckDB CTE chain replaying the Lloyd fit ([[graft.api.VectorSearch
+    * .ivfFitKMeans]]): `cn0` = the nCells lowest-id seed vectors; each
+    * round t assigns every vector to its max-cosine cell (ties → lowest
+    * cell, matching Spark's `greatest(struct(cos, -i))`) and re-centroids
+    * with the DECIMAL(18,6)-exact per-dim mean rounded to 4 dp (`+ 0.0`
+    * canonicalizes −0.0) — the identical arithmetic the Spark fit runs, so
+    * both engines derive bit-identical trained centroids. Empty cells keep
+    * the previous centroid via the LEFT JOIN + COALESCE. */
+  private def kmeansCtes(nCells: Int, rounds: Int): String = {
+    val seed =
+      s"""cent0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v
+         |  FROM (SELECT * FROM n ORDER BY vec_id LIMIT $nCells)
+         |),
+         |cn0 AS (SELECT cell, v, ${normSql("v")} AS nrm FROM cent0)""".stripMargin
+    val iter = (1 to rounds).map { t =>
+      val p = t - 1
+      s"""asg$t AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT n.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${dotSql("n.v", "c.v")} / (n.nrm * c.nrm) DESC, c.cell) AS rn
+         |    FROM n, cn$p c) WHERE rn = 1
+         |),
+         |mean$t AS (
+         |  SELECT a.cell, CAST(g.dim AS INTEGER) AS dim,
+         |         round(CAST(sum(CAST(n.v[g.dim + 1] AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) + 0.0 AS c
+         |  FROM asg$t a JOIN n ON n.vec_id = a.vec_id, (SELECT unnest(range(0, 64)) AS dim) g
+         |  GROUP BY a.cell, g.dim
+         |),
+         |cent$t AS (
+         |  SELECT p.cell, COALESCE(m.v, p.v) AS v
+         |  FROM cn$p p LEFT JOIN
+         |    (SELECT cell, list(c ORDER BY dim) AS v FROM mean$t GROUP BY cell) m
+         |    ON m.cell = p.cell
+         |),
+         |cn$t AS (SELECT cell, v, ${normSql("v")} AS nrm FROM cent$t)""".stripMargin
+    }
+    (seed +: iter).mkString(",\n")
+  }
+
+  /** IVF-style ANN: an 8-cell coarse quantizer trained with two Lloyd
+    * rounds from the deterministic lowest-id seeds
+    * ([[graft.api.VectorSearch.ivfFitKMeans]]), nprobe=2 probing, exact
+    * re-rank in the probed cells. The data-adaptive scale path next to the
+    * fixed sign-LSH buckets: at 100 TB, the fit moves only the model
+    * (cells × dims doubles per round), assignment stays a narrow
+    * projection, and the candidate join is an equi-join on the cell id. */
   val qSimIvf: QueryDef = QueryDef.sql(
     "q_sim_ivf",
     s"""WITH $normedCte,
-       |cent AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-       |         v, nrm
-       |  FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8)
-       |),
+       |${kmeansCtes(nCells = 8, rounds = 2)},
        |cc AS (
        |  SELECT n.vec_id, c.cell, ${dotSql("n.v", "c.v")} / (n.nrm * c.nrm) AS ccos
-       |  FROM n, cent c
+       |  FROM n, cn2 c
        |),
        |asg AS (
        |  SELECT vec_id, cell FROM (
@@ -198,11 +237,47 @@ object Similarity {
        |WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     val n = normed(s, d)
-    val cents = graft.api.VectorSearch.ivfFit(n, nCells = 8)
+    val cents = graft.api.VectorSearch.ivfFitKMeans(n, nCells = 8, iters = 2)
     val assigned = graft.api.VectorSearch.ivfAssign(n, cents)
     graft.api.VectorSearch
       .ivfTopK(assigned, cents, n.where(col("id") < 10), k = 5, nprobe = 2)
       .orderBy("qid", "rnk")
+  }
+
+  /** The k-means training step itself as an oracle-gated operator: the
+    * model after two Lloyd rounds, materialized as the THIRD round's
+    * assignment + per-cell sizes + per-dim means (lazily — the last
+    * re-centroid never collects). Every arithmetic step is the
+    * deterministic DECIMAL-exact mean of [[graft.api.VectorSearch
+    * .ivfFitKMeans]], so the oracle replays the whole iterative fit
+    * bit-for-bit — the ANN "fit" is verified directly, not just via its
+    * consumers ([[qSimIvf]]). */
+  val qKmeansFit: QueryDef = QueryDef.sql(
+    "q_kmeans_fit",
+    s"""WITH $normedCte,
+       |${kmeansCtes(nCells = 8, rounds = 2)},
+       |asgf AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${dotSql("n.v", "c.v")} / (n.nrm * c.nrm) DESC, c.cell) AS rn
+       |    FROM n, cn2 c) WHERE rn = 1
+       |)
+       |SELECT a.cell, CAST(g.dim AS INTEGER) AS dim, count(*) AS n_vecs,
+       |       round(CAST(sum(CAST(n.v[g.dim + 1] AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) + 0.0 AS c
+       |FROM asgf a JOIN n ON n.vec_id = a.vec_id, (SELECT unnest(range(0, 64)) AS dim) g
+       |GROUP BY a.cell, g.dim
+       |ORDER BY cell, dim""".stripMargin) { (s, d) =>
+    val n = normed(s, d)
+    val cents = graft.api.VectorSearch.ivfFitKMeans(n, nCells = 8, iters = 2)
+    graft.api.VectorSearch.ivfAssign(n, cents)
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (round(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4) + 0.0).as("c"))
+      .select(col("cell"), col("dim").cast("int").as("dim"), col("n_vecs"), col("c"))
+      .orderBy("cell", "dim")
   }
 
   /** Per-label centroids — the k-means/IVF training step as a declared
@@ -234,6 +309,6 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qEmbedCentroids)
+    qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qKmeansFit, qEmbedCentroids)
 }
 

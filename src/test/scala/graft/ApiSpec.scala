@@ -220,6 +220,40 @@ class ApiSpec extends SparkSpec {
     assert(top == Set(0L, 2L, 4L), s"nprobe=1 must search one cell: $top")
   }
 
+  test("ivfFitKMeans: trained cells recover cluster structure first-N seeds miss") {
+    // planted corpus: the 8 lowest ids — exactly what the first-N "fit"
+    // takes as centroids — all sit in cluster 0, so the untrained
+    // quantizer has every centroid inside one cluster and clusters 1-3
+    // scatter across cells on noise alone; Lloyd rounds must pull the
+    // centroids out to the actual cluster masses
+    def vec(cluster: Int, id: Long): Array[Float] = {
+      val v = Array.fill(8)(0.0f)
+      v(cluster) = 1.0f
+      for (j <- 0 until 8) v(j) += (0.05 * math.sin((id * 7 + j * 13).toDouble)).toFloat
+      v
+    }
+    val rows = (0L until 8L).map(i => (i, vec(0, i))) ++
+      (8L until 108L).map(i => (i, vec(1 + (i % 3).toInt, i)))
+    val n = VectorSearch.withNorm(rows.toDF("item", "emb"), col("item"), col("emb")).persist()
+    val queries = n.where(col("id") >= 8 && col("id") < 26) // spans clusters 1-3
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topSets(VectorSearch.topK(n, queries, k = 5))
+    def recall(cents: Array[Array[Double]]): Double = {
+      val got = topSets(
+        VectorSearch.ivfTopK(VectorSearch.ivfAssign(n, cents), cents, queries, k = 5, nprobe = 1))
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val seeded = recall(VectorSearch.ivfFit(n, nCells = 4))
+    val trained = recall(VectorSearch.ivfFitKMeans(n, nCells = 4, iters = 4))
+    n.unpersist()
+    assert(trained > seeded, s"k-means must beat first-N seeds: $trained <= $seeded")
+    assert(trained >= 0.9, s"trained recall@5 (nprobe=1) too low: $trained")
+  }
+
   test("Sampling: deterministic decisions, per-stratum rates in binomial bounds") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
