@@ -203,6 +203,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup: cross-batch duplicate flagged, horizon evicts state") {
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StatefulOps.useRocksDbStateStore(spark)
+    try {
+      val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+      val other = "completely different content about spark engines and catalyst planner rules"
+      // stream fingerprint must be bit-for-bit the batch aggregate's
+      val batchF = graft.api.TextDedup
+        .simhash(Seq((1L, t1)).toDF("id", "text"), col("id"), col("text"))
+        .collect()(0).getAs[Long]("f")
+      assert(StreamDedup.simhashOf(t1) == batchF,
+        "stream simhash must equal batch simhash")
+
+      val input = MemoryStream[DocEvent](spark)
+      val q = StreamDedup.nearDupStream(spark, input.toDS(),
+          maxHamming = 8, horizonMs = 60000L, watermark = "10 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("neardup").start()
+      def doc(id: Long, sec: Long, text: String) =
+        DocEvent(id, new java.sql.Timestamp(sec * 1000), text)
+      def hits() = spark.table("neardup").as[DupHit].collect()
+        .map(h => h.doc_id -> h.dup_of).toSet
+
+      input.addData(doc(1, 100, t1), doc(2, 100, other), doc(6, 101, t1))
+      q.processAllAvailable()
+      // within-batch pair resolves to the earlier doc as original
+      assert(hits().contains(6L -> 1L), s"within-batch dup not flagged: ${hits()}")
+
+      input.addData(doc(3, 110, t1)) // duplicate arriving a batch later
+      q.processAllAvailable()
+      assert(hits().contains(3L -> 1L), s"cross-batch dup not flagged: ${hits()}")
+
+      // push the watermark past every entry's expiry (ts + 60 s), then a
+      // re-sent text must NOT match (index evicted) but must re-seed it
+      input.addData(doc(10, 300, other + " x"))
+      q.processAllAvailable()
+      input.addData(doc(4, 310, t1))
+      q.processAllAvailable()
+      assert(!hits().exists(_._1 == 4L),
+        s"doc 4 matched an entry the horizon should have evicted: ${hits()}")
+      input.addData(doc(5, 320, t1))
+      q.processAllAvailable()
+      assert(hits().contains(5L -> 4L),
+        s"doc 5 must match the re-seeded doc 4: ${hits()}")
+      q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("sink failure fails the batch; restart redelivers it (no loss)") {
     val input = MemoryStream[String](spark)
     val ckpt = Files.createTempDirectory("ckpt-retry").toString
