@@ -167,7 +167,10 @@ object Multimodal {
     * (`(299r + 587g + 114b) / 1000`), threshold against the mean. This is
     * the standard aHash perceptual fingerprint: near-identical images land
     * within a few Hamming bits, so the [[graft.api.TextDedup.simhashPairs]]
-    * banding machinery applies unchanged to image near-dup at 100 TB. */
+    * banding machinery applies unchanged to image near-dup at 100 TB.
+    * Lossy-codec robustness is pinned in OperatorSpec: a JPEG re-encode of
+    * the same image (ImageIO default quality) hashes within 3 bits of the
+    * lossless hash — inside the default maxHamming=8 search budget. */
   def averageHash(bytes: Array[Byte], grid: Int = 8): Long = {
     inMemoryStreams
     val img = ImageIO.read(new ByteArrayInputStream(bytes))

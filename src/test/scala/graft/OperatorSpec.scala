@@ -108,6 +108,20 @@ class OperatorSpec extends SparkSpec {
       s"brightness shift flipped ${java.lang.Long.bitCount(png ^ shifted)} bits")
   }
 
+  test("average-hash: robust to lossy JPEG re-encode (the actual near-dup claim)") {
+    import graft.operators.Multimodal
+    // real corpora are JPEG: the same image re-encoded lossily (ImageIO
+    // default quality) must stay inside the banding budget simhashPairs
+    // searches with (maxHamming = 8) — measured ≤ 3 bits on these cases,
+    // asserted at the budget so codec noise has headroom
+    for (id <- Seq(1L, 7L, 42L, 123L, 999L); (w, h) <- Seq((64, 48), (33, 17), (8, 8))) {
+      val lossless = Multimodal.averageHash(Multimodal.encodeGradient(id, w, h, "png"))
+      val jpeg = Multimodal.averageHash(Multimodal.encodeGradient(id, w, h, "jpg"))
+      val d = java.lang.Long.bitCount(lossless ^ jpeg)
+      assert(d <= 8, s"id=$id ${w}x$h: jpeg re-encode drifted $d bits from lossless")
+    }
+  }
+
   test("audio: real WAV container round-trip recovers exact PCM, fails loudly on junk") {
     import graft.operators.Multimodal
     val wav = Multimodal.encodeWav(42L, 100)
