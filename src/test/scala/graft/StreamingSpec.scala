@@ -255,6 +255,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("supervisor: injected sink failure auto-restarts from checkpoint, no loss/dupes") {
+    val input = MemoryStream[String](spark)
+    val ckpt = Files.createTempDirectory("ckpt-supervise").toString
+    val delivered = new ConcurrentLinkedQueue[String]
+    @volatile var failFirst = true
+    val sup = QuerySupervisor.supervise(spark, maxRestarts = 2, backoffMs = 50) { () =>
+      MsgPipeline.runFanOut(
+        input.toDF(), ckpt, () => 2000000L,
+        (ds, _) => {
+          val rows = ds.collect()
+          if (failFirst) { failFirst = false; throw new RuntimeException("http 500") }
+          rows.foreach(delivered.add)
+        },
+        (_, _) => ())
+    }
+    input.addData(mk("session", 1000000L, "payload-sup\n"))
+    // run 1 dies on the injected failure; the supervisor must resubmit and
+    // the checkpoint WAL must redeliver the failed batch — poll until it lands
+    val deadline = System.currentTimeMillis() + 30000
+    while (delivered.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(sup.restarts == 1, s"expected exactly one restart, got ${sup.restarts}")
+    assert(!sup.isTerminal && sup.query.isActive, "healed query must keep running")
+    sup.query.processAllAvailable() // drain: a redelivery dupe would show now
+    assert(delivered.asScala.toSeq == Seq("payload-sup\n"),
+      s"restart must redeliver exactly once: ${delivered.asScala.toSeq}")
+    sup.stop()
+    assert(sup.isTerminal && sup.failure.isEmpty, "user stop is clean, not a failure")
+  }
+
+  test("supervisor: restart budget is bounded; exhaustion latches terminal failure") {
+    val input = MemoryStream[String](spark)
+    val ckpt = Files.createTempDirectory("ckpt-supervise-bound").toString
+    val sup = QuerySupervisor.supervise(spark, maxRestarts = 1, backoffMs = 50) { () =>
+      MsgPipeline.runFanOut(
+        input.toDF(), ckpt, () => 2000000L,
+        (_, _) => throw new RuntimeException("sink permanently down"),
+        (_, _) => ())
+    }
+    input.addData(mk("session", 1000000L, "doomed\n"))
+    assert(sup.awaitTerminal(30000), "supervisor must give up within the budget")
+    assert(sup.restarts == 1, s"budget of 1 restart, got ${sup.restarts}")
+    assert(sup.failure.exists(_.contains("permanently down")),
+      s"terminal failure must surface the cause: ${sup.failure}")
+  }
+
   test("sink failure fails the batch; restart redelivers it (no loss)") {
     val input = MemoryStream[String](spark)
     val ckpt = Files.createTempDirectory("ckpt-retry").toString
