@@ -183,6 +183,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Real subword token counts (greedy longest-prefix segmentation over
+    * the checked-in [[graft.functions.SubwordCount.Vocab]]) next to the
+    * `(len+3)/4` closed-form estimate, per document — the error envelope
+    * of the estimate is the `n_subword_tokens` vs `n_est_tokens` gap.
+    *
+    * Spark side is one narrow projection: the codegen'd `subword_count`
+    * runs per word inside `transform`/`aggregate` — no explode, no
+    * shuffle, text never leaves its scan partition. The oracle replays
+    * the greedy rule exactly with a recursive CTE over the same
+    * vocabulary (segmentation is deterministic, so both engines agree on
+    * every word; DISTINCT words recurse once each, then join back). */
+  val qTextTokens: QueryDef = QueryDef.sql(
+    "q_text_tokens",
+    s"""WITH RECURSIVE vocab(s, l) AS (
+       |  SELECT * FROM (VALUES ${graft.functions.SubwordCount.vocabValuesSql}) v(s, l)
+       |),
+       |words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |),
+       |dw AS (SELECT DISTINCT word FROM words),
+       |rec(word, pos, cnt) AS (
+       |  SELECT word, 1, 0 FROM dw
+       |  UNION ALL
+       |  SELECT r.word,
+       |         r.pos + COALESCE((SELECT max(v.l) FROM vocab v
+       |                           WHERE substr(r.word, r.pos, v.l) = v.s), 1),
+       |         r.cnt + 1
+       |  FROM rec r WHERE r.pos <= length(r.word)
+       |),
+       |wt AS (SELECT word, cnt FROM rec WHERE pos = length(word) + 1)
+       |SELECT w.doc_id,
+       |       CAST(count(*) AS INTEGER) AS n_tokens,
+       |       CAST(sum(wt.cnt) AS BIGINT) AS n_subword_tokens,
+       |       CAST(sum((length(w.word) + 3) // 4) AS BIGINT) AS n_est_tokens
+       |FROM words w JOIN wt ON wt.word = w.word
+       |GROUP BY w.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = col("w")
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(w).as("n_tokens"),
+        aggregate(
+          transform(w, x => graft.functions.SubwordCount.subword_count(x).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_subword_tokens"),
+        aggregate(
+          transform(w, x => ((length(x) + 3) / 4).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_est_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qTextStats, qLangId, qTextTf, qTextFingerprint, qTextTfidf, qQualityFilter)
+    qTextStats, qLangId, qTextTf, qTextFingerprint, qTextTfidf, qQualityFilter,
+    qTextTokens)
 }

@@ -88,6 +88,24 @@ class OperatorSpec extends SparkSpec {
       s"doc ${f.doc_id}: decoded dims must match metadata"))
   }
 
+  test("subword_count: greedy longest-prefix segmentation; expression matches host") {
+    import graft.functions.SubwordCount
+    // greedy rule: longest unit wins at each position, chars fall back to 1
+    assert(SubwordCount.countWord("") == 0)
+    assert(SubwordCount.countWord("x") == 1)
+    assert(SubwordCount.countWord("the") == 1)    // one 3-gram unit
+    assert(SubwordCount.countWord("ment") == 1)   // the 4-gram, not "me"+"nt"
+    assert(SubwordCount.countWord("customer") == 5) // c,u,st,om,er
+    assert(SubwordCount.countWord("Q9") == 2)     // out-of-vocab chars: 1 each
+    // the Catalyst expression (codegen path) agrees with the host function
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val words = Seq("the", "customer", "segmentation", "x", "").toDF("w")
+    val got = words.select(col("w"), SubwordCount.subword_count(col("w")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    got.foreach { case (w, c) => assert(c == SubwordCount.countWord(w), s"'$w'") }
+  }
+
   test("multimodal: undecodable media fails loudly, not with fake features") {
     intercept[IllegalArgumentException] {
       Multimodal.decode("definitely not an image".getBytes)
