@@ -280,12 +280,11 @@ object Similarity {
       .orderBy("cell", "dim")
   }
 
-  /** Per-label centroids — the k-means/IVF training step as a declared
-    * operator (the IVF query's coarse quantizer is the trivially-
-    * deterministic "first 8 vectors" fit; this is the data-adaptive one).
-    * posexplode shuffles (label, dim, x) — 8-byte keyed doubles, map-side
-    * combined — never whole vectors; DECIMAL partial sums keep each
-    * centroid component independent of partition order. */
+  /** Per-label centroids — supervised (label-keyed) centroids next to the
+    * unsupervised Lloyd fit ([[qKmeansFit]]); one re-centroid step of the
+    * same arithmetic. posexplode shuffles (label, dim, x) — 8-byte keyed
+    * doubles, map-side combined — never whole vectors; DECIMAL partial
+    * sums keep each centroid component independent of partition order. */
   val qEmbedCentroids: QueryDef = QueryDef.sql(
     "q_embed_centroids",
     s"""WITH $normedCte,

@@ -125,6 +125,37 @@ class PlanSpec extends SparkSpec {
       s"IVF probe projection not narrow:\n$pp")
   }
 
+  test("k-means re-centroid shuffles only map-side-combined (cell, dim) partials") {
+    import org.apache.spark.sql.functions._
+    val n = graft.api.VectorSearch.withNorm(
+      Tables.embeddings(spark, sf()), col("vec_id"), col("embedding"))
+    val cents = graft.api.VectorSearch.ivfFit(n, nCells = 4)
+    val p = planString(
+      graft.api.VectorSearch.ivfAssign(n, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("x").cast("decimal(18,6)")).as("s")))
+    // two-phase hash aggregate: partial BEFORE the exchange (the shuffle
+    // carries <= nCells x dim rows per partition, never the exploded stream)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"re-centroid aggregation not two-phase:\n$p")
+    assert(p.indexOf("HashAggregate") < p.indexOf("Exchange"),
+      s"no map-side combine before the re-centroid exchange:\n$p")
+  }
+
+  test("subword token counting is one narrow projection: no exchange, no explode") {
+    import org.apache.spark.sql.functions._
+    val w = split(col("text"), " ")
+    val p = planString(
+      Tables.documents(spark, sf())
+        .select(col("doc_id"),
+          aggregate(
+            transform(w, x => graft.functions.SubwordCount.subword_count(x).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("n_subword_tokens")))
+    assert(!p.contains("Exchange"), s"token counting shuffles:\n$p")
+    assert(!p.contains("Generate"), s"token counting explodes the token stream:\n$p")
+  }
+
   test("rank-limit filters get WindowGroupLimit pushdown (no full window materialization)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
