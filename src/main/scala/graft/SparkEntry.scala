@@ -15,7 +15,8 @@ object SparkEntry {
   /** The full declared inventory. */
   def defs: Seq[QueryDef] =
     CodecQueries.all ++ Relational.all ++ Analytic.all ++ Temporal.all ++
-      Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all
+      Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
+      SqlSurface.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -156,6 +156,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"token counting explodes the token stream:\n$p")
   }
 
+  test("correlated subqueries decorrelate to hash joins, never per-row re-scans") {
+    val p = planString(
+      graft.operators.SqlSurface.qSubqueryCorrelated.fn(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated predicate planned as a nested loop:\n$p")
+    // EXISTS / NOT EXISTS become (anti)semi hash joins; the scalar
+    // subquery becomes an aggregate joined on the correlation key
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"EXISTS/NOT EXISTS not planned as semi/anti joins:\n$p")
+  }
+
   test("rank-limit filters get WindowGroupLimit pushdown (no full window materialization)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
