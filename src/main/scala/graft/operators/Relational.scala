@@ -590,11 +590,73 @@ object Relational {
       .orderBy("key")
   }
 
+  /** Map functions (SURVEY.md §2.B array/map/json row, the map third):
+    * build a per-customer status→count map from aggregated entries, then
+    * read it back with element_at / map_keys / size. Entries are sorted
+    * before `map_from_entries` so key order (and the joined key string)
+    * is deterministic; lookups of absent keys are null, not errors. The
+    * oracle computes the same values relationally (conditional max +
+    * ordered string_agg) — the map is an access-path choice, the results
+    * must not depend on it. */
+  val qMapFns: QueryDef = QueryDef.sql(
+    "q_map_fns",
+    """WITH s AS (
+      |  SELECT o_custkey, o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT o_custkey,
+      |       max(CASE WHEN st = 'O' THEN cnt END) AS n_open,
+      |       max(CASE WHEN st = 'F' THEN cnt END) AS n_finished,
+      |       CAST(count(*) AS INTEGER) AS n_statuses,
+      |       string_agg(st, ',' ORDER BY st) AS statuses
+      |FROM s GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("o_custkey"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("o_orderstatus"), col("cnt"))))).as("m"))
+      .select(
+        col("o_custkey"),
+        element_at(col("m"), "O").as("n_open"),
+        element_at(col("m"), "F").as("n_finished"),
+        size(col("m")).as("n_statuses"),
+        array_join(map_keys(col("m")), ",").as("statuses"))
+      .orderBy("o_custkey")
+  }
+
+  /** UNPIVOT / melt: lineitem measure columns into (metric, value) rows —
+    * the wide→long reshape a feature pipeline uses before per-metric
+    * aggregation. Narrow: one scan, rows × metrics output, no shuffle
+    * until the consumer aggregates. Oracle is the equivalent UNION ALL
+    * (values pass through untouched, so raw doubles compare exactly). */
+  val qUnpivot: QueryDef = QueryDef.sql(
+    "q_unpivot",
+    """SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_discount' AS metric, l_discount AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity', l_quantity FROM lineitem
+      |)
+      |WHERE l_orderkey % 50 = 0
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_orderkey") % 50 === 0)
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qScanLineitem, qScanPart, qJoinBroadcast, qJoinShuffle, qJoinSemi, qJoinAnti,
     qJoinNullsafe, qJoinOuter, qJoinSkew, qSkewAgg,
     qAggDelay, qAggDistinct, qAggRollup, qGroupingSets, qAggApprox,
     qWindowRank, qWindowRunning,
     qTopk, qUnion, qStringDateFns, qDateTrunc, qJsonExtract, qFromJson,
-    qArrayFns, qRegexFns)
+    qArrayFns, qMapFns, qUnpivot, qRegexFns)
 }
