@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, Md5Long56, SimhashAgg, TopKAgg}
+import graft.functions.{DotProduct, Md5Long56, SimhashAgg, SubwordCount, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKAgg].getName, "top_k_agg"),
       (args: Seq[Expression]) =>
         TopKAgg(args(0), args(1), litInt(args(2), "top_k_agg k"))))
+    e.injectFunction((
+      new FunctionIdentifier("subword_count"),
+      new ExpressionInfo(classOf[SubwordCount].getName, "subword_count"),
+      (args: Seq[Expression]) => SubwordCount(args.head)))
   }
 
   /** Shape parameters (bits, k) size the aggregation buffer, so they must

@@ -43,6 +43,10 @@ class ExtensionsSpec extends SparkSpec {
     val err = intercept[Exception] { s.sql("SELECT top_k_agg(sc, id, g) FROM ext_t").head() }
     assert(err.getMessage.contains("INTEGER literal") ||
       Option(err.getCause).exists(_.getMessage.contains("INTEGER literal")))
+
+    // subword tokenizer from SQL == host function
+    val sw = s.sql("SELECT subword_count('customer') AS c").head().getInt(0)
+    assert(sw == graft.functions.SubwordCount.countWord("customer"))
   }
 
   test("sliding windows over the delay stream (batch analog)") {
