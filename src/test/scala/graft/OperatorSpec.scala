@@ -219,6 +219,22 @@ class OperatorSpec extends SparkSpec {
     assert(fromCsv.schema == schema && fromJson.schema == schema)
   }
 
+  test("sources: orc round-trips the star schema including timestamps") {
+    // orc is the remaining built-in columnar format (csv/json above,
+    // parquet everywhere): unlike text formats it preserves types on its
+    // own, so the round-trip must hold WITHOUT re-imposing a schema —
+    // including the timestamp column the csv/json case leaves out
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val orig = Tables.orders(spark, sf())
+    orig.write.mode("overwrite").orc(s"$dir/orc")
+    val back = spark.read.orc(s"$dir/orc")
+    assert(back.schema == orig.schema, s"orc changed the schema: ${back.schema}")
+    assert(back.count() == orig.count())
+    assert(back.join(orig, orig.columns.toSeq, "left_anti").isEmpty &&
+      orig.join(back, orig.columns.toSeq, "left_anti").isEmpty,
+      "orc round-trip lost or invented rows")
+  }
+
   test("frame sampling covers the byte range in order") {
     val bytes = (0 until 100).map(_.toByte).toArray
     val frames = Multimodal.frameSample(bytes, 4)
