@@ -68,7 +68,15 @@ object StreamDedup {
     f
   }
 
-  /** The streaming near-dup pipeline: docs in, [[DupHit]]s out (append). */
+  /** The streaming near-dup pipeline: docs in, [[DupHit]]s out (append).
+    *
+    * `maxPerKey` is the streaming analog of the batch
+    * [[graft.api.BucketCap]]: a degenerate band value (short docs hashing
+    * to all-zero fingerprints, a templated boilerplate chunk) would
+    * otherwise grow ONE key's list state — and every future lookup
+    * against it — without bound. A full key keeps matching (new docs are
+    * still checked against the indexed ones) but stops indexing, so its
+    * state and per-row cost stay O(maxPerKey). */
   def nearDupStream(
       spark: SparkSession,
       docs: Dataset[DocEvent],
@@ -76,7 +84,8 @@ object StreamDedup {
       bitsPerBand: Int = 12,
       maxHamming: Int = 8,
       horizonMs: Long = 3600000L,
-      watermark: String = "1 minute"): Dataset[DupHit] = {
+      watermark: String = "1 minute",
+      maxPerKey: Int = 10000): Dataset[DupHit] = {
     import spark.implicits._
     val mask = (1L << bitsPerBand) - 1
     docs
@@ -88,7 +97,8 @@ object StreamDedup {
       .withWatermark("event_time", watermark)
       .groupByKey(x => (x.band, x.bv))
       .transformWithState(
-        new NearDupProcessor(maxHamming, horizonMs), TimeMode.EventTime(), OutputMode.Append())
+        new NearDupProcessor(maxHamming, horizonMs, maxPerKey),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }
 
@@ -96,7 +106,7 @@ object StreamDedup {
   * (event_time, doc_id) order so a within-batch duplicate pair resolves
   * deterministically (the earlier document becomes the original). A
   * redelivered doc_id never matches itself and is not re-indexed. */
-private final class NearDupProcessor(maxHamming: Int, horizonMs: Long)
+private final class NearDupProcessor(maxHamming: Int, horizonMs: Long, maxPerKey: Int)
   extends StatefulProcessor[(Int, Long), BandedDoc, DupHit] {
 
   @transient private var seen: ListState[BandEntry] = _
@@ -124,7 +134,7 @@ private final class NearDupProcessor(maxHamming: Int, horizonMs: Long)
         out += DupHit(r.doc_id, orig.docId, key._1,
           java.lang.Long.bitCount(orig.f ^ r.f))
       }
-      if (!entries.exists(_.docId == r.doc_id))
+      if (entries.size < maxPerKey && !entries.exists(_.docId == r.doc_id))
         entries = entries :+ BandEntry(r.doc_id, r.f, ts)
     }
     seen.put(entries.toArray)

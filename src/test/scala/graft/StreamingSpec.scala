@@ -236,6 +236,17 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(hits().contains(3L -> 1L), s"cross-batch dup not flagged: ${hits()}")
 
+      // a NEAR-duplicate (one word dropped): fingerprint drifts 1 bit, so
+      // it band-collides and passes the Hamming verdict — the LSH path,
+      // not string equality
+      val t1near = "the quick brown fox jumps over the lazy dog near the river bank"
+      assert(java.lang.Long.bitCount(
+        StreamDedup.simhashOf(t1) ^ StreamDedup.simhashOf(t1near)) <= 3,
+        "test construction: variant must stay within a few bits")
+      input.addData(doc(7, 112, t1near))
+      q.processAllAvailable()
+      assert(hits().contains(7L -> 1L), s"near-dup not flagged: ${hits()}")
+
       // push the watermark past every entry's expiry (ts + 60 s), then a
       // re-sent text must NOT match (index evicted) but must re-seed it
       input.addData(doc(10, 300, other + " x"))
@@ -249,6 +260,35 @@ class StreamingSpec extends SparkSpec {
       assert(hits().contains(5L -> 4L),
         s"doc 5 must match the re-seeded doc 4: ${hits()}")
       q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("streaming near-dup: a full band key stops indexing but keeps matching") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StatefulOps.useRocksDbStateStore(spark)
+    try {
+      val input = MemoryStream[DocEvent](spark)
+      val q = StreamDedup.nearDupStream(spark, input.toDS(),
+          maxHamming = 8, horizonMs = 60000L, watermark = "10 seconds", maxPerKey = 1)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("neardup_cap").start()
+      val t = "the quick brown fox jumps over the lazy dog near the river bank today"
+      input.addData(DocEvent(1, new java.sql.Timestamp(100000), t))
+      q.processAllAvailable()
+      input.addData(DocEvent(2, new java.sql.Timestamp(101000), t))
+      q.processAllAvailable()
+      input.addData(DocEvent(3, new java.sql.Timestamp(102000), t))
+      q.processAllAvailable()
+      q.stop()
+      val hits = spark.table("neardup_cap").as[DupHit].collect()
+        .map(h => h.doc_id -> h.dup_of).toSet
+      // doc 2 filled the key (cap 1) and was not indexed; docs 2 and 3
+      // must still both match the indexed doc 1
+      assert(hits == Set(2L -> 1L, 3L -> 1L),
+        s"capped key must keep matching against indexed entries: $hits")
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
