@@ -254,6 +254,21 @@ class ApiSpec extends SparkSpec {
     assert(trained >= 0.9, s"trained recall@5 (nprobe=1) too low: $trained")
   }
 
+  test("ivfFitKMeans: trained model independent of partitioning (decimal partials)") {
+    // the oracle-replayability claim rests on every re-centroid mean being
+    // partition-order independent; a float sum would make the fit drift
+    // with the physical layout
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(6)(j => (math.sin(id * 3 + j * 11) * 2).toFloat)
+    val rows = (0L until 200L).map(i => (i, vec(i)))
+    def fit(parts: Int): Seq[Seq[Double]] = {
+      val n = VectorSearch.withNorm(
+        rows.toDF("item", "emb").repartition(parts), col("item"), col("emb"))
+      VectorSearch.ivfFitKMeans(n, nCells = 3, iters = 3).toSeq.map(_.toSeq)
+    }
+    assert(fit(1) == fit(7), "k-means fit must not depend on partition count")
+  }
+
   test("Sampling: deterministic decisions, per-stratum rates in binomial bounds") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -104,6 +104,14 @@ class OperatorSpec extends SparkSpec {
     val got = words.select(col("w"), SubwordCount.subword_count(col("w")).as("c"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     got.foreach { case (w, c) => assert(c == SubwordCount.countWord(w), s"'$w'") }
+    // property: every unit covers 1..4 chars, so ceil(len/4) <= cnt <= len
+    val rng = new scala.util.Random(20260812L)
+    (1 to 200).foreach { _ =>
+      val len = rng.nextInt(24) + 1
+      val w = Seq.fill(len)(('a' + rng.nextInt(26)).toChar).mkString
+      val c = SubwordCount.countWord(w)
+      assert(c >= (len + 3) / 4 && c <= len, s"'$w' ($len chars) -> $c units")
+    }
   }
 
   test("multimodal: undecodable media fails loudly, not with fake features") {
