@@ -126,7 +126,11 @@ object Bench {
       // slow on every attempt and is still flagged.
       var sec = once()
       var attempts = 1
-      while (sec > 3.0 && attempts < 3) {
+      // a reading 3x over the slow threshold is a steal window with near
+      // certainty (no plan in the inventory runs >9s steady at sf0.1):
+      // allow extra attempts and let the window pass before re-measuring
+      while (sec > 3.0 && attempts < (if (sec > 9.0) 5 else 3)) {
+        Thread.sleep(1500)
         val s = once()
         if (s < sec) {
           System.err.println(
