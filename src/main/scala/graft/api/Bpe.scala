@@ -1,0 +1,102 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding TRAINER: learn merge rules from a corpus
+  * (the counterpart of the fixed-vocabulary segmenter
+  * [[graft.functions.SubwordCount]] — that one ships a checked-in unit
+  * inventory; this one learns the inventory from data).
+  *
+  * Classic word-level BPE (Sennrich et al. 2016, public algorithm): start
+  * from characters, repeatedly merge the globally most frequent adjacent
+  * symbol pair (weighted by word frequency), `nMerges` times.
+  *
+  * Distributed shape, per round:
+  *   - pair counting is one explode of adjacent symbol pairs over the
+  *     DISTINCT-word table (already tiny relative to the corpus — the raw
+  *     text is scanned exactly once, up front) + one map-side-combined
+  *     groupBy; the driver receives ONE row (the argmax pair);
+  *   - merge application is one narrow `regexp_replace` projection: words
+  *     are kept as separator-joined symbol strings, and the pattern
+  *     `\Q|a|b\E(?=\|)` anchors both symbol boundaries while the
+  *     lookahead leaves the trailing separator unconsumed, so consecutive
+  *     occurrences merge left-to-right exactly like the sequential
+  *     algorithm;
+  *   - `localCheckpoint` caps the plan at O(1) across rounds (the
+  *     `connectedComponents` loop pattern).
+  *
+  * At 100 TB: the corpus contributes one scan; every round then costs
+  * O(distinct words) — the standard practical trainer shape. Driver
+  * traffic is nMerges rows total (the model), never data. */
+object Bpe {
+
+  private val Sep = "|"
+
+  /** Learn `nMerges` merge rules from `text`. Returns (a, b, freq) in
+    * merge order. Deterministic: ties break lexicographically on (a, b),
+    * and pair frequencies are exact integers. Words containing the
+    * separator character are excluded (document the corpus accordingly). */
+  def train(df: DataFrame, text: Column, nMerges: Int): Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"nMerges $nMerges < 1")
+    var cur = df
+      .select(explode(split(text, " ")).as("w"))
+      .where(length(col("w")) >= 2 && !col("w").contains(Sep))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        concat(lit(Sep), array_join(split(col("w"), ""), Sep), lit(Sep)).as("s"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var exhausted = false
+    for (_ <- 0 until nMerges if !exhausted) {
+      val syms = filter(split(col("s"), "\\|"), x => length(x) > 0)
+      val top = cur
+        .select(col("cnt"), syms.as("syms"))
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(desc("freq"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is one symbol already
+      else {
+        val a: String = top(0).getAs[String]("a")
+        val b: String = top(0).getAs[String]("b")
+        val f: Long = top(0).getAs[Long]("freq")
+        merges += ((a, b, f))
+        val pat = java.util.regex.Pattern.quote(s"$Sep$a$Sep$b") + "(?=\\|)"
+        val rep = java.util.regex.Matcher.quoteReplacement(s"$Sep$a$b")
+        val next = cur
+          .select(col("cnt"), regexp_replace(col("s"), pat, rep).as("s"))
+          .localCheckpoint()
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    merges.result()
+  }
+
+  /** Apply learned merges to one word (BPE encode): start from characters,
+    * replay each merge left-to-right non-overlapping — the sequential
+    * mirror of the trainer's anchored regexp, used for parity tests and
+    * driver-side tokenization of small inputs. */
+  def segment(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = word.map(_.toString).toVector
+    merges.foreach { case (a, b) =>
+      if (syms.length >= 2) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+}

@@ -235,7 +235,22 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE merge training over the corpus ([[graft.api.Bpe]]): 8 learned
+    * merge rules as (step, a, b, freq). Rows-only at the driver gate —
+    * the iterative argmax is not one SQL statement — but the algorithm is
+    * pinned against a sequential reference implementation in `ApiSpec`
+    * (identical merges on the public worked-example corpus), and every
+    * per-round plan is a tiny groupBy over distinct words plus a narrow
+    * regexp projection. */
+  val qBpeTrain: QueryDef = QueryDef.rowsOnly("q_bpe_train") { (s, d) =>
+    import s.implicits._
+    graft.api.Bpe.train(Tables.documents(s, d), col("text"), nMerges = 8)
+      .zipWithIndex
+      .map { case ((a, b, f), i) => (i + 1, a, b, f) }
+      .toDF("step", "a", "b", "freq")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextStats, qLangId, qTextTf, qTextFingerprint, qTextTfidf, qQualityFilter,
-    qTextTokens)
+    qTextTokens, qBpeTrain)
 }

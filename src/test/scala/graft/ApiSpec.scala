@@ -269,6 +269,58 @@ class ApiSpec extends SparkSpec {
     assert(fit(1) == fit(7), "k-means fit must not depend on partition count")
   }
 
+  test("Bpe.train matches the sequential reference; learned merges segment correctly") {
+    import graft.api.Bpe
+    // the worked-example corpus shape from the public BPE algorithm:
+    // frequent suffixes (es, est) must win the early merges
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = corpus.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val merges = Bpe.train(df, col("text"), nMerges = 8)
+
+    // sequential reference: same counting (all adjacent positions,
+    // frequency-weighted), same lexicographic tie-break, same
+    // left-to-right non-overlapping merge
+    def mergeVec(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    var words = corpus.groupBy(identity).map { case (w, ws) =>
+      w.map(_.toString).toVector -> ws.size.toLong
+    }
+    val expected = List.newBuilder[(String, String, Long)]
+    for (_ <- 0 until 8) {
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          stats((syms(i), syms(i + 1))) = stats.getOrElse((syms(i), syms(i + 1)), 0L) + c
+          i += 1
+        }
+      }
+      if (stats.nonEmpty) {
+        val ((a, b), f) = stats.toSeq.minBy { case ((a, b), f) => (-f, a, b) }
+        expected += ((a, b, f))
+        words = words.toSeq.map { case (syms, c) => (mergeVec(syms, a, b), c) }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      }
+    }
+    assert(merges.toList == expected.result(),
+      s"distributed trainer diverged from the sequential algorithm: $merges")
+    // es (9, ties st, lex wins) must be the first merge
+    assert(merges.head._1 == "e" && merges.head._2 == "s" && merges.head._3 == 9L)
+    // encoding an UNSEEN word with the learned merges: lossless and compressed
+    val segs = Bpe.segment("lowest", merges.map(m => (m._1, m._2)))
+    assert(segs.mkString == "lowest", s"segmentation lost characters: $segs")
+    assert(segs.length < "lowest".length, s"learned merges failed to compress: $segs")
+  }
+
   test("Sampling: deterministic decisions, per-stratum rates in binomial bounds") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
