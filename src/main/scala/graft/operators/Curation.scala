@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.api.Curation
+import graft.functions.CrossHash._
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation suite over `documents` (SURVEY.md §2.B): the operators
+  * a training-data pipeline runs between ingest and dedup — repetition
+  * profiling (Gopher-style quality signals), overlapping token-window
+  * chunking, benchmark decontamination by n-gram overlap, sketch-pruned
+  * heavy hitters, and PII redaction. Implementations live in
+  * [[graft.api.Curation]]; this file instantiates them as oracle-gated
+  * queries.
+  *
+  * Reference provenance: the reference pipeline has no curation stage —
+  * these extend its surface with the LLM-data-pipeline operators the
+  * builder prompt declares first-class (dedup/quality adjacency:
+  * datastream-processing-main filters only on a guard predicate,
+  * FilterFunc.java:10-14; everything here is new capability).
+  */
+object Curation_ {
+
+  /** Gopher-style repetition signals: top-word fraction + duplicate
+    * 2-/3-gram fractions per document, with the keep/flag decision. */
+  val qRepetition: QueryDef = QueryDef.sql(
+    "q_repetition",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, w,
+      |         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg,
+      |         list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tg
+      |  FROM tok
+      |),
+      |st AS (
+      |  SELECT doc_id,
+      |         CAST(len(w) AS INTEGER) AS n_tokens,
+      |         CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w) AS top_word_frac,
+      |         CASE WHEN len(bg) > 0 THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) ELSE 0.0 END AS dup_bigram_frac,
+      |         CASE WHEN len(tg) > 0 THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg) ELSE 0.0 END AS dup_trigram_frac
+      |  FROM g
+      |)
+      |SELECT doc_id, n_tokens,
+      |       round(top_word_frac, 4) AS top_word_frac,
+      |       round(dup_bigram_frac, 4) AS dup_bigram_frac,
+      |       round(dup_trigram_frac, 4) AS dup_trigram_frac,
+      |       (top_word_frac > 0.2 OR dup_bigram_frac > 0.3) AS repetitive
+      |FROM st ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.repetitionSignals(Tables.documents(s, d), col("doc_id"), col("text"))
+      .select(
+        col("id").as("doc_id"), col("n_tokens"),
+        round(col("top_word_frac"), 4).as("top_word_frac"),
+        round(col("dup_bigram_frac"), 4).as("dup_bigram_frac"),
+        round(col("dup_trigram_frac"), 4).as("dup_trigram_frac"),
+        (col("top_word_frac") > 0.2 || col("dup_bigram_frac") > 0.3).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  /** Overlapping token-window chunking (size 32, stride 24): the fixed-
+    * context windows an embedding/training pipeline feeds a model. */
+  val qDocChunks: QueryDef = QueryDef.sql(
+    "q_doc_chunks",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start FROM t)
+      |SELECT doc_id,
+      |       CAST(start // 24 AS INTEGER) AS chunk_id,
+      |       CAST(least(len(w) - start, 32) AS INTEGER) AS n_toks,
+      |       array_to_string(w[start + 1 : start + 32], ' ') AS chunk
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    Curation.chunk(Tables.documents(s, d), col("doc_id"), col("text"),
+        size = 32, stride = 24)
+      .select(col("id").as("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        col("n_toks").cast("int").as("n_toks"), col("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Benchmark decontamination: every training doc (source ≠ src0) sharing
+    * ≥1 word 3-gram with the eval slice (source = src0), with its distinct
+    * overlap count. Eval fingerprints broadcast against the corpus. */
+  val qDecontaminate: QueryDef = QueryDef.sql(
+    "q_decontaminate",
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
+       |  FROM tok
+       |),
+       |hd AS (
+       |  SELECT DISTINCT doc_id, ${shingleHashSql("s")} AS hv
+       |  FROM sh, unnest(shingles) AS u(s)
+       |),
+       |ev AS (
+       |  SELECT DISTINCT hv FROM hd JOIN documents USING (doc_id) WHERE source = 'src0'
+       |)
+       |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM hd h JOIN documents d USING (doc_id)
+       |WHERE d.source <> 'src0' AND h.hv IN (SELECT hv FROM ev)
+       |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin) { (s, d) =>
+    Curation.decontaminate(Tables.documents(s, d), col("doc_id"), col("text"),
+        col("source") === "src0", n = 3)
+      .select(col("id").as("doc_id"), col("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Sketch-pruned heavy hitters: corpus words with exact frequency ≥ 1 %
+    * of all tokens. freqItems sketch prunes, exact count confirms — the
+    * output is exact no matter what the sketch emitted. */
+  val qHeavyHitters: QueryDef = QueryDef.sql(
+    "q_heavy_hitters",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |n AS (SELECT count(*) AS total FROM tok)
+      |SELECT word, count(*) AS cnt, round(CAST(count(*) AS DOUBLE) / max(total), 4) AS frac
+      |FROM tok CROSS JOIN n
+      |GROUP BY word
+      |HAVING count(*) * 100 >= max(total)
+      |ORDER BY cnt DESC, word""".stripMargin) { (s, d) =>
+    Curation.heavyHitters(Tables.documents(s, d), col("text"), pct = 1)
+      .select(col("word"), col("cnt"), round(col("frac"), 4).as("frac"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
+  /** PII redaction over a derived contact note (e-mail + phone + digit-run
+    * masking, applied in leak-safe order). The note derives from
+    * `customer` by pure column arithmetic, mirrored in the oracle, so the
+    * redaction rules fire on realistic shapes. */
+  val qPiiScrub: QueryDef = QueryDef.sql(
+    "q_pii_scrub",
+    """WITH contacts AS (
+      |  SELECT c_custkey,
+      |         'reach ' || c_name || ' at user' || c_custkey || '@example.com or +1-555-' ||
+      |           lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' re account ' ||
+      |           CAST(c_custkey * 7919 AS VARCHAR) AS note
+      |  FROM customer
+      |)
+      |SELECT c_custkey,
+      |       regexp_replace(
+      |         regexp_replace(
+      |           regexp_replace(note, '[a-z0-9._]+@[a-z0-9.-]+', '[EMAIL]', 'g'),
+      |           '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+      |         '[0-9]{5,}', '[ID]', 'g') AS scrubbed
+      |FROM contacts ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val note = concat(
+      lit("reach "), col("c_name"), lit(" at user"),
+      col("c_custkey").cast("string"), lit("@example.com or +1-555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" re account "), (col("c_custkey") * 7919).cast("string"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), Curation.scrubPii(note).as("scrubbed"))
+      .orderBy("c_custkey")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qRepetition, qDocChunks, qDecontaminate, qHeavyHitters, qPiiScrub)
+}

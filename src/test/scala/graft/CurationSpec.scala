@@ -1,0 +1,142 @@
+package graft
+
+import graft.api.Curation
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the curation suite (api/Curation.scala): planted-case
+  * semantics plus the plan shapes the 100 TB story depends on.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ---- repetition signals ------------------------------------------------
+
+  test("repetition: planted loop dominates every signal; clean doc stays clean") {
+    val d = docs(
+      1L -> "spam spam spam spam spam spam spam spam",
+      2L -> "one two three four five six seven eight")
+    val r = Curation.repetitionSignals(d, col("doc_id"), col("text"))
+      .orderBy("id").collect()
+
+    val loop = r(0)
+    assert(loop.getAs[Int]("n_tokens") == 8)
+    assert(loop.getAs[Double]("top_word_frac") == 1.0)
+    assert(loop.getAs[Double]("dup_bigram_frac") == 1.0 - 1.0 / 7)
+    assert(loop.getAs[Double]("dup_trigram_frac") == 1.0 - 1.0 / 6)
+
+    val clean = r(1)
+    assert(clean.getAs[Double]("top_word_frac") == 1.0 / 8)
+    assert(clean.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(clean.getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  test("repetition: single-word doc has zero gram fractions, not NaN") {
+    val r = Curation.repetitionSignals(docs(1L -> "solo"), col("doc_id"), col("text"))
+      .collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 1)
+    assert(r.getAs[Double]("top_word_frac") == 1.0)
+    assert(r.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(r.getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  // ---- chunking ----------------------------------------------------------
+
+  test("chunk: windows cover every token; overlap is size - stride") {
+    val words = (1 to 100).map(i => s"w$i")
+    val d = docs(1L -> words.mkString(" "))
+    val chunks = Curation.chunk(d, col("doc_id"), col("text"), size = 32, stride = 24)
+      .orderBy("chunk_id").collect()
+
+    // starts at 0, 24, 48, 72, 96 -> 5 chunks
+    assert(chunks.length == 5)
+    assert(chunks.map(_.getAs[Int]("n_toks")).toSeq == Seq(32, 32, 32, 28, 4))
+    // every chunk is the exact slice of the source
+    chunks.foreach { c =>
+      val start = c.getAs[Int]("chunk_id") * 24
+      val expect = words.slice(start, start + 32).mkString(" ")
+      assert(c.getAs[String]("chunk") == expect)
+    }
+    // coverage: union of [start, start+size) is [0, 100)
+    val covered = chunks.flatMap { c =>
+      val start = c.getAs[Int]("chunk_id") * 24
+      start until (start + c.getAs[Int]("n_toks"))
+    }.toSet
+    assert(covered == (0 until 100).toSet)
+  }
+
+  test("chunk: doc shorter than one window is a single short chunk") {
+    val chunks = Curation.chunk(docs(1L -> "a b c"), col("doc_id"), col("text"),
+      size = 32, stride = 24).collect()
+    assert(chunks.length == 1)
+    assert(chunks(0).getAs[Int]("n_toks") == 3)
+    assert(chunks(0).getAs[String]("chunk") == "a b c")
+  }
+
+  test("chunk plan: map-only — no shuffle anywhere") {
+    val d = Tables.documents(spark, sf())
+    val p = Curation.chunk(d, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking should be a narrow projection:\n$p")
+  }
+
+  // ---- decontamination ---------------------------------------------------
+
+  test("decontaminate: flags only true n-gram overlap, counts distinct shingles") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon", true),   // eval
+      (2L, "zeta eta theta iota kappa", false),        // clean train
+      (3L, "noise alpha beta gamma tail", false),      // one shared 3-gram
+      (4L, "alpha beta gamma delta junk", false)       // two shared 3-grams
+    ).toDF("doc_id", "text", "is_eval")
+    val r = Curation.decontaminate(d, col("doc_id"), col("text"), col("is_eval"))
+      .orderBy("id").collect()
+    assert(r.map(x => (x.getAs[Long]("id"), x.getAs[Long]("n_shared"))).toSeq ==
+      Seq((3L, 1L), (4L, 2L)))
+  }
+
+  test("decontaminate plan: eval fingerprints broadcast, corpus not reshuffled for the probe") {
+    val d = Tables.documents(spark, sf())
+    val p = Curation.decontaminate(d, col("doc_id"), col("text"),
+        col("source") === "src0")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-set probe should be a broadcast join:\n$p")
+  }
+
+  // ---- heavy hitters -----------------------------------------------------
+
+  test("heavyHitters: exact counts, exact threshold, sketch extras filtered out") {
+    // 100 tokens: "hot" x 30, "warm" x 10, 60 distinct cold words.
+    val text = (Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++
+      (1 to 60).map(i => s"cold$i")).mkString(" ")
+    val r = Curation.heavyHitters(docs(1L -> text), col("text"), pct = 10)
+      .orderBy(col("cnt").desc).collect()
+    assert(r.map(x => (x.getAs[String]("word"), x.getAs[Long]("cnt"))).toSeq ==
+      Seq(("hot", 30L), ("warm", 10L)))  // warm == exactly 10% kept
+    assert(r(0).getAs[Double]("frac") == 0.30)
+  }
+
+  // ---- PII scrub ---------------------------------------------------------
+
+  test("scrubPii: masks emails, phones, digit runs; leaves clean text alone") {
+    val rows = Seq(
+      "mail me at john.doe99@corp.example.org today",
+      "call +1-555-0199 or 44-555-0100 now",
+      "order 1234567890 shipped, ref 44",
+      "nothing sensitive here").toDF("t")
+    val out = rows.select(Curation.scrubPii(col("t")).as("s")).as[String].collect()
+    assert(out(0) == "mail me at [EMAIL] today")
+    assert(out(1) == "call [PHONE] or [PHONE] now")
+    assert(out(2) == "order [ID] shipped, ref 44")
+    assert(out(3) == "nothing sensitive here")
+  }
+
+  test("scrubPii: no digits of an email or phone survive partial masking") {
+    val out = Seq("a1b2@x.io +9-123-4567 123456")
+      .toDF("t").select(Curation.scrubPii(col("t")).as("s")).as[String].collect()(0)
+    assert(out == "[EMAIL] [PHONE] [ID]")
+  }
+}
