@@ -1,0 +1,61 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over plain (src, dst) edge DataFrames —
+  * PageRank here; connected components live in [[TextDedup.connectedComponents]].
+  *
+  * All rank arithmetic is INTEGER, in micro-units (1.0 → 1,000,000):
+  * per-edge contributions are `rank div out_degree` and the damping step is
+  * `150_000 + (850_000 * Σcontrib) div 1_000_000`. Floor division on
+  * non-negative longs is identical in every engine, so a fixed iteration
+  * count yields a bit-exact, oracle-replayable result — no float
+  * accumulation-order sensitivity, ever.
+  *
+  * Scale shape (100 TB of edges): the edge frame joins ranks on `src` each
+  * round. Edges are degree-annotated, hash-partitioned on `src` and
+  * persisted ONCE up front, so every iteration re-uses that layout and
+  * ships only the (node, rank) frame — 16 bytes/node — through the join;
+  * the transpose shuffle (groupBy `dst`) likewise carries 16-byte rows.
+  * Per round: one join + one aggregate, the Pregel communication pattern
+  * expressed relationally. `localCheckpoint` caps lineage at O(1) like the
+  * connected-components loop (api/TextDedup.scala).
+  */
+object Graph {
+
+  val Unit1: Long = 1000000L
+
+  /** Fixed-iteration integer PageRank with damping 0.85.
+    *
+    * `edges` must have long-typed `src`, `dst` columns. Every node is
+    * expected to appear as a source (feed symmetric edges if the raw
+    * relation is one-directional — also the standard dangling-node fix);
+    * nodes receiving no contributions in a round settle at the damping
+    * floor 150_000. Returns (node, rank) with Σrank ≤ nodes · 10^6
+    * (floor-division loss only).
+    */
+  def pageRankInt(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be 1..50, got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    // degree-annotated edges, laid out by src once, reused every round
+    val edgesDeg = graft.Persisting.maybe(
+      e.join(deg, "src").repartition(col("src")))
+    val nodes = graft.Persisting.maybe(e.select(col("src").as("node")).distinct())
+
+    var ranks = nodes.select(col("node"), lit(Unit1).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("r div d").as("contrib"))
+        .groupBy("node").agg(sum(col("contrib")).as("c"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          expr("150000L + (850000L * coalesce(c, 0L)) div 1000000L").as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+}
