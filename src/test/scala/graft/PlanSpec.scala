@@ -202,6 +202,15 @@ class PlanSpec extends SparkSpec {
       s"pivot lost partial aggregation:\n$p")
   }
 
+  test("profiler reads the table exactly once for every statistic") {
+    val p = planString(operators.Profiling.qProfile.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).length == 1,
+      s"profile must be a single pass over lineitem:\n$p")
+    assert(finalPlan.contains("Expand"),
+      s"multi-column exact distinct should go through one Expand, not re-scans:\n$p")
+  }
+
   test("corr moments shuffle 6 partials per group, single scan") {
     val p = planString(Analytic.qCorrStats.fn(spark, sf()))
     val finalPlan = p.split("== Initial Plan ==").head
