@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the `events` stream table (SURVEY.md
+  * §2.B): ordered funnel conversion and rolling anomaly detection.
+  *
+  * Reference provenance: the reference routes events one at a time with no
+  * cross-event state (DataStreamProcessingJob.java:42-64); sequence
+  * analytics over the same event stream is new engine capability.
+  *
+  * Determinism: the funnel compares timestamps only (exact in both
+  * engines); the anomaly detector runs entirely in BIGINT micro-units —
+  * `value` is quantized to milli-units once, and the z-score test
+  * `(x-μ)² > 9σ²` is cross-multiplied into pure integer arithmetic, so
+  * there is no floating point anywhere and no engine can drift. Both run
+  * overflow-checked (Spark ANSI, DuckDB always); bounds documented inline.
+  */
+object Sequence {
+
+  /** Ordered funnel signup → click → purchase, 7-day total window.
+    *
+    * Each step is the EARLIEST qualifying event strictly after the prior
+    * step — the standard funnel semantics (not mere presence of all three
+    * types). Three conditional-min aggregations chained by equi-joins on
+    * `user_id`; every join key is the grouping key, so at 100 TB the
+    * per-step aggregates co-partition and the chain is one shuffle wide,
+    * with each step's frame already reduced to ≤1 row per user before it
+    * joins.
+    */
+  val qFunnel: QueryDef = QueryDef.sql(
+    "q_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+      |),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |  GROUP BY e.user_id
+      |),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |  GROUP BY e.user_id
+      |)
+      |SELECT s1.user_id, s1.t1 AS signup_ts, s2.t2 AS click_ts, s3.t3 AS purchase_ts
+      |FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+      |        JOIN s3 ON s1.user_id = s3.user_id
+      |WHERE s3.t3 <= s1.t1 + INTERVAL 7 DAY
+      |ORDER BY s1.user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").as("e")
+      .join(s1.as("s1"), "user_id")
+      .filter(col("e.ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("e.ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").as("e")
+      .join(s2.as("s2"), "user_id")
+      .filter(col("e.ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("e.ts")).as("t3"))
+    s1.join(s2, "user_id").join(s3, "user_id")
+      .filter(col("t3") <= col("t1") + expr("INTERVAL 7 DAY"))
+      .select(col("user_id"), col("t1").as("signup_ts"),
+        col("t2").as("click_ts"), col("t3").as("purchase_ts"))
+      .orderBy("user_id")
+  }
+
+  /** Rolling z-score anomaly detection, exact integer arithmetic.
+    *
+    * Per user, ordered by (ts, event_id), each value is tested against the
+    * mean/variance of the preceding 20 observations (needs ≥ 10). The
+    * test `(x-μ)² > 9σ²` with μ = s1/n, σ² = (n·s2 − s1²)/(n·(n−1)) is
+    * cross-multiplied to
+    *   (n·x − s1)² · (n−1) > 9 · (n·s2 − s1²)
+    * — all BIGINT on milli-quantized values. Bounds: x ≤ 5·10⁵ (value ≤
+    * 490.02 → vi ≤ 490 020), n ≤ 20 ⇒ |n·x − s1| ≤ 2·10⁷, squared ≤
+    * 4·10¹⁴, ×19 < 10¹⁶; n·s2 ≤ 20·20·(5·10⁵)² = 10¹⁴, ×9 < 10¹⁵ — both
+    * far inside int64. The rolling window is one pass over a single
+    * shuffle on user_id; at 100 TB this is the streaming-friendly shape
+    * (same state as a watermarked per-key window).
+    */
+  val qAnomaly: QueryDef = QueryDef.sql(
+    "q_anomaly",
+    """WITH q AS (
+      |  SELECT event_id, user_id, ts,
+      |         CAST(round(value * 1000) AS BIGINT) AS vi
+      |  FROM events
+      |),
+      |w AS (
+      |  SELECT event_id, user_id, ts, vi,
+      |         count(*)   OVER win AS n,
+      |         sum(vi)    OVER win AS s1,
+      |         sum(vi*vi) OVER win AS s2
+      |  FROM q
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_id, user_id, ts,
+      |       round(vi / 1000.0, 3) AS value,
+      |       CAST(n AS BIGINT) AS n_baseline
+      |FROM w
+      |WHERE n >= 10
+      |  AND (n*vi - s1)*(n*vi - s1)*(n - 1) > 9 * n * (n*s2 - s1*s1)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-20, -1)
+    Tables.events(s, d)
+      .withColumn("vi", round(col("value") * 1000).cast("long"))
+      .withColumn("n", count(lit(1)).over(win))
+      .withColumn("s1", sum(col("vi")).over(win))
+      .withColumn("s2", sum(col("vi") * col("vi")).over(win))
+      .filter(col("n") >= 10 &&
+        (col("n") * col("vi") - col("s1")) * (col("n") * col("vi") - col("s1")) * (col("n") - 1) >
+          lit(9) * col("n") * (col("n") * col("s2") - col("s1") * col("s1")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("vi") / 1000.0, 3).as("value"),
+        col("n").as("n_baseline"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qFunnel, qAnomaly)
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{Maintenance, Sequence}
+import org.apache.spark.sql.functions._
+
+/** Semantics for the maintenance + sequence suites. Value parity is the
+  * DuckDB oracle's job; these pin the invariants the oracle can't see:
+  * partial-merge associativity under arbitrary splits, SCD2 interval
+  * integrity, funnel step ordering, and the anomaly test actually firing
+  * on a planted spike (and only above the baseline threshold).
+  */
+class MaintenanceSpec extends SparkSpec {
+
+  test("incr_agg: partial merge is split-point independent") {
+    // The query splits at 1997-06-01; the invariant is that ANY split
+    // produces the same merged result — prove it by comparing the query
+    // against a full single-pass recompute in Spark itself.
+    val merged = Maintenance.qIncrAgg.fn(spark, sf()).collect()
+    val full = Tables.lineitem(spark, sf())
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).as("sum_qty"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double"), 2).as("sum_rev"),
+        count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+          .as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect()
+    assert(merged.length == full.length && merged.nonEmpty)
+    merged.zip(full).foreach { case (m, f) =>
+      assert(m.toSeq == f.toSeq, s"merged $m != full $f")
+    }
+  }
+
+  test("scd2: intervals per customer are ordered, non-overlapping, exactly one current") {
+    val rows = Maintenance.qScd2.fn(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // o_orderdate reads back as TIMESTAMP_NTZ → java.time.LocalDateTime
+    def ts(r: org.apache.spark.sql.Row, c: String): java.time.LocalDateTime =
+      r.getAs[java.time.LocalDateTime](c)
+    rows.groupBy(_.getAs[Long]("custkey")).foreach { case (ck, hist) =>
+      val sorted = hist.sortBy(r => (ts(r, "valid_from"), r.getAs[Long]("change_key")))(
+        Ordering.Tuple2(Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _),
+          Ordering.Long))
+      // exactly one open interval, and it is the last one
+      assert(sorted.count(_.getAs[Boolean]("is_current")) == 1, s"cust $ck: current != 1")
+      assert(sorted.last.getAs[Boolean]("is_current"), s"cust $ck: current not last")
+      // each interval closes at the next interval's start; statuses alternate
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(ts(a, "valid_to") == ts(b, "valid_from"), s"cust $ck: gap/overlap")
+          assert(a.getAs[String]("status") != b.getAs[String]("status") ||
+            ts(a, "valid_from") == ts(b, "valid_from"),
+            s"cust $ck: consecutive intervals with same status on distinct dates")
+        case _ =>
+      }
+    }
+  }
+
+  test("funnel: steps are strictly ordered and inside the 7-day window") {
+    val rows = Sequence.qFunnel.fn(spark, sf()).collect()
+    assert(rows.nonEmpty, "no conversions at sf0.001 — funnel too strict?")
+    rows.foreach { r =>
+      val t1 = r.getAs[java.sql.Timestamp]("signup_ts").getTime
+      val t2 = r.getAs[java.sql.Timestamp]("click_ts").getTime
+      val t3 = r.getAs[java.sql.Timestamp]("purchase_ts").getTime
+      assert(t1 < t2 && t2 < t3, s"steps out of order: $r")
+      assert(t3 - t1 <= 7L * 24 * 3600 * 1000, s"window exceeded: $r")
+    }
+  }
+
+  test("funnel: presence without order does not convert") {
+    import spark.implicits._
+    // user 1: click BEFORE signup, purchase after — must not convert;
+    // user 2: proper order — converts.
+    val ev = Seq(
+      (1L, 1L, "click", "2024-01-01 00:00:00"),
+      (2L, 1L, "signup", "2024-01-02 00:00:00"),
+      (3L, 1L, "purchase", "2024-01-03 00:00:00"),
+      (4L, 2L, "signup", "2024-01-01 00:00:00"),
+      (5L, 2L, "click", "2024-01-02 00:00:00"),
+      (6L, 2L, "purchase", "2024-01-03 00:00:00"))
+      .toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", unix_timestamp(col("ts")) * 1000000000L) // nanos-as-long, like testdata
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Sequence.qFunnel.fn(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("user_id")).toSet == Set(2L),
+      s"expected only user 2 to convert, got ${out.mkString(",")}")
+  }
+
+  test("anomaly: planted spike fires, matching baseline does not") {
+    import spark.implicits._
+    // user 1: 20 steady values then one spike; user 2: 21 steady values.
+    val base = (1 to 20).map(i => (i.toLong, 1L, "view", f"2024-01-01 00:${i}%02d:00", 10.0))
+    val spike = Seq((21L, 1L, "view", "2024-01-01 00:21:00", 400.0))
+    val calm = (1 to 21).map(i => (100L + i, 2L, "view", f"2024-01-01 00:${i}%02d:00", 10.0))
+    val ev = (base ++ spike ++ calm)
+      .toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", unix_timestamp(col("ts_s").cast("timestamp")) * 1000000000L)
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("anomaly").toString
+    ev.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Sequence.qAnomaly.fn(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSet == Set(21L),
+      s"expected exactly the planted spike, got ${out.mkString(",")}")
+  }
+}

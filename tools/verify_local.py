@@ -10,14 +10,17 @@ Usage: python3 tools/verify_local.py [sfdir] [outdir] [--skip-spark]
 """
 import json, math, subprocess, sys
 
-SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+args = [a for a in sys.argv[1:] if a != "--skip-spark"]
+SFDIR = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+OUT = args[1] if len(args) > 1 else "/tmp/verify_out"
+ONLY = args[2] if len(args) > 2 else None  # comma-separated query names
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 if "--skip-spark" not in sys.argv:
+    filt = f" {ONLY}" if ONLY else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT}{filt}'],
         cwd="/root/repo", capture_output=True, text=True)
     tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
     if r.returncode != 0:
