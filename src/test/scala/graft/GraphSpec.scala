@@ -65,4 +65,36 @@ class GraphSpec extends SparkSpec {
     val r = Graph.pageRankInt(edges, iters = 10).collect()
     assert(r.length == 4)
   }
+
+  test("triangles: known graph — K4 plus a pendant edge") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles, each node in 3; node 5 in 0.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("u", "v")
+    val got = Graph.triangleNodeCounts(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
+  test("triangles: oriented algorithm matches naive u<v<w enumeration at sf0.001") {
+    val li = Tables.lineitem(spark, sf()).select("l_orderkey", "l_partkey").distinct()
+    val und = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+      .distinct().cache()
+    val oriented = Graph.triangleNodeCounts(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive: tri {a<b<c} iff all three edges present, per-node counts
+    val edges = und.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val naive = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val adj = edges.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+    for ((a, bs) <- adj; b <- bs; c <- adj.getOrElse(b, Set.empty)
+         if edges.contains((a, c))) {
+      naive(a) += 1; naive(b) += 1; naive(c) += 1
+    }
+    assert(oriented == naive.toMap, s"mismatch: oriented=$oriented naive=$naive")
+    assert(nodes.nonEmpty && naive.nonEmpty, "degenerate test: no triangles at sf0.001")
+  }
 }
