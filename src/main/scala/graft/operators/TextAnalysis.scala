@@ -250,7 +250,54 @@ object TextAnalysis {
       .toDF("step", "a", "b", "freq")
   }
 
+  /** Unigram language-model scoring: per-document average negative log
+    * likelihood under the corpus's own unigram distribution — the standard
+    * first-pass "perplexity" quality signal for training-data curation
+    * (rare-token-dense documents score high; boilerplate scores low).
+    *
+    * Float determinism across engines: the per-token value `ln(cnt)` is
+    * quantized ONCE to integer micro-nats (`round(ln(cnt)·10⁶)`), so the
+    * per-document aggregation is an exact BIGINT sum — no accumulation-
+    * order sensitivity in either engine. The only remaining float ops
+    * (`ln(T)` and one division per doc) are single deterministic
+    * expressions over identical inputs. At 100 TB the shape is one
+    * explode+map-side-combined count (the tf shuffle this suite already
+    * pays) plus a broadcast-sized vocabulary join back onto tokens.
+    */
+  val qLmScore: QueryDef = QueryDef.sql(
+    "q_lm_score",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |),
+      |cnt AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+      |tot AS (SELECT count(*) AS t FROM tok),
+      |per_doc AS (
+      |  SELECT tok.doc_id,
+      |         count(*) AS n_tokens,
+      |         sum(CAST(round(ln(cnt.c) * 1000000) AS BIGINT)) AS s_micro
+      |  FROM tok JOIN cnt USING (word)
+      |  GROUP BY tok.doc_id
+      |)
+      |SELECT doc_id, n_tokens,
+      |       round(ln(t) - (s_micro / 1000000.0) / n_tokens, 4) AS nll
+      |FROM per_doc CROSS JOIN tot
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val cnt = tok.groupBy("word").agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("t"))
+    val perDoc = tok.join(cnt, "word")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(round(log(col("c")) * 1000000).cast("long")).as("s_micro"))
+    perDoc.crossJoin(tot)
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("t")) - (col("s_micro") / 1000000.0) / col("n_tokens"), 4).as("nll"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextStats, qLangId, qTextTf, qTextFingerprint, qTextTfidf, qQualityFilter,
-    qTextTokens, qBpeTrain)
+    qTextTokens, qBpeTrain, qLmScore)
 }

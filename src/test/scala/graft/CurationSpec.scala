@@ -139,4 +139,28 @@ class CurationSpec extends SparkSpec {
       .toDF("t").select(Curation.scrubPii(col("t")).as("s")).as[String].collect()(0)
     assert(out == "[EMAIL] [PHONE] [ID]")
   }
+
+  test("lm score: rare-token documents score above boilerplate") {
+    val rows = Sequence_LmFixture.write(spark)
+    val out = graft.operators.TextAnalysis.qLmScore.fn(spark, rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("nll")).toMap
+    // doc 1 = the common word repeated; doc 2 = four unique words
+    assert(out(1L) < out(2L),
+      s"boilerplate must score below rare text: $out")
+  }
+}
+
+/** Tiny documents table fixture for the LM-score semantics test. */
+private object Sequence_LmFixture {
+  def write(spark: org.apache.spark.sql.SparkSession): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lmscore").toString
+    Seq(
+      (1L, "common common common common", "en", "srcA", 27L),
+      (2L, "quark zephyr oblique names", "en", "srcA", 26L),
+      (3L, "common quark common zephyr", "en", "srcA", 26L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
 }
