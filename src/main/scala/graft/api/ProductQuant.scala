@@ -1,0 +1,117 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for approximate nearest neighbor at memory
+  * scale: vectors compress to `m` one-byte codes (one per subspace), and
+  * query distance is approximated by table lookup (ADC — asymmetric
+  * distance computation) instead of touching the raw floats.
+  *
+  * Why this is the 100 TB ANN path beyond IVF: IVF prunes WHICH vectors a
+  * query scores, but each candidate still costs a full-dimension scan of
+  * the raw corpus. PQ shrinks the thing being scanned — a 64-dim float
+  * vector (256 B) becomes `m` codes (4 B here), so the scored
+  * representation of a 10⁹-vector corpus fits in cluster memory, and the
+  * per-candidate cost is `m` additions. Production systems (FAISS
+  * IVF-PQ) compose both; here each is its own oracle-gated operator.
+  *
+  * Determinism contract: every distance is computed in DECIMAL —
+  * components cast to DECIMAL(12,6), squared diffs exact at scale 12,
+  * sums exact — so assignment, codes, and ADC scores carry no float
+  * accumulation anywhere and the DuckDB oracle replays the whole thing
+  * (fit included) bit-for-bit. Centroid means round to 4 dp like
+  * [[VectorSearch.ivfFitKMeans]]; `+ 0.0` canonicalizes IEEE −0.0.
+  *
+  * Scale shape: fit moves only the model (m × k × subDim doubles per
+  * round) to the driver; assignment/encoding are narrow projections
+  * against literal centroids (no exchange); ADC is an explode to
+  * (id, sub, code) — 4 short rows per vector, never the raw vector —
+  * joined broadcast to the 160-entry LUT and re-summed map-side.
+  */
+object ProductQuant {
+
+  /** Trained codebooks: cents(sub)(cell)(dim), each a 4 dp double. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  /** Exact-decimal squared L2 distance between v's subspace `sub` slice
+    * and a centroid — [[graft.functions.PqDist2]] carries the centroid as
+    * a reference array (NOT literals), so the generated class is shared
+    * across Lloyd rounds instead of recompiling per round. */
+  private def dist2(v: Column, sub: Int, subDim: Int, cent: Array[Double]): Column =
+    graft.functions.PqExprs.pq_dist2(v, cent, sub * subDim)
+
+  /** Argmin cell for one subspace (ties → lowest cell id): one codegen'd
+    * narrow projection, centroids by reference. */
+  private def assign(v: Column, sub: Int, subDim: Int, cents: Array[Array[Double]]): Column =
+    graft.functions.PqExprs.pq_argmin(v, cents, sub * subDim)
+
+  /** Lloyd fit of `m` independent k-means codebooks on the subspace
+    * slices. Seeds: the `k` lowest-id vectors' slices (deterministic).
+    * Empty cells keep their previous centroid. */
+  def fit(corpus: DataFrame, m: Int, subDim: Int, k: Int, iters: Int = 2): Codebooks = {
+    require(m >= 1 && subDim >= 1 && k >= 2 && iters >= 1, "bad PQ params")
+    val seedRows = corpus.orderBy("id").select("v").limit(k).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seedRows.length == k, s"corpus smaller than k=$k")
+    var books: Codebooks =
+      Array.tabulate(m, k)((s, c) => seedRows(c).slice(s * subDim, (s + 1) * subDim))
+    for (_ <- 0 until iters) {
+      // all m assignments ride ONE corpus pass; the explode shuffles
+      // (sub, cell, dim)-keyed decimal partials, map-side combined
+      val withCells = corpus.select(
+        books.indices.map(s => assign(col("v"), s, subDim, books(s)).as(s"c$s")) :+ col("v"): _*)
+      val means = withCells
+        .select(col("*"), posexplode(col("v")).as(Seq("d0", "x")))
+        .select(
+          expr(s"d0 div $subDim").cast("int").as("sub"),
+          element_at(array(books.indices.map(s => col(s"c$s")): _*),
+            expr(s"d0 div $subDim").cast("int") + 1).as("cell"),
+          expr(s"d0 % $subDim").cast("int").as("dim"),
+          col("x"))
+        .groupBy("sub", "cell", "dim")
+        .agg((round(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4) + 0.0).as("c"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach(r => next(r.getAs[Int]("sub"))(r.getAs[Int]("cell"))(r.getAs[Int]("dim")) =
+        r.getAs[Double]("c"))
+      books = next
+    }
+    books
+  }
+
+  /** Encode: (id, sub, cell) — the compressed corpus, 4 rows per vector,
+    * raw floats left behind. */
+  def encode(corpus: DataFrame, books: Codebooks, subDim: Int): DataFrame =
+    corpus.select(col("id"),
+      posexplode(array(books.indices.map(s =>
+        assign(col("v"), s, subDim, books(s)).cast("int")): _*)).as(Seq("sub", "cell")))
+
+  /** ADC lookup table: (qid, sub, cell, d2) — m × k exact-decimal entries
+    * per query, computed from the query's raw slices. */
+  def lut(queries: DataFrame, books: Codebooks, subDim: Int): DataFrame =
+    queries.select(col("id").as("qid"),
+      explode(array((for {
+        s <- books.indices
+        c <- books(s).indices
+      } yield struct(lit(s).as("sub"), lit(c).as("cell"),
+        dist2(col("v"), s, subDim, books(s)(c)).as("d2"))): _*)).as("e"))
+      .select(col("qid"), col("e.sub"), col("e.cell"), col("e.d2"))
+
+  /** PQ-ADC top-k: approximate distances by code lookup, bounded-heap
+    * top-k per query (ascending distance, ties → lowest id). */
+  def adcTopK(codes: DataFrame, lutDf: DataFrame, k: Int): DataFrame = {
+    val scored = codes.join(broadcast(lutDf), Seq("sub", "cell"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy("qid", "id")
+      .agg(sum(col("d2")).as("d2"))
+    // heap wants DESC score; negate the (exact) distance for ranking only
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKAgg.top_k_agg(
+        (-col("d2")).cast("double"), col("id"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "x")))
+      .select(col("qid"), col("x.id").as("nid"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        (round(-col("x.score"), 4) + 0.0).as("dist2"))
+  }
+}

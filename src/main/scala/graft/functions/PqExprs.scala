@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, IntegerType}
+
+/** Product-quantization distance/assignment expressions.
+  *
+  * Decimal-exact PQ needs `(CAST(x AS DECIMAL(12,6)) − c)²` summed per
+  * subspace. Spelled as literal expression trees that is 16 × k decimal
+  * terms per subspace — and because each Lloyd round bakes NEW centroid
+  * literals into the tree, every round recompiles a giant generated
+  * class (measured: the janino time dwarfed the 2000-row data work).
+  * These expressions keep the centroids as REFERENCE arrays instead:
+  * the generated source is identical across rounds (janino cache hit,
+  * one compiled class ever), and the arithmetic runs in unscaled long
+  * micro-units — exactly the decimal values, since a DECIMAL(12,6) IS
+  * its unscaled 10⁻⁶ integer.
+  *
+  * Rounding parity: doubles convert to micros via
+  * `BigDecimal.valueOf(x).setScale(6, HALF_UP)` — the same path Spark's
+  * `Cast(DoubleType → DecimalType)` takes, so results are bit-identical
+  * to the literal-decimal formulation the DuckDB oracle replays.
+  * Squared-diff bounds: |x| ≤ 999 ⇒ |d| ≤ 2·10⁹... here inputs are unit
+  * vectors (|d| ≤ 2.4·10⁶), d² ≤ 6·10¹², × subDim ≪ 2⁶³ — no overflow.
+  */
+object PqMicro {
+
+  def micros(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  def toMicros(cents: Array[Array[Double]]): Array[Array[Long]] =
+    cents.map(_.map(micros))
+
+  /** Σ (x_i − c_i)² over the subspace, unscaled at 10⁻¹². */
+  def dist2Unscaled(v: ArrayData, off: Int, cent: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < cent.length) {
+      val d = micros(v.getDouble(off + i)) - cent(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Argmin cell over all centroids (ties → lowest cell id). */
+  def argmin(v: ArrayData, off: Int, cents: Array[Array[Long]]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var k = 0
+    while (k < cents.length) {
+      val d = dist2Unscaled(v, off, cents(k))
+      if (d < bestD) { bestD = d; best = k }
+      k += 1
+    }
+    best
+  }
+}
+
+/** Exact squared L2 between a vector's subspace slice and one centroid,
+  * as DECIMAL(38,12) — value-identical to the literal-decimal tree. */
+case class PqDist2(child: Expression, centMicros: Array[Long], offset: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DecimalType(38, 12)
+  override def prettyName: String = "pq_dist2"
+
+  override def nullSafeEval(v: Any): Any =
+    Decimal(PqMicro.dist2Unscaled(v.asInstanceOf[ArrayData], offset, centMicros), 38, 12)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.addReferenceObj("pqCent", centMicros, "long[]")
+      s"""${ev.value} = org.apache.spark.sql.types.Decimal.apply(
+         |  graft.functions.PqMicro.dist2Unscaled($v, $offset, $c), 38, 12);""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): PqDist2 =
+    copy(child = c)
+}
+
+/** Argmin centroid for one subspace — the PQ code, a narrow projection. */
+case class PqArgmin(child: Expression, centsMicros: Array[Array[Long]], offset: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "pq_argmin"
+
+  override def nullSafeEval(v: Any): Any =
+    PqMicro.argmin(v.asInstanceOf[ArrayData], offset, centsMicros)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.addReferenceObj("pqCents", centsMicros, "long[][]")
+      s"${ev.value} = graft.functions.PqMicro.argmin($v, $offset, $c);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): PqArgmin =
+    copy(child = c)
+}
+
+object PqExprs {
+  def pq_dist2(v: Column, cent: Array[Double], offset: Int): Column =
+    ColumnBridge.column(PqDist2(ColumnBridge.expression(v), PqMicro.toMicros(Array(cent))(0), offset))
+
+  def pq_argmin(v: Column, cents: Array[Array[Double]], offset: Int): Column =
+    ColumnBridge.column(PqArgmin(ColumnBridge.expression(v), PqMicro.toMicros(cents), offset))
+}

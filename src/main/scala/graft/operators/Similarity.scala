@@ -307,7 +307,105 @@ object Similarity {
       .orderBy("label", "dim")
   }
 
+  // ---- product quantization (q_pq_ann) ------------------------------------
+
+  private val PqM = 4        // subspaces
+  private val PqSub = 16     // dims per subspace
+  private val PqK = 8        // centroids per codebook
+  private val PqRounds = 2   // Lloyd rounds per codebook
+
+  /** Exact-decimal squared L2 between v's subspace slice (0-based `off`)
+    * and centroid list `c` — scale-12 decimal, associative, so a
+    * list_reduce fold equals Spark's expression-tree fold exactly. */
+  private def pqDistSql(v: String, off: Int, c: String): String =
+    s"list_reduce(list_transform(range(1, ${PqSub + 1}), i -> " +
+      s"(CAST($v[$off + i] AS DECIMAL(12,6)) - CAST($c[i] AS DECIMAL(12,6))) * " +
+      s"(CAST($v[$off + i] AS DECIMAL(12,6)) - CAST($c[i] AS DECIMAL(12,6)))), " +
+      "(acc, x) -> acc + x)"
+
+  /** One subspace's Lloyd fit + final code assignment + query LUT, as CTEs
+    * (the [[kmeansCtes]] pattern on the slice, L2 instead of cosine). */
+  private def pqCtes(s: Int): String = {
+    val off = s * PqSub
+    val seed =
+      s"""pq${s}c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         |         v[${off + 1}:${off + PqSub}] AS cv
+         |  FROM (SELECT * FROM n ORDER BY vec_id LIMIT $PqK)
+         |)""".stripMargin
+    val iters = (1 to PqRounds).map { t =>
+      val p = t - 1
+      s"""pq${s}a$t AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT n.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${pqDistSql("n.v", off, "c.cv")} ASC, c.cell) AS rn
+         |    FROM n, pq${s}c$p c) WHERE rn = 1
+         |),
+         |pq${s}m$t AS (
+         |  SELECT a.cell, CAST(g.dim AS INTEGER) AS dim,
+         |         round(CAST(sum(CAST(n.v[$off + g.dim + 1] AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) + 0.0 AS c
+         |  FROM pq${s}a$t a JOIN n ON n.vec_id = a.vec_id, (SELECT unnest(range(0, $PqSub)) AS dim) g
+         |  GROUP BY a.cell, g.dim
+         |),
+         |pq${s}c$t AS (
+         |  SELECT p.cell, COALESCE(m.cv, p.cv) AS cv
+         |  FROM pq${s}c$p p LEFT JOIN
+         |    (SELECT cell, list(c ORDER BY dim) AS cv FROM pq${s}m$t GROUP BY cell) m
+         |    ON m.cell = p.cell
+         |)""".stripMargin
+    }
+    val fin =
+      s"""pq${s}code AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT n.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY ${pqDistSql("n.v", off, "c.cv")} ASC, c.cell) AS rn
+         |    FROM n, pq${s}c$PqRounds c) WHERE rn = 1
+         |),
+         |pq${s}lut AS (
+         |  SELECT q.vec_id AS qid, c.cell, ${pqDistSql("q.v", off, "c.cv")} AS d2
+         |  FROM (SELECT * FROM n WHERE vec_id < 5) q, pq${s}c$PqRounds c
+         |)""".stripMargin
+    (seed +: iters :+ fin).mkString(",\n")
+  }
+
+  /** PQ-ADC approximate nearest neighbor ([[graft.api.ProductQuant]]):
+    * 4×16-dim codebooks (8 cells, 2 Lloyd rounds), corpus compressed to 4
+    * codes/vector, query distance = 4 LUT lookups. Entirely decimal-exact
+    * — fit, codes, and ADC scores replay in the oracle bit-for-bit. The
+    * memory-scale ANN path: the scored representation is 4 B/vector, so a
+    * 10⁹-vector corpus scans from RAM; compose with IVF cells to also cut
+    * the candidate count. */
+  val qPqAnn: QueryDef = QueryDef.sql(
+    "q_pq_ann",
+    s"""WITH $normedCte,
+       |${(0 until PqM).map(pqCtes).mkString(",\n")},
+       |k AS (${(0 until PqM).map(s => s"SELECT vec_id, $s AS sub, cell FROM pq${s}code").mkString("\n  UNION ALL ")}),
+       |l AS (${(0 until PqM).map(s => s"SELECT qid, $s AS sub, cell, d2 FROM pq${s}lut").mkString("\n  UNION ALL ")}),
+       |sc AS (
+       |  SELECT l.qid, k.vec_id AS nid, sum(l.d2) AS d2
+       |  FROM k JOIN l ON l.sub = k.sub AND l.cell = k.cell
+       |  WHERE k.vec_id <> l.qid
+       |  GROUP BY l.qid, k.vec_id
+       |)
+       |SELECT qid, nid, rnk, round(CAST(d2 AS DOUBLE), 4) + 0.0 AS dist2
+       |FROM (SELECT qid, nid, d2,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, nid) AS INTEGER) AS rnk
+       |      FROM sc)
+       |WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    import graft.api.ProductQuant
+    val n = graft.Persisting.maybe(normed(s, d))
+    val books = ProductQuant.fit(n, PqM, PqSub, PqK, PqRounds)
+    val codes = ProductQuant.encode(n, books, PqSub)
+    val lutDf = ProductQuant.lut(n.where(col("id") < 5), books, PqSub)
+    ProductQuant.adcTopK(codes, lutDf, k = 10)
+      .orderBy("qid", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qKmeansFit, qEmbedCentroids)
+    qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qKmeansFit, qEmbedCentroids,
+    qPqAnn)
 }
 

@@ -380,4 +380,35 @@ class ApiSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(dups.toSeq == Seq((10L, 13L)))
   }
+
+  test("ProductQuant: codes separate planted clusters; ADC recalls exact L2 neighbors") {
+    import graft.api.ProductQuant
+    // two tight clusters in 8 dims (2 subspaces × 4): PQ codes must give
+    // same-cluster vectors identical codes, and ADC ranking must put a
+    // query's own cluster ahead of the other one
+    def vec(cluster: Int, id: Long): Array[Float] =
+      Array.tabulate(8)(j => (cluster * 2.0 + 0.001 * ((id * 7 + j * 3) % 5)).toFloat)
+    val rows = (0L until 40L).map(i => (i, vec((i % 2).toInt, i)))
+    val n = VectorSearch.withNorm(rows.toDF("item", "emb"), col("item"), col("emb"))
+    val books = ProductQuant.fit(n, m = 2, subDim = 4, k = 4, iters = 3)
+    assert(books.length == 2 && books(0).length == 4 && books(0)(0).length == 4)
+
+    val codes = ProductQuant.encode(n, books, subDim = 4)
+      .groupBy("id").agg(sort_array(collect_list(struct(col("sub"), col("cell")))).as("c"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Any](1).toString).toMap
+    // k=4 cells over 2 clusters: a cluster may own several cells, but no
+    // code may be SHARED across clusters (cells are cluster-pure)
+    val evenCodes = codes.filter(_._1 % 2 == 0).values.toSet
+    val oddCodes = codes.filter(_._1 % 2 == 1).values.toSet
+    assert(evenCodes.intersect(oddCodes).isEmpty,
+      s"a PQ code crosses the planted clusters: even=$evenCodes odd=$oddCodes")
+
+    val lutDf = ProductQuant.lut(n.where(col("id") < 2), books, subDim = 4)
+    val top = ProductQuant.adcTopK(codes = ProductQuant.encode(n, books, subDim = 4),
+        lutDf = lutDf, k = 10)
+      .collect().groupBy(_.getAs[Long]("qid"))
+    // every retrieved neighbor of query 0 (cluster 0) is even, of 1 odd
+    top(0L).foreach(r => assert(r.getAs[Long]("nid") % 2 == 0, s"cross-cluster hit: $r"))
+    top(1L).foreach(r => assert(r.getAs[Long]("nid") % 2 == 1, s"cross-cluster hit: $r"))
+  }
 }
