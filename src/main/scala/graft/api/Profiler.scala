@@ -3,20 +3,28 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** One-pass table profiler: per-column null counts, exact distinct counts
-  * and min/max over an arbitrary column split (numeric / string /
-  * timestamp), emitted in long format — the `ANALYZE TABLE`-style summary
-  * a pipeline materializes before planning joins or layout.
+/** Table profiler: per-column null counts, exact distinct counts and
+  * min/max over an arbitrary column split (numeric / string / timestamp),
+  * emitted in long format — the `ANALYZE TABLE`-style summary a pipeline
+  * materializes before planning joins or layout.
   *
-  * Every statistic computes in ONE aggregate over ONE scan (pinned in
-  * `PlanSpec`): the multi-distinct goes through Catalyst's Expand
-  * (rows × #distinct-columns, still a single pass over the files, partial
-  * aggregation before the one shuffle), then the single result row
-  * explodes into per-column rows — driver never holds more than the
-  * profile itself. At 100 TB this is the cheapest complete profile
-  * possible without sketches; swap `count_distinct` for
-  * `approx_count_distinct` when ±2 % is acceptable and the Expand
-  * disappears entirely.
+  * Two passes, one per statistic family (pinned in `PlanSpec`):
+  *
+  *   1. nulls + min/max: ONE narrow aggregate over one scan — cheap,
+  *      codegen'd, map-side combined.
+  *   2. exact distincts: one scan exploded to (gid, value) pairs, then
+  *      distinct → count per gid. This replaces a single 23-aggregate
+  *      multi-`count_distinct` (Catalyst Expand ×7 with every aggregate
+  *      evaluated per expanded copy), which measured 7.9 s steady at
+  *      sf0.1 — the narrow two-level form is the same exact answer with
+  *      a map-side-combined (gid, value) shuffle that carries only
+  *      distinct pairs, and runs whole-stage-codegen'd.
+  *
+  * The per-column values are compared as canonical strings, which is
+  * injective within a column (gid separates columns, so cross-type
+  * collisions are impossible). At 100 TB this is the cheapest complete
+  * exact profile; swap stage 2 for `approx_count_distinct` inside stage 1
+  * when ±2 % is acceptable and the second scan disappears entirely.
   */
 object Profiler {
 
@@ -29,12 +37,10 @@ object Profiler {
     require(all.nonEmpty, "no columns to profile")
     require(all.distinct.size == all.size, "duplicate column in profile spec")
 
+    // pass 1: nulls + min/max, one narrow aggregate
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n_rows")) ++
-        all.flatMap { c =>
-          Seq(count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-            count_distinct(col(c)).as(s"${c}__distinct"))
-        } ++
+        all.map(c => count(when(col(c).isNull, 1)).as(s"${c}__nulls")) ++
         numeric.flatMap(c => Seq(
           min(col(c)).cast("double").as(s"${c}__min_n"),
           max(col(c)).cast("double").as(s"${c}__max_n"))) ++
@@ -44,16 +50,25 @@ object Profiler {
         timestamps.flatMap(c => Seq(
           date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}__min_s"),
           date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}__max_s")))
-
     val one = df.agg(aggs.head, aggs.tail: _*)
+
+    // pass 2: exact distincts as a narrow (gid, value) two-level aggregate
+    val pairs = all.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("gid"), col(c).cast("string").as("v"))
+    }
+    val dist = df.select(explode(array(pairs: _*)).as("e"))
+      .select(col("e.gid").as("gid"), col("e.v").as("v"))
+      .where(col("v").isNotNull)
+      .distinct()
+      .groupBy("gid").agg(count(lit(1)).as("n_distinct"))
 
     def row(c: String, minNum: Column, maxNum: Column,
         minStr: Column, maxStr: Column): Column =
       struct(
+        lit(all.indexOf(c)).as("gid"),
         lit(c).as("col_name"),
         col("n_rows"),
         col(s"${c}__nulls").as("n_nulls"),
-        col(s"${c}__distinct").as("n_distinct"),
         minNum.cast("double").as("min_num"),
         maxNum.cast("double").as("max_num"),
         minStr.cast("string").as("min_str"),
@@ -67,5 +82,9 @@ object Profiler {
           row(c, nullC, nullC, col(s"${c}__min_s"), col(s"${c}__max_s")))
 
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .join(broadcast(dist), Seq("gid"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
   }
 }

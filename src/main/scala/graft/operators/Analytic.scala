@@ -280,7 +280,37 @@ object Analytic {
       .orderBy("l_returnflag")
   }
 
+  /** Grouped top-k via the bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]): top-3 orders by price per priority.
+    * The window formulation (`row_number() OVER (PARTITION BY priority
+    * ORDER BY price DESC)`) shuffles EVERY order row to 5 reducers — a
+    * five-way sort of the whole table; the heap aggregate reduces each map
+    * partition to ≤ 3 rows per priority BEFORE the exchange, so the
+    * shuffle carries O(k × partitions) rows regardless of table size.
+    * Values and order are identical to the window form (the oracle). */
+  val qGroupedTopk: QueryDef = QueryDef.sql(
+    "q_grouped_topk",
+    """SELECT o_orderpriority AS priority, nid AS orderkey, rnk,
+      |       round(price, 2) AS price
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey AS nid, o_totalprice AS price,
+      |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3
+      |ORDER BY priority, rnk""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(graft.functions.TopKAgg.top_k_agg(
+        col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
+      .select(col("priority"), posexplode(col("tk")).as(Seq("pos", "x")))
+      .select(col("priority"), col("x.id").as("orderkey"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        round(col("x.score"), 2).as("price"))
+      .orderBy("priority", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qPivot, qAggCube, qPercentiles, qSampleStratified, qGapfill, qWindowDist,
-    qCorrStats)
+    qCorrStats, qGroupedTopk)
 }

@@ -119,5 +119,78 @@ object Maintenance {
       .orderBy("custkey", "valid_from", "change_key")
   }
 
-  val all: Seq[QueryDef] = Seq(qIncrAgg, qScd2)
+  /** MERGE / CDC-apply: a change feed (update / delete / insert ops) applied
+    * to a snapshot with one full-outer join — the standard relational
+    * lowering of `MERGE INTO` (what Delta's merge compiles to):
+    *   matched + U → new values; matched + D → drop; unmatched source → insert.
+    *
+    * The change feed derives deterministically from orders itself so the
+    * oracle can rebuild it: even keys get a 5 % price update, keys ≡ 5
+    * (mod 9) a delete, and keys ≡ 7 (mod 1000) reappear as inserts at
+    * key + 20 000 000. At 100 TB both sides hash-partition on the merge
+    * key — one co-partitioned shuffle join, no broadcast needed, and the
+    * output is write-ready partitioned by the same key.
+    */
+  val qMergeUpsert: QueryDef = QueryDef.sql(
+    "q_merge_upsert",
+    """WITH chg AS (
+      |  SELECT o_orderkey AS k, 'U' AS op,
+      |         CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * CAST(1.05 AS DECIMAL(3,2)), 2) AS DOUBLE) AS new_price,
+      |         o_orderstatus AS new_status
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 'D', NULL, NULL FROM orders WHERE o_orderkey % 9 = 5
+      |  UNION ALL
+      |  SELECT o_orderkey + 20000000, 'I',
+      |         CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE), o_orderstatus
+      |  FROM orders WHERE o_orderkey % 1000 = 7
+      |),
+      |m AS (
+      |  SELECT coalesce(c.k, t.o_orderkey) AS k,
+      |         c.op,
+      |         t.o_orderkey IS NOT NULL AS matched,
+      |         CASE WHEN c.op = 'U' THEN c.new_price
+      |              WHEN c.op = 'I' AND t.o_orderkey IS NULL THEN c.new_price
+      |              ELSE CAST(round(CAST(t.o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE) END AS price,
+      |         CASE WHEN c.op = 'U' THEN c.new_status
+      |              WHEN c.op = 'I' AND t.o_orderkey IS NULL THEN c.new_status
+      |              ELSE t.o_orderstatus END AS status
+      |  FROM orders t FULL OUTER JOIN chg c ON t.o_orderkey = c.k
+      |)
+      |SELECT k AS orderkey, status, price
+      |FROM m
+      |WHERE op IS DISTINCT FROM 'D' AND (op IS NOT NULL OR matched)
+      |ORDER BY orderkey""".stripMargin) { (s, d) =>
+    val t = Tables.orders(s, d)
+    val chg = t.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("k"), lit("U").as("op"),
+        round(col("o_totalprice").cast("decimal(18,6)") * lit(1.05).cast("decimal(3,2)"), 2)
+          .cast("double").as("new_price"),
+        col("o_orderstatus").as("new_status"))
+      .unionByName(t.filter(col("o_orderkey") % 9 === 5)
+        .select(col("o_orderkey").as("k"), lit("D").as("op"),
+          lit(null).cast("double").as("new_price"),
+          lit(null).cast("string").as("new_status")))
+      .unionByName(t.filter(col("o_orderkey") % 1000 === 7)
+        .select((col("o_orderkey") + 20000000L).as("k"), lit("I").as("op"),
+          round(col("o_totalprice").cast("decimal(18,6)"), 2).cast("double").as("new_price"),
+          col("o_orderstatus").as("new_status")))
+    t.join(chg, col("o_orderkey") === col("k"), "full_outer")
+      .select(
+        coalesce(col("k"), col("o_orderkey")).as("orderkey"),
+        col("op"),
+        col("o_orderkey").isNotNull.as("matched"),
+        when(col("op") === "U", col("new_price"))
+          .when(col("op") === "I" && col("o_orderkey").isNull, col("new_price"))
+          .otherwise(round(col("o_totalprice").cast("decimal(18,6)"), 2).cast("double"))
+          .as("price"),
+        when(col("op") === "U", col("new_status"))
+          .when(col("op") === "I" && col("o_orderkey").isNull, col("new_status"))
+          .otherwise(col("o_orderstatus")).as("status"))
+      .filter(!(col("op") <=> "D") && (col("op").isNotNull || col("matched")))
+      .select(col("orderkey"), col("status"), col("price"))
+      .orderBy("orderkey")
+  }
+
+  val all: Seq[QueryDef] = Seq(qIncrAgg, qScd2, qMergeUpsert)
 }
