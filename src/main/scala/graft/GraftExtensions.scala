@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, Md5Long56, SimhashAgg, SubwordCount, TopKAgg}
+import graft.functions.{DotProduct, Md5Long56, SimhashAgg, SortedIntersect, SubwordCount, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("subword_count"),
       new ExpressionInfo(classOf[SubwordCount].getName, "subword_count"),
       (args: Seq[Expression]) => SubwordCount(args.head)))
+    e.injectFunction((
+      new FunctionIdentifier("sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersect].getName, "sorted_intersect"),
+      (args: Seq[Expression]) => SortedIntersect(args(0), args(1))))
   }
 
   /** Shape parameters (bits, k) size the aggregation buffer, so they must

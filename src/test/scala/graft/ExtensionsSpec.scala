@@ -47,6 +47,10 @@ class ExtensionsSpec extends SparkSpec {
     // subword tokenizer from SQL == host function
     val sw = s.sql("SELECT subword_count('customer') AS c").head().getInt(0)
     assert(sw == graft.functions.SubwordCount.countWord("customer"))
+    val si = s.sql(
+      "SELECT sorted_intersect(array(1L, 3L, 5L, 7L), array(3L, 4L, 5L)) AS v")
+      .head().getSeq[Long](0)
+    assert(si == Seq(3L, 5L))
   }
 
   test("sliding windows over the delay stream (batch analog)") {
