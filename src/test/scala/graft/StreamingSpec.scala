@@ -444,4 +444,91 @@ class StreamingSpec extends SparkSpec {
     assert(afterFirst < expected, "first run should have stopped mid-stream")
     assert(total == expected, "restart must deliver exactly the remainder")
   }
+
+  test("streaming funnel: conversions equal the batch q_funnel on identical input") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StatefulOps.useRocksDbStateStore(spark)
+    try {
+      // ground truth: the oracle-gated batch query on sf0.001
+      val batch = operators.Sequence.qFunnel.fn(spark, sf()).collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("signup_ts").getTime,
+          r.getAs[java.sql.Timestamp]("click_ts").getTime,
+          r.getAs[java.sql.Timestamp]("purchase_ts").getTime)).toSet
+      assert(batch.nonEmpty, "degenerate: no batch conversions at sf0.001")
+
+      // delivered in event-time order (an in-order stream) so the 1 s
+      // lateness allowance drops nothing; cross-batch assembly still
+      // exercised by the chunking
+      val evts = Tables.events(spark, sf())
+        .select("user_id", "ts", "event_type").collect()
+        .map(r => UserEvent(r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("ts"), r.getAs[String]("event_type")))
+        .sortBy(_.event_time.getTime)
+      val maxTs = evts.map(_.event_time.getTime).max
+
+      val input = MemoryStream[UserEvent](spark)
+      val q = StreamFunnel.conversions(spark, input.toDS(), watermark = "1 second")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("funnelstream").start()
+      // three uneven chunks: conversions must assemble across batches
+      evts.grouped(evts.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+      // advance the watermark past every user's window close, then one
+      // more batch so the armed timers actually fire
+      def term(t: Long) = UserEvent(-1L,
+        new java.sql.Timestamp(t), "purchase")
+      input.addData(term(maxTs + 8L * 24 * 3600 * 1000)); q.processAllAvailable()
+      input.addData(term(maxTs + 9L * 24 * 3600 * 1000)); q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("funnelstream").as[Conversion].collect()
+        .map(c => (c.user_id, c.signup_ts.getTime, c.click_ts.getTime,
+          c.purchase_ts.getTime)).toSet
+      assert(streamed == batch,
+        s"stream/batch mismatch: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming funnel: out-of-order signup retroactively requalifies the click") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StatefulOps.useRocksDbStateStore(spark)
+    try {
+      val input = MemoryStream[UserEvent](spark)
+      // 60 s lateness allowance: the signup arrives one batch later with
+      // an event time 20 s older than the stream head
+      val q = StreamFunnel.conversions(spark, input.toDS(),
+          windowMs = 1000L * 100, watermark = "60 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("funnelooo").start()
+      def ev(u: Long, sec: Long, t: String) =
+        UserEvent(u, new java.sql.Timestamp(sec * 1000), t)
+      // batch 1: click@20, purchase@30 — no signup yet, nothing decidable
+      input.addData(ev(1, 20, "click"), ev(1, 30, "purchase"))
+      q.processAllAvailable()
+      // batch 2: the signup arrives LATE with an EARLIER time (@10) — the
+      // click@20 now qualifies; a per-event state machine would have
+      // dropped it
+      input.addData(ev(1, 10, "signup"))
+      q.processAllAvailable()
+      input.addData(ev(2, 500, "purchase")); q.processAllAvailable()
+      input.addData(ev(2, 600, "purchase")); q.processAllAvailable()
+      q.stop()
+      val out = spark.table("funnelooo").as[Conversion].collect()
+      assert(out.map(c => (c.user_id, c.signup_ts.getTime, c.click_ts.getTime,
+        c.purchase_ts.getTime)).toSet == Set((1L, 10000L, 20000L, 30000L)),
+        s"late signup must requalify the funnel: ${out.mkString(",")}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
