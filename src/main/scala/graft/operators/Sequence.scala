@@ -111,9 +111,13 @@ object Sequence {
       .rowsBetween(-20, -1)
     Tables.events(s, d)
       .withColumn("vi", round(col("value") * 1000).cast("long"))
+      // vi² materialized BEFORE the window: all three rolling aggregates
+      // then share ONE Window node (a windowed sum over an expression
+      // forces Spark to split a second Window for the pre-projection)
+      .withColumn("vi2", col("vi") * col("vi"))
       .withColumn("n", count(lit(1)).over(win))
       .withColumn("s1", sum(col("vi")).over(win))
-      .withColumn("s2", sum(col("vi") * col("vi")).over(win))
+      .withColumn("s2", sum(col("vi2")).over(win))
       .filter(col("n") >= 10 &&
         (col("n") * col("vi") - col("s1")) * (col("n") * col("vi") - col("s1")) * (col("n") - 1) >
           lit(9) * col("n") * (col("n") * col("s2") - col("s1") * col("s1")))

@@ -295,4 +295,49 @@ class PlanSpec extends SparkSpec {
       assert(df.head().getDouble(0) == 11.0)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", codegenOff)
   }
+
+  test("scd2: both window passes share one hash exchange on custkey") {
+    import org.apache.spark.sql.functions.col
+    val p = planString(Maintenance.qScd2.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(hashEx == 1,
+      s"lag + lead partition identically; expected ONE hash exchange, got $hashEx:\n$p")
+  }
+
+  test("anomaly: one window pass, one shuffle, no joins") {
+    val p = planString(Sequence.qAnomaly.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("Window \\[".r.findAllIn(finalPlan).length == 1,
+      s"rolling stats must ride a single Window node:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).length == 1,
+      s"anomaly must shuffle once on user_id:\n$p")
+    assert(!finalPlan.contains("Join"), s"anomaly needs no join:\n$p")
+  }
+
+  test("funnel: no cartesian/nested-loop; steps pre-aggregate before joining") {
+    val p = planString(Sequence.qFunnel.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("NestedLoop") && !finalPlan.contains("Cartesian"),
+      s"funnel fell back to a quadratic join:\n$p")
+    // conditional-min per step: partial aggregation runs before each join
+    assert(finalPlan.contains("partial_min") || finalPlan.contains("partial"),
+      s"step minima not map-side combined:\n$p")
+  }
+
+  test("incr_agg: partials map-side combined in both slices") {
+    val p = planString(Maintenance.qIncrAgg.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_sum") || finalPlan.contains("partial"),
+      s"partial aggregation missing:\n$p")
+  }
+
+  test("grouped top-k: heap aggregate replaces the window sort") {
+    val p = planString(Analytic.qGroupedTopk.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("top_k_agg"), s"TopKAgg missing:\n$p")
+    assert(!finalPlan.contains("RunningWindowFunction") &&
+      !finalPlan.contains("row_number"),
+      s"grouped top-k must not fall back to a window sort:\n$p")
+  }
 }
