@@ -105,7 +105,25 @@ object ProductQuant {
       .filter(col("id") =!= col("qid"))
       .groupBy("qid", "id")
       .agg(sum(col("d2")).as("d2"))
-    // heap wants DESC score; negate the (exact) distance for ranking only
+    rank(scored, k)
+  }
+
+  /** ADC restricted to a candidate set (qid, id) — the IVF-PQ composition:
+    * IVF decides WHICH vectors a query scores, PQ decides how cheaply.
+    * The candidate join keys on id; the LUT join is (qid, sub, cell)
+    * broadcast; distances stay exact-decimal. */
+  def adcTopKCandidates(codes: DataFrame, lutDf: DataFrame,
+      cand: DataFrame, k: Int): DataFrame = {
+    val scored = cand.join(codes, "id")
+      .join(broadcast(lutDf), Seq("qid", "sub", "cell"))
+      .groupBy("qid", "id")
+      .agg(sum(col("d2")).as("d2"))
+    rank(scored, k)
+  }
+
+  /** Bounded-heap finalization shared by both search shapes: heap wants
+    * DESC score, so the (exact) distance is negated for ranking only. */
+  private def rank(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("qid")
       .agg(graft.functions.TopKAgg.top_k_agg(
         (-col("d2")).cast("double"), col("id"), k).as("tk"))
@@ -113,5 +131,4 @@ object ProductQuant {
       .select(col("qid"), col("x.id").as("nid"),
         (col("pos") + 1).cast("int").as("rnk"),
         (round(-col("x.score"), 4) + 0.0).as("dist2"))
-  }
 }

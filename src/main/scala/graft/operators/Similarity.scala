@@ -404,8 +404,75 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF-PQ composition — the FAISS-style production ANN shape: the IVF
+    * coarse quantizer (trained, nprobe=2) decides WHICH vectors a query
+    * scores, and PQ codes decide how cheaply each candidate is scored
+    * (4 LUT lookups, no raw floats). At 10⁹ vectors this is the
+    * difference between scanning 256 B/vector over 1/nCells of the corpus
+    * and scanning 4 B/vector over it. Both trained models and the ADC
+    * ranking replay in the oracle: IVF cells via the cosine k-means CTEs,
+    * PQ codebooks via the decimal Lloyd CTEs, candidates = probed-cell
+    * members, distances = exact-decimal LUT sums. */
+  val qIvfPqAnn: QueryDef = QueryDef.sql(
+    "q_ivfpq_ann",
+    s"""WITH $normedCte,
+       |${kmeansCtes(nCells = 8, rounds = 2)},
+       |${(0 until PqM).map(pqCtes).mkString(",\n")},
+       |cc AS (
+       |  SELECT n.vec_id, c.cell, ${dotSql("n.v", "c.v")} / (n.nrm * c.nrm) AS ccos
+       |  FROM n, cn2 c
+       |),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM cc)
+       |  WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM cc WHERE vec_id < 5)
+       |  WHERE rn <= 2
+       |),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |),
+       |k AS (${(0 until PqM).map(s => s"SELECT vec_id, $s AS sub, cell FROM pq${s}code").mkString("\n  UNION ALL ")}),
+       |l AS (${(0 until PqM).map(s => s"SELECT qid, $s AS sub, cell, d2 FROM pq${s}lut").mkString("\n  UNION ALL ")}),
+       |sc AS (
+       |  SELECT c.qid, c.nid, sum(l.d2) AS d2
+       |  FROM cand c
+       |  JOIN k ON k.vec_id = c.nid
+       |  JOIN l ON l.qid = c.qid AND l.sub = k.sub AND l.cell = k.cell
+       |  GROUP BY c.qid, c.nid
+       |)
+       |SELECT qid, nid, rnk, round(CAST(d2 AS DOUBLE), 4) + 0.0 AS dist2
+       |FROM (SELECT qid, nid, d2,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, nid) AS INTEGER) AS rnk
+       |      FROM sc)
+       |WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    import graft.api.{ProductQuant, VectorSearch}
+    val n = graft.Persisting.maybe(normed(s, d))
+    val cents = VectorSearch.ivfFitKMeans(n, nCells = 8, iters = 2)
+    val assigned = VectorSearch.ivfAssign(n, cents)
+    val books = ProductQuant.fit(n, PqM, PqSub, PqK, PqRounds)
+    val codes = ProductQuant.encode(n, books, PqSub)
+    val q = n.where(col("id") < 5)
+    val probes = VectorSearch.ivfProbes(q, cents, nprobe = 2)
+      .select(col("id").as("qid"), col("pcell"))
+    val cand = assigned
+      .join(broadcast(probes), col("cell") === col("pcell") && col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
+    ProductQuant.adcTopKCandidates(codes, ProductQuant.lut(q, books, PqSub), cand, k = 10)
+      .orderBy("qid", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qKmeansFit, qEmbedCentroids,
-    qPqAnn)
+    qPqAnn, qIvfPqAnn)
 }
 

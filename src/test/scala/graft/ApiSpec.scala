@@ -411,4 +411,34 @@ class ApiSpec extends SparkSpec {
     top(0L).foreach(r => assert(r.getAs[Long]("nid") % 2 == 0, s"cross-cluster hit: $r"))
     top(1L).foreach(r => assert(r.getAs[Long]("nid") % 2 == 1, s"cross-cluster hit: $r"))
   }
+
+  test("IVF-PQ composition: every hit comes from a probed cell, scored by codes") {
+    import graft.api.ProductQuant
+    val n = VectorSearch.withNorm(
+      Tables.embeddings(spark, sf()), col("vec_id"), col("embedding")).cache()
+    val cents = VectorSearch.ivfFitKMeans(n, nCells = 4, iters = 2)
+    val assigned = VectorSearch.ivfAssign(n, cents)
+    val books = ProductQuant.fit(n, m = 4, subDim = 16, k = 8, iters = 2)
+    val q = n.where(col("id") < 3)
+    val probes = VectorSearch.ivfProbes(q, cents, nprobe = 2)
+      .select(col("id").as("qid"), col("pcell"))
+    val cand = assigned
+      .join(broadcast(probes), col("cell") === col("pcell") && col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
+    val hits = ProductQuant.adcTopKCandidates(
+      ProductQuant.encode(n, books, 16), ProductQuant.lut(q, books, 16), cand, k = 5)
+      .collect()
+    assert(hits.nonEmpty)
+    val cellOf = assigned.select("id", "cell").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("cell")).toMap
+    val probed = probes.collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Int]("pcell"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    hits.foreach { h =>
+      val (qid, nid) = (h.getAs[Long]("qid"), h.getAs[Long]("nid"))
+      assert(probed(qid).contains(cellOf(nid)),
+        s"hit $nid for query $qid came from unprobed cell ${cellOf(nid)}")
+    }
+    n.unpersist()
+  }
 }
