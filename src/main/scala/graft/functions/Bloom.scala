@@ -50,7 +50,7 @@ object Bloom {
     Array.fill(bytes.length / 8)(bb.getLong())
   }
 
-  private[functions] def set(words: Array[Long], h: Long, k: Int): Unit = {
+  private[graft] def set(words: Array[Long], h: Long, k: Int): Unit = {
     val m = words.length.toLong * 64
     val h2 = (h >>> 33) | 1L
     var i = 0
@@ -61,7 +61,7 @@ object Bloom {
     }
   }
 
-  private[functions] def contains(words: Array[Long], h: Long, k: Int): Boolean = {
+  private[graft] def contains(words: Array[Long], h: Long, k: Int): Boolean = {
     val m = words.length.toLong * 64
     val h2 = (h >>> 33) | 1L
     var i = 0
