@@ -77,7 +77,13 @@ object GraphOps {
     */
   val qTriangles: QueryDef = QueryDef.sql(
     "q_triangles",
-    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    """WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |bigord AS (
+      |  SELECT l_orderkey FROM li0 GROUP BY l_orderkey HAVING count(*) > 100
+      |),
+      |li AS (
+      |  SELECT * FROM li0 WHERE l_orderkey NOT IN (SELECT l_orderkey FROM bigord)
+      |),
       |e0 AS (
       |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
@@ -103,7 +109,13 @@ object GraphOps {
       |GROUP BY node
       |ORDER BY tri_cnt DESC, part_id
       |LIMIT 100""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    // the pair generation is quadratic PER ORDER — a degenerate order with
+    // 10⁴ lines would emit C(10⁴,2) pairs alone. BucketCap excludes such
+    // orders (a no-op on TPC-H-shaped data: ≤ 7 lines/order), mirrored in
+    // the oracle so both engines compute the identical graph at any SF.
+    val li = graft.api.BucketCap.cap(
+      Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct(),
+      Seq("l_orderkey"), maxBucket = 100)
     val und = li.as("x").join(li.as("y"),
         col("x.l_orderkey") === col("y.l_orderkey") &&
           col("x.l_partkey") < col("y.l_partkey"))
