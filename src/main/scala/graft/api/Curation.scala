@@ -156,4 +156,42 @@ object Curation {
         regexp_replace(text, "[a-z0-9._]+@[a-z0-9.-]+", "[EMAIL]"),
         "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
       "[0-9]{5,}", "[ID]")
+
+  /** Sequence packing for pretraining: the corpus's token stream (docs
+    * concatenated in `id` order) is cut into fixed `capacity`-token bins,
+    * and each document is mapped to its (start_bin, start_off, end_bin)
+    * coordinates — documents cross bin boundaries, exactly like packed
+    * pretraining batches.
+    *
+    * The global prefix sum is computed in the scalable TWO-PHASE shape,
+    * not one unpartitioned window (whose parallelism is a single
+    * reducer): (1) per-bucket token totals (`id div bucketSize`), (2) a
+    * model-sized running total over bucket ids, (3) a within-bucket
+    * running total partitioned by bucket — the classic distributed
+    * prefix-sum expressed relationally. All integer arithmetic.
+    */
+  def pack(df: DataFrame, id: Column, text: Column,
+      capacity: Int = 512, bucketSize: Int = 100): DataFrame = {
+    require(capacity >= 1 && bucketSize >= 1, "bad pack params")
+    val toks = df.select(id.as("id"),
+      size(split(text, " ")).cast("long").as("n"))
+      .withColumn("bucket", expr(s"id div $bucketSize"))
+    val boff = toks.groupBy("bucket").agg(sum(col("n")).as("bn"))
+      .withColumn("boff",
+        coalesce(sum(col("bn")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("bucket")
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("bucket", "boff")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("id")
+    toks.join(boff, "bucket")
+      .withColumn("wcum", sum(col("n")).over(w))
+      .withColumn("sprev", col("boff") + col("wcum") - col("n"))
+      .select(
+        col("id"), col("n").as("n_tokens"),
+        expr(s"sprev div $capacity").as("start_bin"),
+        expr(s"sprev % $capacity").as("start_off"),
+        expr(s"(sprev + n - 1) div $capacity").as("end_bin"))
+      .withColumn("spans_bins", col("end_bin") > col("start_bin"))
+  }
 }

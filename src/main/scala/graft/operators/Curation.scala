@@ -148,6 +148,48 @@ object Curation_ {
       .orderBy("c_custkey")
   }
 
+  /** Sequence packing ([[Curation.pack]]): documents concatenated in id
+    * order, cut into 512-token bins, each doc mapped to its bin
+    * coordinates (crossing boundaries like packed pretraining batches).
+    * The global prefix sum runs in the scalable two-phase shape — bucket
+    * partials + a model-sized bucket running total + within-bucket
+    * windows — never one single-reducer global window. Integer-exact. */
+  val qPack: QueryDef = QueryDef.sql(
+    "q_pack",
+    """WITH t AS (
+      |  SELECT doc_id AS id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |         doc_id // 100 AS bucket
+      |  FROM documents
+      |),
+      |b AS (SELECT bucket, sum(n) AS bn FROM t GROUP BY bucket),
+      |bo AS (
+      |  SELECT bucket,
+      |         CAST(COALESCE(sum(bn) OVER (ORDER BY bucket
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS boff
+      |  FROM b
+      |),
+      |wc AS (
+      |  SELECT id, n, bucket,
+      |         CAST(sum(n) OVER (PARTITION BY bucket ORDER BY id) AS BIGINT) AS wcum
+      |  FROM t
+      |),
+      |s AS (
+      |  SELECT wc.id, wc.n, bo.boff + wc.wcum - wc.n AS sprev
+      |  FROM wc JOIN bo ON bo.bucket = wc.bucket
+      |)
+      |SELECT id AS doc_id, n AS n_tokens,
+      |       CAST(sprev // 512 AS BIGINT) AS start_bin,
+      |       CAST(sprev % 512 AS BIGINT) AS start_off,
+      |       CAST((sprev + n - 1) // 512 AS BIGINT) AS end_bin,
+      |       ((sprev + n - 1) // 512) > (sprev // 512) AS spans_bins
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.pack(Tables.documents(s, d), col("doc_id"), col("text"),
+        capacity = 512, bucketSize = 100)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("start_bin"),
+        col("start_off"), col("end_bin"), col("spans_bins"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qRepetition, qDocChunks, qDecontaminate, qHeavyHitters, qPiiScrub)
+    Seq(qRepetition, qDocChunks, qDecontaminate, qHeavyHitters, qPiiScrub, qPack)
 }

@@ -140,6 +140,24 @@ class CurationSpec extends SparkSpec {
     assert(out == "[EMAIL] [PHONE] [ID]")
   }
 
+  test("pack: contiguous gapless token stream, bin capacity respected") {
+    val rows = graft.operators.Curation_.qPack.fn(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    // documents tile the token stream exactly: doc i+1 starts where doc i
+    // ended, the first doc starts at (0, 0), offsets stay < capacity
+    var expectStart = 0L
+    rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+      val start = r.getAs[Long]("start_bin") * 512 + r.getAs[Long]("start_off")
+      assert(start == expectStart, s"gap before doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("start_off") >= 0 && r.getAs[Long]("start_off") < 512)
+      val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("end_bin") == (start + n - 1) / 512)
+      assert(r.getAs[Boolean]("spans_bins") ==
+        (r.getAs[Long]("end_bin") > r.getAs[Long]("start_bin")))
+      expectStart = start + n
+    }
+  }
+
   test("lm score: rare-token documents score above boilerplate") {
     val rows = Sequence_LmFixture.write(spark)
     val out = graft.operators.TextAnalysis.qLmScore.fn(spark, rows).collect()
