@@ -32,4 +32,32 @@ object Sampling {
     * .otherwise(1000)` with mod=1000 keeps 5% of English, all else). */
   def stratified(df: DataFrame, rateOutOf: Column, mod: Int, keys: Column*): DataFrame =
     df.where(bucket(mod, keys: _*) < rateOutOf)
+
+  /** Domain-mixture resampling with EXACT quotas: downsample each stratum
+    * so kept counts are proportional to integer `weight`, at the largest
+    * total the corpus supports without upsampling any stratum
+    * (K = min⌊count_s / w_s⌋, quota_s = w_s · K — all integer, no float
+    * rates). Selection inside a stratum is the deterministic hash order
+    * (md5 of the id, ties → id), so the sample is reproducible across
+    * runs, retries, and engines — Bernoulli rates would only hit quotas
+    * in expectation.
+    *
+    * Scale shape: one groupBy for counts, the model-sized K reduction
+    * broadcast back, one rank window per stratum (the same shuffle key as
+    * the counts). Returns the kept rows with (stratum count, quota, rank).
+    */
+  def mixture(df: DataFrame, id: Column, stratum: Column, weight: Column): DataFrame = {
+    val rows = df.select(id.as("id"), stratum.as("stratum"), weight.cast("long").as("w"))
+    val counts = rows.groupBy("stratum").agg(
+      count(lit(1)).as("n_avail"), min(col("w")).as("w0"))
+    val k = counts.agg(min(expr("n_avail div w0")).as("k"))
+    val quotas = counts.crossJoin(k)
+      .select(col("stratum"), col("n_avail"), (col("w0") * col("k")).as("quota"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(CrossHash.md5Long(col("id").cast("string")), col("id"))
+    rows.join(quotas, "stratum")
+      .withColumn("rnk", row_number().over(rank).cast("long"))
+      .where(col("rnk") <= col("quota"))
+      .select(col("id"), col("stratum"), col("n_avail"), col("quota"), col("rnk"))
+  }
 }

@@ -190,6 +190,40 @@ object Curation_ {
       .orderBy("doc_id")
   }
 
+  /** Domain-mixture resampling ([[graft.api.Sampling.mixture]]): even-
+    * numbered sources get weight 3, odd weight 1; each source keeps an
+    * EXACT quota proportional to its weight at the largest total the
+    * corpus supports without upsampling, selected in deterministic
+    * md5-hash order. The "data mixing" step between curation and
+    * training, with quotas integer-exact and the selection replayable by
+    * the oracle. */
+  val qMixture: QueryDef = QueryDef.sql(
+    "q_mixture",
+    s"""WITH r AS (
+       |  SELECT doc_id AS id, source AS stratum,
+       |         CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0 THEN 3 ELSE 1 END AS w
+       |  FROM documents
+       |),
+       |c AS (SELECT stratum, count(*) AS n_avail, min(w) AS w0 FROM r GROUP BY stratum),
+       |k AS (SELECT min(n_avail // w0) AS k FROM c),
+       |q AS (SELECT stratum, n_avail, w0 * k.k AS quota FROM c, k),
+       |rk AS (
+       |  SELECT r.id, r.stratum,
+       |         CAST(row_number() OVER (PARTITION BY r.stratum
+       |           ORDER BY ${graft.functions.CrossHash.md5LongSql("CAST(r.id AS VARCHAR)")}, r.id) AS BIGINT) AS rnk
+       |  FROM r
+       |)
+       |SELECT rk.id, rk.stratum, c.n_avail, CAST(q.quota AS BIGINT) AS quota, rk.rnk
+       |FROM rk JOIN q ON q.stratum = rk.stratum JOIN c ON c.stratum = rk.stratum
+       |WHERE rk.rnk <= q.quota
+       |ORDER BY rk.stratum, rk.rnk""".stripMargin) { (s, d) =>
+    graft.api.Sampling.mixture(
+        Tables.documents(s, d), col("doc_id"), col("source"),
+        when(substring(col("source"), 4, 10).cast("int") % 2 === 0, 3).otherwise(1))
+      .orderBy("stratum", "rnk")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qRepetition, qDocChunks, qDecontaminate, qHeavyHitters, qPiiScrub, qPack)
+    Seq(qRepetition, qDocChunks, qDecontaminate, qHeavyHitters, qPiiScrub, qPack,
+      qMixture)
 }

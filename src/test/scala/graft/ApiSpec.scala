@@ -412,6 +412,22 @@ class ApiSpec extends SparkSpec {
     top(1L).foreach(r => assert(r.getAs[Long]("nid") % 2 == 1, s"cross-cluster hit: $r"))
   }
 
+  test("mixture: exact proportional quotas, no upsampling, partition-independent") {
+    import graft.api.Sampling
+    // strata: a=100 rows w=3, b=50 rows w=1 → K = min(33, 50) = 33 →
+    // quotas a=99, b=33
+    val rows = ((1L to 100L).map(i => (i, "a")) ++ (201L to 250L).map(i => (i, "b")))
+      .toDF("id", "s")
+    def run(parts: Int) = Sampling.mixture(
+        rows.repartition(parts), col("id"), col("s"),
+        when(col("s") === "a", 3).otherwise(1))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("stratum"))).toSet
+    val kept = run(3)
+    val byS = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byS == Map("a" -> 99, "b" -> 33), s"quotas off: $byS")
+    assert(run(7) == kept, "mixture selection must not depend on partitioning")
+  }
+
   test("IVF-PQ composition: every hit comes from a probed cell, scored by codes") {
     import graft.api.ProductQuant
     val n = VectorSearch.withNorm(
