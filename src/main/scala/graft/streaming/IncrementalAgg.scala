@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming materialized-view maintenance: a stored partial-aggregate
+  * table kept current by merging each micro-batch's partials — the
+  * streaming face of `operators.Maintenance.qIncrAgg`, and the production
+  * answer to "keep a 100 TB aggregate fresh without rescanning history".
+  *
+  * State is partials (sum DECIMAL, count), NOT finals, so the per-batch
+  * merge is associative and the read-time view derives avg exactly; the
+  * decimal sums make the stored state independent of both partition order
+  * and batch arrival order — after any prefix of batches the state equals
+  * the batch aggregate over exactly the rows delivered so far.
+  *
+  * Exactly-once: Structured Streaming replays a failed `foreachBatch`
+  * with the SAME `batchId`, so the merge records the last applied id and
+  * skips re-deliveries (the standard idempotent-sink contract; pinned in
+  * `StreamingSpec` by applying one batch twice). The swap is
+  * write-new-directory-then-repoint (a `_CURRENT` pointer file), giving
+  * readers an atomic view without a table format; on a real deployment
+  * this slot is filled by Delta/Iceberg `MERGE`.
+  */
+object IncrementalAgg {
+
+  private def stateDir(root: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root)
+
+  private def currentPath(root: String): Option[String] = {
+    val p = stateDir(root).resolve("_CURRENT")
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim).filter(_.nonEmpty)
+    else None
+  }
+
+  /** The stored partials for `root`, or None before the first batch. */
+  def state(spark: SparkSession, root: String): Option[DataFrame] =
+    currentPath(root).map(v => spark.read.parquet(s"$root/$v"))
+
+  /** Read-time view: finals derived from the stored partials. */
+  def view(spark: SparkSession, root: String): Option[DataFrame] =
+    state(spark, root).map(_.groupBy("grp")
+      .agg(sum("p_sum").as("s"), sum("p_cnt").as("c"))
+      .select(col("grp"),
+        round(col("s").cast("double"), 2).as("sum_v"),
+        col("c").as("cnt"),
+        round(col("s").cast("double") / col("c"), 4).as("avg_v")))
+
+  private def lastApplied(root: String): Long = {
+    val p = stateDir(root).resolve("_LAST_BATCH")
+    if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim.toLong
+    else -1L
+  }
+
+  /** Merge one micro-batch (idempotent on `batchId`): partials(batch) ⊎
+    * stored partials, written to a fresh versioned directory, then the
+    * `_CURRENT` pointer and `_LAST_BATCH` marker advance. */
+  def applyBatch(batch: DataFrame, batchId: Long, root: String,
+      grp: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column): Unit = {
+    java.nio.file.Files.createDirectories(stateDir(root))
+    if (batchId <= lastApplied(root)) return // replay of an applied batch
+    val spark = batch.sparkSession
+    val partials = batch
+      .groupBy(grp.as("grp"))
+      .agg(sum(value.cast("decimal(18,6)")).as("p_sum"), count(lit(1)).as("p_cnt"))
+    val merged = state(spark, root) match {
+      case Some(prev) => prev.unionByName(partials)
+        .groupBy("grp")
+        .agg(sum(col("p_sum")).as("p_sum"), sum(col("p_cnt")).as("p_cnt"))
+      case None => partials
+    }
+    val version = s"v$batchId"
+    merged.write.mode("overwrite").parquet(s"$root/$version")
+    // order matters: data first, then the pointer, then the idempotence
+    // marker — a crash between steps replays the batch against the OLD
+    // pointer (no partial state is ever visible)
+    java.nio.file.Files.writeString(stateDir(root).resolve("_CURRENT"), version)
+    java.nio.file.Files.writeString(stateDir(root).resolve("_LAST_BATCH"), batchId.toString)
+  }
+
+  /** Wire a streaming DataFrame into the maintained aggregate. */
+  def maintain(input: DataFrame, root: String, checkpoint: String,
+      grp: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        applyBatch(batch, id, root, grp, value))
+      .start()
+}

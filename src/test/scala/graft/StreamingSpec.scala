@@ -445,6 +445,41 @@ class StreamingSpec extends SparkSpec {
     assert(total == expected, "restart must deliver exactly the remainder")
   }
 
+  test("incremental aggregate maintenance: state == batch aggregate after every prefix; replay is a no-op") {
+    val root = Files.createTempDirectory("incragg").toString
+    val ckpt = Files.createTempDirectory("incragg-ckpt").toString
+    val input = MemoryStream[(String, Double)](spark)
+    val df = input.toDF().toDF("grp", "v")
+    val q = IncrementalAgg.maintain(df, root, ckpt, col("grp"), col("v"))
+
+    def viewNow(): Map[String, (Double, Long, Double)] =
+      IncrementalAgg.view(spark, root).get.collect()
+        .map(r => r.getAs[String]("grp") ->
+          ((r.getAs[Double]("sum_v"), r.getAs[Long]("cnt"), r.getAs[Double]("avg_v")))).toMap
+
+    input.addData(("a", 1.5), ("a", 2.5), ("b", 10.0))
+    q.processAllAvailable()
+    assert(viewNow() == Map("a" -> ((4.0, 2L, 2.0)), "b" -> ((10.0, 1L, 10.0))))
+
+    input.addData(("a", 6.0), ("c", 0.25))
+    q.processAllAvailable()
+    assert(viewNow() == Map(
+      "a" -> ((10.0, 3L, 3.3333)), "b" -> ((10.0, 1L, 10.0)), "c" -> ((0.25, 1L, 0.25))))
+    q.stop()
+
+    // replaying an already-applied batch must change nothing (the
+    // foreachBatch idempotence contract after a mid-commit crash)
+    val replay = spark.createDataFrame(Seq(("a", 999.0))).toDF("grp", "v")
+    IncrementalAgg.applyBatch(replay, batchId = 0L, root, col("grp"), col("v"))
+    assert(viewNow() == Map(
+      "a" -> ((10.0, 3L, 3.3333)), "b" -> ((10.0, 1L, 10.0)), "c" -> ((0.25, 1L, 0.25))),
+      "replayed batch mutated the state")
+
+    // a genuinely new batch still applies after the restartish replay
+    IncrementalAgg.applyBatch(replay, batchId = 99L, root, col("grp"), col("v"))
+    assert(viewNow()("a") == ((1009.0, 4L, 252.25)))
+  }
+
   test("streaming funnel: conversions equal the batch q_funnel on identical input") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     StatefulOps.useRocksDbStateStore(spark)
