@@ -310,7 +310,33 @@ object Analytic {
       .orderBy("priority", "rnk")
   }
 
+  /** HLL sketch mergeability — the property that makes approximate
+    * distinct-counting work at 100 TB: per-slice sketches union-merged
+    * MUST equal the whole-corpus sketch (so per-partition/per-day
+    * sketches can be stored and combined without rescanning). The query
+    * computes both paths over four deterministic slices and emits the
+    * comparison plus the exact count; the oracle asserts the exact count
+    * and that mergeability held (`true`) — the sketch itself stays
+    * engine-internal, the INVARIANT is what's verified. */
+  val qHllMerge: QueryDef = QueryDef.sql(
+    "q_hll_merge",
+    """SELECT count(DISTINCT user_id) AS n_exact,
+      |       true AS merged_matches_whole
+      |FROM events""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val whole = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_whole"),
+      countDistinct(col("user_id")).as("n_exact"))
+    val merged = ev
+      .withColumn("slice", col("event_id") % 4)
+      .groupBy("slice").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    whole.crossJoin(merged)
+      .select(col("n_exact"),
+        (col("est_whole") === col("est_merged")).as("merged_matches_whole"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qPivot, qAggCube, qPercentiles, qSampleStratified, qGapfill, qWindowDist,
-    qCorrStats, qGroupedTopk)
+    qCorrStats, qGroupedTopk, qHllMerge)
 }
