@@ -17,7 +17,8 @@ object SparkEntry {
     CodecQueries.all ++ Relational.all ++ Analytic.all ++ Temporal.all ++
       Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
       SqlSurface.all ++ Curation_.all ++ GraphOps.all ++ Profiling.all ++
-      LayoutOps.all ++ Maintenance.all ++ Sequence.all ++ JoinAccel.all
+      LayoutOps.all ++ Maintenance.all ++ Sequence.all ++ JoinAccel.all ++
+      Tpch.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The classic TPC-H showcase queries (Q1, Q3, Q5), adapted to the
+  * driver's synthetic star schema (same columns where present; this
+  * schema has no o_shippriority and its dates run 1995–2001, so the
+  * selection constants shift accordingly). These are the workload-shaped
+  * proof that the engine's operator inventory composes: scan pruning +
+  * predicate pushdown (Q1), selective dim broadcast + fact-fact join +
+  * top-k (Q3), and a five-table join snowflake with a cross-side filter
+  * (Q5). All money arithmetic routes through DECIMAL(18,6) partials per
+  * the determinism contract.
+  *
+  * Reference provenance: the reference has no relational layer at all
+  * (SURVEY.md §2.A) — these document the engine's warehouse surface in
+  * the industry's lingua franca.
+  */
+object Tpch {
+
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,6)"))
+  private def d2(c: Column): Column = round(c.cast("double"), 2)
+
+  /** Q1: pricing summary report — one scan, pushed date predicate,
+    * 4 sums + 3 avgs + count per (returnflag, linestatus). */
+  val qTpchQ1: QueryDef = QueryDef.sql(
+    "q_tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+      |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+      |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+      |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_charge,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
+      |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+      |       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        d2(dsum(col("l_quantity"))).as("sum_qty"),
+        d2(dsum(col("l_extendedprice"))).as("sum_base_price"),
+        d2(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        d2(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        round(dsum(col("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(dsum(col("l_extendedprice")).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(dsum(col("l_discount")).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q3: shipping-priority candidates — selective dim (BUILDING segment)
+    * broadcast into orders, fact-fact join on orderkey, revenue top-10. */
+  val qTpchQ3: QueryDef = QueryDef.sql(
+    "q_tpch_q3",
+    """SELECT l.l_orderkey,
+      |       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+      |       o.o_orderdate
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      |  AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+      |GROUP BY l.l_orderkey, o.o_orderdate
+      |ORDER BY revenue DESC, l.l_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1997-03-15 00:00:00").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1997-03-15 00:00:00").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(d2(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5: local-supplier volume — the five-table snowflake with the
+    * cross-side c_nationkey = s_nationkey filter; small dims broadcast,
+    * the two fact joins shuffle on their keys. */
+  val qTpchQ5: QueryDef = QueryDef.sql(
+    "q_tpch_q5",
+    """SELECT n.n_name,
+      |       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n.n_name
+      |ORDER BY revenue DESC, n.n_name""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(d2(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qTpchQ1, qTpchQ3, qTpchQ5)
+}

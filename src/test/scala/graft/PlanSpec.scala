@@ -296,6 +296,17 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", codegenOff)
   }
 
+  test("tpch q5: snowflake dims broadcast, fact joins stay hash/merge, date filter pushed") {
+    val p = planString(Tpch.qTpchQ5.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(finalPlan).nonEmpty,
+      s"nation/region/supplier should broadcast:\n$p")
+    assert(!finalPlan.contains("CartesianProduct") && !finalPlan.contains("NestedLoop"),
+      s"snowflake degenerated to a product:\n$p")
+    assert(finalPlan.contains("PushedFilters"), s"no pushdown at all:\n$p")
+    assert(finalPlan.contains("o_orderdate"), s"date predicate lost:\n$p")
+  }
+
   test("scd2: both window passes share one hash exchange on custkey") {
     import org.apache.spark.sql.functions.col
     val p = planString(Maintenance.qScd2.fn(spark, sf()))
