@@ -51,4 +51,32 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Small-file compaction: rewrite a fragmented parquet directory into
+    * ⌈rows / targetRowsPerFile⌉ range-clustered files sorted by `key`.
+    *
+    * The streaming-ingest failure mode: thousands of KB-sized files per
+    * day make every scan pay one footer+seek per file and starve the
+    * scheduler with tiny splits. Compaction is the standard maintenance
+    * pass (OPTIMIZE in lakehouse formats). Range-partitioning on `key`
+    * (sampled boundaries, one exchange) + a local sort gives each output
+    * file a disjoint key range — so the rewrite also buys min/max skipping
+    * on `key`, not just fewer files. The row count comes from parquet
+    * metadata (a footer-only job), not a data scan.
+    *
+    * Returns the number of files written. Output goes to a NEW directory:
+    * swap-by-rename (or a table format's atomic commit) is the caller's
+    * final step, never an in-place overwrite of live data.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, key: Column, targetRowsPerFile: Long): Int = {
+    require(targetRowsPerFile >= 1, s"targetRowsPerFile $targetRowsPerFile")
+    val df = spark.read.parquet(inDir)
+    val rows = df.count() // parquet metadata-only: no column data read
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    df.repartitionByRange(nFiles, key)
+      .sortWithinPartitions(key)
+      .write.mode("error").parquet(outDir)
+    nFiles
+  }
 }

@@ -68,4 +68,38 @@ class LayoutSpec extends SparkSpec {
     assert(laid.count() == li.count())
     assert(laid.unionAll(li).distinct().count() == li.distinct().count())
   }
+
+  test("compact: fragmented directory rewrites to few disjoint-range files, rows intact") {
+    val inDir = java.nio.file.Files.createTempDirectory("frag").toString + "/t"
+    val outDir = inDir + "-compacted"
+    val li = Tables.lineitem(spark, sf()).select("l_orderkey", "l_partkey", "l_quantity")
+    li.repartition(64).write.parquet(inDir) // the streaming-ingest mess
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files(inDir).length == 64)
+
+    val n = Layout.compact(spark, inDir, outDir, col("l_orderkey"),
+      targetRowsPerFile = 2000)
+    val out = files(outDir)
+    assert(out.length == n && n == math.ceil(li.count() / 2000.0).toInt,
+      s"expected $n files, found ${out.length}")
+
+    // rows survive exactly
+    val re = spark.read.parquet(outDir)
+    assert(re.count() == li.count())
+    assert(re.unionAll(li).distinct().count() == li.distinct().count())
+
+    // range clustering: per-file key ranges are pairwise disjoint, so the
+    // rewrite buys min/max skipping on the key as well as fewer files
+    val ranges = out.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min("l_orderkey"),
+          org.apache.spark.sql.functions.max("l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1, s"overlapping file ranges: $a vs $b")
+      case _ =>
+    }
+  }
 }
