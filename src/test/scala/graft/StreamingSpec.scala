@@ -531,6 +531,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming anomaly: hits equal the batch q_anomaly on identical input") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StatefulOps.useRocksDbStateStore(spark)
+    try {
+      val batch = operators.Sequence.qAnomaly.fn(spark, sf()).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_baseline")).toSet
+      assert(batch.nonEmpty, "degenerate: no batch anomalies at sf0.001")
+
+      val evts = Tables.events(spark, sf())
+        .select("user_id", "ts", "event_id", "value").collect()
+        .map(r => ValueEvent(r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+          r.getAs[Double]("value")))
+        .sortBy(_.event_time.getTime)
+      val maxTs = evts.map(_.event_time.getTime).max
+
+      val input = MemoryStream[ValueEvent](spark)
+      val q = StreamAnomaly.anomalies(spark, input.toDS(), watermark = "1 second")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("anomstream").start()
+      evts.grouped(evts.length / 3 + 1).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      }
+      def term(t: Long, id: Long) = ValueEvent(-1L, new java.sql.Timestamp(t), id, 1.0)
+      input.addData(term(maxTs + 3600000L, -1L)); q.processAllAvailable()
+      input.addData(term(maxTs + 7200000L, -2L)); q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("anomstream").as[AnomalyHit].collect()
+        .map(h => h.event_id -> h.n_baseline).toSet
+      assert(streamed == batch,
+        s"stream/batch mismatch: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming funnel: out-of-order signup retroactively requalifies the click") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     StatefulOps.useRocksDbStateStore(spark)
