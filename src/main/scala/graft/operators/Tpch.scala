@@ -119,5 +119,42 @@ object Tpch {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  val all: Seq[QueryDef] = Seq(qTpchQ1, qTpchQ3, qTpchQ5)
+  /** Q18: large-volume customers — the aggregate-driven semi-join: the
+    * HAVING subquery reduces lineitem to qualifying orderkeys (map-side
+    * combined partial sums BEFORE the exchange), which then semi-filter
+    * the three-way join. Threshold 300 → ~the top 0.5 % of orders at this
+    * schema's ~4 lines/order. */
+  val qTpchQ18: QueryDef = QueryDef.sql(
+    "q_tpch_q18",
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+      |       round(o.o_totalprice, 2) AS o_totalprice,
+      |       round(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+      |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      |ORDER BY o_totalprice DESC, o.o_orderdate, o.o_orderkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val big = li.groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("q"))
+      .filter(col("q") > 300)
+      .select(col("l_orderkey").as("big_okey"))
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(d2(dsum(col("l_quantity"))).as("sum_qty"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  val all: Seq[QueryDef] = Seq(qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ18)
 }
