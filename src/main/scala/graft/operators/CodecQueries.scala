@@ -119,5 +119,51 @@ object CodecQueries {
       .orderBy("day")
   }
 
-  val all: Seq[QueryDef] = Seq(qParseMsg, qFilterGuard, qParseRouteDelay)
+  /** Dead-letter routing: the production answer to the reference's
+    * crash-on-malformed behavior (`Long.parseLong` throws out of
+    * `processElement`, `DataStreamProcessingJob.java:59-60`, failing the
+    * whole task). Messages are deterministically corrupted (every 23rd
+    * truncated below the 64-byte header, every 17th gets a non-numeric
+    * send_ts), then routed: short frames and unparseable timestamps land
+    * in a quarantine channel WITH a reason, clean rows flow on — one
+    * narrow pass, no exceptions anywhere (`try_cast`). The guard order
+    * matches the reference: length first, then the timestamp field. */
+  val qQuarantine: QueryDef = QueryDef.sql(
+    "q_quarantine",
+    s"""$rawCte,
+       |corrupted AS (
+       |  SELECT event_id,
+       |         CASE WHEN event_id % 23 = 0 THEN substr(value, 1, 40)
+       |              WHEN event_id % 17 = 0 THEN
+       |                substr(value, 1, 16) || rpad('XX', 16, ' ') || substr(value, 33)
+       |              ELSE value END AS value
+       |  FROM raw
+       |),
+       |routed AS (
+       |  SELECT event_id,
+       |         CASE WHEN length(value) <= 64 THEN 'short_frame'
+       |              WHEN TRY_CAST(trim(substr(value, 17, 16)) AS BIGINT) IS NULL THEN 'bad_send_ts'
+       |              ELSE 'ok' END AS reason
+       |  FROM corrupted
+       |)
+       |SELECT event_id, reason FROM routed
+       |WHERE reason <> 'ok'
+       |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val corrupted = rawMessages(s, d).select(
+      col("event_id"),
+      when(col("event_id") % 23 === 0, substring(col("value"), 1, 40))
+        .when(col("event_id") % 17 === 0,
+          concat(substring(col("value"), 1, 16), rpad(lit("XX"), 16, " "),
+            expr("substr(value, 33)")))
+        .otherwise(col("value")).as("value"))
+    corrupted.select(
+        col("event_id"),
+        when(length(col("value")) <= 64, "short_frame")
+          .when(expr("TRY_CAST(trim(substr(value, 17, 16)) AS BIGINT)").isNull, "bad_send_ts")
+          .otherwise("ok").as("reason"))
+      .filter(col("reason") =!= "ok")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qParseMsg, qFilterGuard, qParseRouteDelay, qQuarantine)
 }
