@@ -104,11 +104,18 @@ object Maintenance {
       |FROM hist
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY custkey, valid_from, change_key""".stripMargin) { (s, d) =>
+    scd2History(Tables.orders(s, d))
+      .orderBy("custkey", "valid_from", "change_key")
+  }
+
+  /** The SCD2 history frame shared by [[qScd2]] and the PIT-enrichment
+    * query ([[Sequence]] uses it too): (custkey, change_key, status,
+    * valid_from, valid_to, is_current). */
+  private[operators] def scd2History(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    val hist = Tables.orders(s, d)
+    orders
       .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
       .filter(col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
-    hist
       .select(
         col("o_custkey").as("custkey"),
         col("o_orderkey").as("change_key"),
@@ -116,7 +123,6 @@ object Maintenance {
         col("o_orderdate").as("valid_from"),
         lead(col("o_orderdate"), 1).over(w).as("valid_to"),
         lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
-      .orderBy("custkey", "valid_from", "change_key")
   }
 
   /** MERGE / CDC-apply: a change feed (update / delete / insert ops) applied
@@ -192,5 +198,66 @@ object Maintenance {
       .orderBy("orderkey")
   }
 
-  val all: Seq[QueryDef] = Seq(qIncrAgg, qScd2, qMergeUpsert)
+  /** Point-in-time-correct enrichment (the feature-store join): each
+    * lineitem ship event picks up the customer's status AS OF ship time
+    * from the SCD2 history — `valid_from <= ship < valid_to`, open
+    * interval for current records. Joining the CURRENT dimension instead
+    * would leak future state into historical rows (the training-data
+    * leakage PIT joins exist to prevent). Every ship event matches
+    * exactly one interval (a customer's history starts at their first
+    * order, and shipdate ≥ orderdate ≥ first orderdate).
+    *
+    * Shape: equi-join on custkey with a residual range predicate — the
+    * history side is per-customer-tiny (broadcast at dim scale,
+    * co-partitioned on custkey at 100 TB), so no interval-bucketing is
+    * needed the way fact-fact range joins need it (`q_range_join`).
+    */
+  val qPitEnrich: QueryDef = QueryDef.sql(
+    "q_pit_enrich",
+    """WITH chg AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |         lag(o_orderstatus) OVER w AS prev_status
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |),
+      |hist AS (
+      |  SELECT o_custkey AS custkey, o_orderstatus AS status,
+      |         o_orderdate AS valid_from,
+      |         lead(o_orderdate) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS valid_to
+      |  FROM (SELECT * FROM chg WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+      |),
+      |ship AS (
+      |  SELECT o.o_custkey AS custkey, l.l_shipdate, l.l_returnflag,
+      |         l.l_extendedprice, l.l_discount
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |)
+      |SELECT h.status AS status_at_ship, s.l_returnflag,
+      |       count(*) AS n_lines,
+      |       round(CAST(sum(CAST(s.l_extendedprice * (1 - s.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      |FROM ship s
+      |JOIN hist h ON h.custkey = s.custkey
+      |  AND s.l_shipdate >= h.valid_from
+      |  AND (h.valid_to IS NULL OR s.l_shipdate < h.valid_to)
+      |GROUP BY h.status, s.l_returnflag
+      |ORDER BY status_at_ship, l_returnflag""".stripMargin) { (s, d) =>
+    val hist = scd2History(Tables.orders(s, d))
+      .select("custkey", "status", "valid_from", "valid_to")
+    val ship = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_shipdate"),
+        col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
+    ship.join(hist,
+        ship("custkey") === hist("custkey") &&
+          col("l_shipdate") >= col("valid_from") &&
+          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+      .groupBy(col("status").as("status_at_ship"), col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double"), 2).as("revenue"))
+      .orderBy("status_at_ship", "l_returnflag")
+  }
+
+  val all: Seq[QueryDef] = Seq(qIncrAgg, qScd2, qMergeUpsert, qPitEnrich)
 }

@@ -127,5 +127,40 @@ object Sequence {
       .orderBy("user_id", "event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(qFunnel, qAnomaly)
+  /** Last-observation-carried-forward imputation: sensor readings that
+    * arrive as errors (here: `event_type = 'error'` masks the value)
+    * repair from the user's most recent good reading — `last(...,
+    * ignoreNulls)` over an unbounded-preceding frame, the standard LOCF
+    * window. Values pass through UNCHANGED (no arithmetic), so parity is
+    * exact; leading errors with no prior reading stay null, which the
+    * output keeps visible via `was_imputed`. One shuffle on user_id. */
+  val qLocf: QueryDef = QueryDef.sql(
+    "q_locf",
+    """WITH masked AS (
+      |  SELECT event_id, user_id, ts,
+      |         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_raw
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, ts,
+      |       round(v_raw, 4) AS v_raw,
+      |       round(last_value(v_raw IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_filled,
+      |       (v_raw IS NULL) AS was_imputed
+      |FROM masked
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("v_raw",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        round(col("v_raw"), 4).as("v_raw"),
+        round(last(col("v_raw"), ignoreNulls = true).over(win), 4).as("v_filled"),
+        col("v_raw").isNull.as("was_imputed"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qFunnel, qAnomaly, qLocf)
 }
