@@ -104,15 +104,23 @@ object StatefulOps {
             state.remove()
             Iterator(SessionSummary(user, s.n, s.startMs, s.endMs, s.endMs - s.startMs))
           } else {
-            val ts = rows.map(_.event_time.getTime).toSeq
-            val prev = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
-            val next = SessionState(
-              prev.n + ts.size,
-              math.min(prev.startMs, ts.min),
-              math.max(prev.endMs, ts.max))
-            state.update(next)
-            state.setTimeoutTimestamp(next.endMs + gapMs)
-            Iterator.empty
+            // replay-correct: a gap WITHIN the batch closes a session too,
+            // so backfilling history through the stream gives the same
+            // sessions as live arrival (and as batch q_sessionize)
+            val ts = rows.map(_.event_time.getTime).toSeq.sorted
+            var cur = state.getOption.getOrElse(SessionState(0, Long.MaxValue, Long.MinValue))
+            val closed = Vector.newBuilder[SessionSummary]
+            ts.foreach { t =>
+              if (cur.n > 0 && t - cur.endMs > gapMs) {
+                closed += SessionSummary(user, cur.n, cur.startMs, cur.endMs,
+                  cur.endMs - cur.startMs)
+                cur = SessionState(0, Long.MaxValue, Long.MinValue)
+              }
+              cur = SessionState(cur.n + 1, math.min(cur.startMs, t), math.max(cur.endMs, t))
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.endMs + gapMs)
+            closed.result().iterator
           }
       }
   }
@@ -152,18 +160,24 @@ private final class SessionProcessor(gapMs: Long)
 
   override def handleInputRows(user: String, rows: Iterator[SessionEvent],
       timers: TimerValues): Iterator[SessionSummary] = {
-    val ts = rows.map(_.event_time.getTime).toSeq
-    val prev =
+    // replay-correct like the fMGWS twin: in-batch gaps close sessions
+    val ts = rows.map(_.event_time.getTime).toSeq.sorted
+    var cur =
       if (sess.exists()) sess.get()
       else SessionState(0, Long.MaxValue, Long.MinValue)
-    if (prev.n > 0) getHandle.deleteTimer(prev.endMs + gapMs)
-    val next = SessionState(
-      prev.n + ts.size,
-      math.min(prev.startMs, ts.min),
-      math.max(prev.endMs, ts.max))
-    sess.update(next)
-    getHandle.registerTimer(next.endMs + gapMs)
-    Iterator.empty
+    if (cur.n > 0) getHandle.deleteTimer(cur.endMs + gapMs)
+    val closed = Vector.newBuilder[SessionSummary]
+    ts.foreach { t =>
+      if (cur.n > 0 && t - cur.endMs > gapMs) {
+        closed += SessionSummary(user, cur.n, cur.startMs, cur.endMs,
+          cur.endMs - cur.startMs)
+        cur = SessionState(0, Long.MaxValue, Long.MinValue)
+      }
+      cur = SessionState(cur.n + 1, math.min(cur.startMs, t), math.max(cur.endMs, t))
+    }
+    sess.update(cur)
+    getHandle.registerTimer(cur.endMs + gapMs)
+    closed.result().iterator
   }
 
   override def handleExpiredTimer(user: String, timers: TimerValues,

@@ -531,6 +531,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("session assembly: streaming sessions equal batch q_sessionize on identical input") {
+    // in-batch gap splitting makes the streaming assembly replay-correct:
+    // backfilling the events table through the stream must give exactly
+    // the batch query's sessions (at ms granularity, the stream's state
+    // precision)
+    val batch = operators.Temporal.qSessionize.fn(spark, sf()).collect()
+      .map { r =>
+        val st = r.getAs[java.sql.Timestamp]("session_start")
+        val en = r.getAs[java.sql.Timestamp]("session_end")
+        (r.getAs[Long]("user_id").toString, r.getAs[Long]("n_events"),
+          st.getTime, en.getTime)
+      }.toSet
+    assert(batch.nonEmpty)
+
+    val evts = Tables.events(spark, sf())
+      .select("user_id", "ts").collect()
+      .map(r => SessionEvent(r.getAs[Long]("user_id").toString,
+        r.getAs[java.sql.Timestamp]("ts"), "p"))
+      .sortBy(_.event_time.getTime)
+    val maxTs = evts.map(_.event_time.getTime).max
+
+    val input = MemoryStream[SessionEvent](spark)
+    val q = StatefulOps.assembleSessions(spark, input.toDS(), gapMs = 1800000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessparity").start()
+    evts.grouped(evts.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    def term(t: Long) = SessionEvent("terminator", new java.sql.Timestamp(t), "p")
+    input.addData(term(maxTs + 4000000L)); q.processAllAvailable()
+    input.addData(term(maxTs + 9000000L)); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessparity").as[SessionSummary].collect()
+      .filter(_.user != "terminator")
+      .map(s => (s.user, s.n_events, s.start_ms, s.end_ms)).toSet
+    assert(streamed == batch,
+      s"stream/batch session mismatch: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
+  }
+
   test("streaming anomaly: hits equal the batch q_anomaly on identical input") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     StatefulOps.useRocksDbStateStore(spark)
