@@ -6,6 +6,36 @@ import org.apache.spark.sql.functions._
 /** Salting utilities: results identical to the unsalted equivalents, and
   * the salted shuffle actually spreads the hot key. */
 class SkewSpec extends SparkSpec {
+
+  test("AQE splits a skewed join partition automatically (the built-in path next to salting)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one hot key carrying ~90% of the fact side
+    val fact = spark.range(0, 200000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(0, 200000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = fact.join(dim, "k")
+      // execute THIS QueryExecution so AQE finalizes it (count() would
+      // plan separately)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join for splitting:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
   import spark.implicits._
 
   // one pathological key (90% of rows) + a uniform tail
