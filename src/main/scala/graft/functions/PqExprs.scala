@@ -24,8 +24,9 @@ import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, IntegerType}
   * `BigDecimal.valueOf(x).setScale(6, HALF_UP)` — the same path Spark's
   * `Cast(DoubleType → DecimalType)` takes, so results are bit-identical
   * to the literal-decimal formulation the DuckDB oracle replays.
-  * Squared-diff bounds: |x| ≤ 999 ⇒ |d| ≤ 2·10⁹... here inputs are unit
-  * vectors (|d| ≤ 2.4·10⁶), d² ≤ 6·10¹², × subDim ≪ 2⁶³ — no overflow.
+  * Overflow bound: the subspace sum needs subDim · (2·|x|ₘₐₓ·10⁶)² < 2⁶³,
+  * i.e. |x|ₘₐₓ ≲ 10³ at subDim ≤ 64 — embeddings are unit-scale
+  * (|x| < 1 ⇒ d² ≤ 6·10¹², ×64 ≪ 2⁶³), with 1000× headroom.
   */
 object PqMicro {
 

@@ -70,6 +70,7 @@ object IncrementalAgg {
         .agg(sum(col("p_sum")).as("p_sum"), sum(col("p_cnt")).as("p_cnt"))
       case None => partials
     }
+    val prevVersion = currentPath(root)
     val version = s"v$batchId"
     merged.write.mode("overwrite").parquet(s"$root/$version")
     // order matters: data first, then the pointer, then the idempotence
@@ -77,6 +78,15 @@ object IncrementalAgg {
     // pointer (no partial state is ever visible)
     java.nio.file.Files.writeString(stateDir(root).resolve("_CURRENT"), version)
     java.nio.file.Files.writeString(stateDir(root).resolve("_LAST_BATCH"), batchId.toString)
+    // GC: the superseded version is unreachable once the pointer moved;
+    // removing it keeps state at O(1) versions across an unbounded stream
+    prevVersion.filter(_ != version).foreach { v =>
+      val dir = stateDir(root).resolve(v)
+      if (java.nio.file.Files.isDirectory(dir)) {
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
   }
 
   /** Wire a streaming DataFrame into the maintained aggregate. */

@@ -478,6 +478,11 @@ class StreamingSpec extends SparkSpec {
     // a genuinely new batch still applies after the restartish replay
     IncrementalAgg.applyBatch(replay, batchId = 99L, root, col("grp"), col("v"))
     assert(viewNow()("a") == ((1009.0, 4L, 252.25)))
+
+    // GC: only the current version directory remains on disk
+    val versions = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+    assert(versions.toSeq == Seq("v99"), s"superseded versions not GC'd: ${versions.toSeq}")
   }
 
   test("streaming funnel: conversions equal the batch q_funnel on identical input") {
