@@ -79,6 +79,17 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // per-query shuffle accounting ("measure, don't guess"): a listener
+    // accumulates task-level shuffle write bytes; the delta around each
+    // query is its real shuffle volume, reported next to its seconds
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
     // watchdog: if a query stalls >10s, dump thread stacks once (debug aid
     // for the sporadic zero-GC stalls; remove once diagnosed)
     @volatile var current = ""
@@ -127,7 +138,9 @@ object Bench {
       // over the slow threshold re-runs (up to 3 attempts) and reports the
       // min — steady-state cost — while a genuinely expensive plan stays
       // slow on every attempt and is still flagged.
+      val shuffle0 = shuffleBytes.get()
       var sec = once()
+      val qShuffleMb = (shuffleBytes.get() - shuffle0) / 1e6
       var attempts = 1
       // a reading 3x over the slow threshold is a steal window with near
       // certainty (no plan in the inventory runs >9s steady at sf0.1):
@@ -144,12 +157,14 @@ object Bench {
       }
       if (sec > 3) System.err.println(
         f"[bench-slow] ${q.name} ${sec}%.1fs gc=${gcMs - g0}ms")
-      q.name -> sec
+      (q.name, sec, qShuffleMb)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sh = results.map { case (k, _, mb) => f"""\"$k\":$mb%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
