@@ -63,7 +63,12 @@ object Bench {
         // the query intermittently executes interpreted (measured 2.2s
         // compiled vs 33.8s interpreted for q_corr_stats)
         "q_corr_stats", "q_agg_cube", "q_dedup_cluster", "q_dedup_keep",
-        "q_percentiles", "q_sample_stratified")
+        "q_percentiles", "q_sample_stratified",
+        // round-7 additions that showed first-attempt compile churn in the
+        // measured bench logs (q_decontaminate runs alphabetically BEFORE
+        // the dedup warm set, so it was paying the cold shingle pipeline)
+        "q_decontaminate", "q_triangles", "q_pagerank", "q_ivfpq_ann",
+        "q_pq_ann", "q_repetition")
       SparkEntry.defs.filter(q => heavy(q.name)).foreach { q =>
         try q.fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
