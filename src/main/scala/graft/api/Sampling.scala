@@ -42,21 +42,37 @@ object Sampling {
     * runs, retries, and engines — Bernoulli rates would only hit quotas
     * in expectation.
     *
-    * Scale shape: one groupBy for counts, the model-sized K reduction
-    * broadcast back, one rank window per stratum (the same shuffle key as
-    * the counts). Returns the kept rows with (stratum count, quota, rank).
+    * Scale shape: the in-stratum rank runs as the TWO-PHASE bucketed rank
+    * (the q_pack prefix-sum pattern) — a window partitioned by the
+    * stratum ALONE would sort each stratum on one reducer, collapsing
+    * parallelism exactly when a source dominates the corpus. Instead the
+    * 56-bit hash splits each stratum into 4096 uniform buckets: per-bucket
+    * ranks run on (stratum, bucket) partitions (bounded ≈ n/4096), bucket
+    * counts roll into model-sized per-stratum prefix offsets, and the
+    * global rank is offset + in-bucket rank. Identical output to the
+    * single-window form (the oracle replays that form and hash-matches).
+    * Returns the kept rows with (stratum count, quota, rank).
     */
   def mixture(df: DataFrame, id: Column, stratum: Column, weight: Column): DataFrame = {
     val rows = df.select(id.as("id"), stratum.as("stratum"), weight.cast("long").as("w"))
+      .withColumn("h", CrossHash.md5Long(col("id").cast("string")))
+      .withColumn("b", expr(s"h div ${1L << 44}")) // 56-bit hash → 4096 buckets
     val counts = rows.groupBy("stratum").agg(
       count(lit(1)).as("n_avail"), min(col("w")).as("w0"))
     val k = counts.agg(min(expr("n_avail div w0")).as("k"))
     val quotas = counts.crossJoin(k)
       .select(col("stratum"), col("n_avail"), (col("w0") * col("k")).as("quota"))
-    val rank = org.apache.spark.sql.expressions.Window
-      .partitionBy("stratum").orderBy(CrossHash.md5Long(col("id").cast("string")), col("id"))
-    rows.join(quotas, "stratum")
-      .withColumn("rnk", row_number().over(rank).cast("long"))
+    val boff = rows.groupBy("stratum", "b").agg(count(lit(1)).as("bn"))
+      .withColumn("boff",
+        coalesce(sum(col("bn")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("stratum").orderBy("b")
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("stratum", "b", "boff")
+    val inBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum", "b").orderBy("h", "id")
+    rows.join(boff, Seq("stratum", "b"))
+      .withColumn("rnk", (row_number().over(inBucket) + col("boff")).cast("long"))
+      .join(quotas, "stratum")
       .where(col("rnk") <= col("quota"))
       .select(col("id"), col("stratum"), col("n_avail"), col("quota"), col("rnk"))
   }
