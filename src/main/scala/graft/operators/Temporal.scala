@@ -155,5 +155,55 @@ object Temporal {
       .orderBy("user_id", "session_seq")
   }
 
-  val all: Seq[QueryDef] = Seq(qAsofJoin, qRangeJoin, qSessionize)
+  /** Forward as-of join — the mirror of [[qAsofJoin]]: each click matches
+    * the EARLIEST purchase strictly after it (time-to-conversion, the
+    * "next event" direction backward as-of can't express). Same single
+    * window pass over the unioned stream, with a FOLLOWING frame and
+    * `first(..., ignoreNulls)`; purchases sort before clicks at equal ts
+    * so strictness holds, and clicks with no later purchase keep nulls.
+    */
+  val qAsofForward: QueryDef = QueryDef.sql(
+    "q_asof_forward",
+    """WITH u AS (
+      |  SELECT event_id, ts, user_id,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase')
+      |),
+      |w AS (
+      |  SELECT event_id, ts, user_id, isp,
+      |         first_value(CASE WHEN isp = 1 THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, isp DESC, event_id
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS purchase_id,
+      |         first_value(CASE WHEN isp = 1 THEN ts END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, isp DESC, event_id
+      |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS purchase_ts
+      |  FROM u
+      |)
+      |SELECT event_id AS click_id, user_id, ts, purchase_id, purchase_ts,
+      |       epoch_us(purchase_ts) - epoch_us(ts) AS wait_us
+      |FROM w WHERE isp = 0
+      |ORDER BY click_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .withColumn("isp", when(col("event_type") === "purchase", 1).otherwise(0))
+    // purchases sort BEFORE clicks at equal ts (isp DESC), so the
+    // 1-FOLLOWING frame sees only strictly-later purchases for a click at
+    // the same timestamp; among purchases the first row is the smallest
+    // (ts, event_id) — the deterministic pick.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("isp").desc, col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    e.withColumn("purchase_id",
+        first(when(col("isp") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("purchase_ts",
+        first(when(col("isp") === 1, col("ts")), ignoreNulls = true).over(w))
+      .where(col("isp") === 0)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+        col("purchase_id"), col("purchase_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("ts"))).as("wait_us"))
+      .orderBy("click_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qAsofJoin, qRangeJoin, qSessionize, qAsofForward)
 }

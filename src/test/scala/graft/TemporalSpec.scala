@@ -33,6 +33,29 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("forward as-of: every click matches the earliest strictly-later purchase") {
+    val rows = Temporal.qAsofForward.fn(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val e = Tables.events(spark, sf())
+      .where(col("event_type").isin("click", "purchase"))
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("ts")))
+    val purchases = e.filter(_._3 == "purchase")
+    rows.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val cts = r.getAs[java.sql.Timestamp]("ts")
+      val expect = purchases.filter(p => p._2 == uid && p._4.after(cts))
+        .sortBy(p => (p._4.getTime, p._4.getNanos, p._1)).headOption
+      (expect, Option(r.getAs[java.lang.Long]("purchase_id"))) match {
+        case (Some(p), Some(got)) => assert(got == p._1,
+          s"click ${r.getAs[Long]("click_id")}: expected purchase ${p._1}, got $got")
+        case (None, None) => // trailing click with no later purchase — correct
+        case (exp, got) => fail(s"click ${r.getAs[Long]("click_id")}: $exp vs $got")
+      }
+    }
+  }
+
   test("as-of join plans as one window pass, not a nested-loop theta-join") {
     val df = Temporal.qAsofJoin.fn(spark, sf())
     df.collect()
