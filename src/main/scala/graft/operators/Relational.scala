@@ -274,6 +274,33 @@ object Relational {
       .orderBy("user_id", "day")
   }
 
+  /** Bag-semantics set operations — INTERSECT ALL keeps min multiplicity,
+    * EXCEPT ALL subtracts multiplicities — over the part streams of two
+    * lineitem slices. The ALL variants are what reconciliation pipelines
+    * actually need (a part shipped 3× in one slice and 2× in the other
+    * intersects 2×, not 1×); both engines plan them as counted
+    * aggregations, no row-pairing join. */
+  val qSetopsBag: QueryDef = QueryDef.sql(
+    "q_setops_bag",
+    """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+      |b AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+      |ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+      |ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      |SELECT 'intersect_all' AS op, l_partkey, count(*) AS n FROM ia GROUP BY l_partkey
+      |UNION ALL
+      |SELECT 'except_all', l_partkey, count(*) FROM ea GROUP BY l_partkey
+      |ORDER BY op, l_partkey""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    def slice(f: String) = li.where(col("l_returnflag") === f).select("l_partkey")
+    val ia = slice("R").intersectAll(slice("A"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("l_partkey"), col("n"))
+    val ea = slice("R").exceptAll(slice("A"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("l_partkey"), col("n"))
+    ia.unionByName(ea).orderBy("op", "l_partkey")
+  }
+
   val qStringDateFns: QueryDef = QueryDef.sql(
     "q_string_date_fns",
     """SELECT o_orderkey,
@@ -657,6 +684,6 @@ object Relational {
     qJoinNullsafe, qJoinOuter, qJoinSkew, qSkewAgg,
     qAggDelay, qAggDistinct, qAggRollup, qGroupingSets, qAggApprox,
     qWindowRank, qWindowRunning,
-    qTopk, qUnion, qStringDateFns, qDateTrunc, qJsonExtract, qFromJson,
+    qTopk, qUnion, qSetopsBag, qStringDateFns, qDateTrunc, qJsonExtract, qFromJson,
     qArrayFns, qMapFns, qUnpivot, qRegexFns)
 }
