@@ -162,5 +162,45 @@ object Sequence {
       .orderBy("user_id", "event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(qFunnel, qAnomaly, qLocf)
+  /** Exponentially-weighted moving average, 16-tap truncation, exact
+    * integer arithmetic: weight 2^(15−k) on the k-th most recent value,
+    * denominator 2¹⁶−1 — the α=½ EWMA cut at 16 taps (remaining mass
+    * < 2⁻¹⁶). True EWMA is an order-dependent float recursion no engine
+    * pair replays bit-for-bit; power-of-two weights on milli-quantized
+    * values make every partial sum exact, so the smoother is
+    * deterministic in BOTH engines. Sixteen `lag`s share one Window node
+    * (same frame), one shuffle on user_id; rows need all 16 predecessors.
+    */
+  val qEwma: QueryDef = QueryDef.sql(
+    "q_ewma",
+    ("""WITH q AS (
+      |  SELECT event_id, user_id, ts,
+      |         CAST(round(value * 1000) AS BIGINT) AS vi
+      |  FROM events
+      |)
+      |SELECT event_id, user_id, ts,
+      |       round(vi / 1000.0, 3) AS value,
+      |       round((""" +
+      (0 until 16).map(k =>
+        s"lag(vi, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id) * ${1L << (15 - k)}")
+        .mkString(" +\n      |        ") +
+      """) / 65535.0 / 1000.0, 4) AS ewma
+      |FROM q
+      |QUALIFY lag(vi, 15) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+      |ORDER BY user_id, event_id""").stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val weighted = (0 until 16).map(k => lag(col("vi"), k).over(w) * (1L << (15 - k)))
+      .reduce(_ + _)
+    Tables.events(s, d)
+      .withColumn("vi", round(col("value") * 1000).cast("long"))
+      .withColumn("wsum", weighted)
+      .withColumn("oldest", lag(col("vi"), 15).over(w))
+      .filter(col("oldest").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("vi") / 1000.0, 3).as("value"),
+        round(col("wsum") / 65535.0 / 1000.0, 4).as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qFunnel, qAnomaly, qLocf, qEwma)
 }
