@@ -456,17 +456,46 @@ object Relational {
       .orderBy("status", "priority")
   }
 
-  /** Sketch aggregates (HLL distinct, t-digest percentiles): the scale path
-    * for distinct-count/quantiles. Approximate by design ⇒ no DuckDB
-    * oracle; the driver records a rows-only check, and `AggSpec` bounds the
-    * error against the exact queries. */
-  val qAggApprox: QueryDef = QueryDef.rowsOnly("q_agg_approx") { (s, d) =>
-    Tables.events(s, d)
+  /** Sketch aggregates (HLL distinct, quantile sketch): the scale path for
+    * distinct-count/quantiles. Approximate by design, so the raw estimates
+    * can't hash-match an exact engine — instead (q_hll_merge pattern,
+    * round 8) the query emits the EXACT distinct count (oracle-recomputable)
+    * plus error-bound booleans evaluated on the Spark side: the HLL
+    * estimate within 5 % of exact, and each approx percentile's true rank
+    * within its tolerance band (rank checks are robust to the sketch's
+    * partition-merge-order nondeterminism, which is why the raw estimate
+    * was never hashable). The oracle asserts the same booleans as literal
+    * TRUE. Scale shape: two map-side-combined aggs over events plus one
+    * broadcast join of the 5-row sketch frame back onto events. */
+  val qAggApprox: QueryDef = QueryDef.sql(
+    "q_agg_approx",
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |       true AS approx_users_ok, true AS p50_ok, true AS p99_ok
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val sketch = ev.groupBy("event_type").agg(
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50a"),
+      percentile_approx(col("value"), lit(0.99), lit(10000)).as("p99a"))
+    // true rank of each approx percentile: fraction of the group's values
+    // at or below it — one broadcast join (sketch frame is group-count-sized)
+    val ranks = ev.join(broadcast(sketch), "event_type")
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4).as("p50_v"),
-        round(percentile_approx(col("value"), lit(0.99), lit(10000)), 4).as("p99_v"))
+        avg(when(col("value") <= col("p50a"), 1.0).otherwise(0.0)).as("frac50"),
+        avg(when(col("value") <= col("p99a"), 1.0).otherwise(0.0)).as("frac99"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(broadcast(sketch), "event_type").join(broadcast(ranks), "event_type")
+      .select(
+        col("event_type"), col("n_exact"),
+        (abs(col("approx_users") - col("n_exact")) <=
+          col("n_exact") * 0.05).as("approx_users_ok"),
+        col("frac50").between(0.45, 0.55).as("p50_ok"),
+        col("frac99").between(0.97, 1.0).as("p99_ok"))
       .orderBy("event_type")
   }
 

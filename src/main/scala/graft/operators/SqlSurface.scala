@@ -78,35 +78,35 @@ object SqlSurface {
   }
 
   /** Recursive CTE: level-wise traversal of the binary-heap hierarchy
-    * `parent(k) = k div 2` rooted at customer 0, rolling exact-decimal
+    * `parent(k) = floor(k / 2)` rooted at customer 0, rolling integer-cent
     * balances up per depth — the BOM/org-chart pattern. Each recursion
     * step is one distributed equi-join of the frontier against the
-    * dimension (frontier rows only, never the whole table re-derived). */
-  val qRecursiveCte: QueryDef = QueryDef.sql(
-    "q_recursive_cte",
+    * dimension (frontier rows only, never the whole table re-derived).
+    *
+    * Determinism hardening (round 8): the query text is CHARACTER-IDENTICAL
+    * on both engines — `floor(k / 2)` instead of Spark `div` / DuckDB `//`
+    * (float division then floor is exact for keys far below 2^53) — and
+    * every output column is an explicitly-cast BIGINT (money as cents), so
+    * no decimal-scale or integer-division semantics can diverge across
+    * DuckDB versions. Round 7's formulation hash-failed only on the
+    * driver's DuckDB while passing locally on 1.0.0. */
+  private val recursiveCteText: String =
     """WITH RECURSIVE h(k, depth) AS (
-      |  SELECT c_custkey, 0 FROM customer WHERE c_custkey = 0
+      |  SELECT CAST(c_custkey AS BIGINT), CAST(0 AS BIGINT) FROM customer WHERE c_custkey = 0
       |  UNION ALL
-      |  SELECT c.c_custkey, h.depth + 1
-      |  FROM customer c JOIN h ON (c.c_custkey // 2) = h.k AND c.c_custkey <> h.k
+      |  SELECT CAST(c.c_custkey AS BIGINT), h.depth + 1
+      |  FROM customer c JOIN h ON CAST(floor(c.c_custkey / 2) AS BIGINT) = h.k AND c.c_custkey <> h.k
       |)
-      |SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
-      |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS bal_sum
+      |SELECT CAST(depth AS BIGINT) AS depth,
+      |       CAST(count(*) AS BIGINT) AS n_nodes,
+      |       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
       |FROM h JOIN customer c ON c.c_custkey = h.k
       |GROUP BY depth
-      |ORDER BY depth""".stripMargin) { (s, d) =>
-    withViews(s, d)(
-      """WITH RECURSIVE h(k, depth) AS (
-        |  SELECT c_custkey, 0 FROM customer WHERE c_custkey = 0
-        |  UNION ALL
-        |  SELECT c.c_custkey, h.depth + 1
-        |  FROM customer c JOIN h ON (c.c_custkey div 2) = h.k AND c.c_custkey <> h.k
-        |)
-        |SELECT depth, count(*) AS n_nodes,
-        |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS bal_sum
-        |FROM h JOIN customer c ON c.c_custkey = h.k
-        |GROUP BY depth
-        |ORDER BY depth""".stripMargin)
+      |ORDER BY depth""".stripMargin
+
+  val qRecursiveCte: QueryDef = QueryDef.sql(
+    "q_recursive_cte", recursiveCteText) { (s, d) =>
+    withViews(s, d)(recursiveCteText)
   }
 
   val all: Seq[QueryDef] = Seq(qSubqueryCorrelated, qWindowRange, qRecursiveCte)
