@@ -36,7 +36,17 @@ object Bpe {
   /** Learn `nMerges` merge rules from `text`. Returns (a, b, freq) in
     * merge order. Deterministic: ties break lexicographically on (a, b),
     * and pair frequencies are exact integers. Words containing the
-    * separator character are excluded (document the corpus accordingly). */
+    * separator character are excluded (document the corpus accordingly).
+    *
+    * Self-pairs (a == b) are excluded from merge candidates: inside a run
+    * of the same symbol the candidate count double-counts overlapping
+    * occurrences and the realizable merges depend on scan direction — the
+    * one case where left-to-right greedy matching is not canonical. With
+    * a ≠ b, symbol-level occurrences are provably disjoint, so the anchored
+    * single-pass replace below merges every occurrence — and the DuckDB
+    * oracle (`q_bpe_train`) reproduces it exactly with two consume-trailing
+    * passes (RE2 has no lookahead; pass 1 can only skip the occurrence
+    * immediately after a merge, which pass 2 then catches). */
   def train(df: DataFrame, text: Column, nMerges: Int): Seq[(String, String, Long)] = {
     require(nMerges >= 1, s"nMerges $nMerges < 1")
     var cur = df
@@ -56,6 +66,7 @@ object Bpe {
           slice(col("syms"), lit(1), size(col("syms")) - 1),
           slice(col("syms"), lit(2), size(col("syms")) - 1),
           (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .where(col("p.a") =!= col("p.b"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("freq"))
         .orderBy(desc("freq"), asc("a"), asc("b"))

@@ -236,17 +236,66 @@ object TextAnalysis {
   }
 
   /** BPE merge training over the corpus ([[graft.api.Bpe]]): 8 learned
-    * merge rules as (step, a, b, freq). Rows-only at the driver gate —
-    * the iterative argmax is not one SQL statement — but the algorithm is
-    * pinned against a sequential reference implementation in `ApiSpec`
-    * (identical merges on the public worked-example corpus), and every
-    * per-round plan is a tiny groupBy over distinct words plus a narrow
-    * regexp projection. */
-  val qBpeTrain: QueryDef = QueryDef.rowsOnly("q_bpe_train") { (s, d) =>
+    * merge rules as (step, a, b, freq). Oracle-gated since round 8: the
+    * iterative argmax unrolls into 8 chained CTE rounds in DuckDB (the
+    * `q_pagerank` fixed-depth pattern) — each round is one adjacent-pair
+    * count + argmax + a merge replace. Training is restricted to
+    * `^[a-z]+$` words on BOTH sides so learned symbols are regex-literal-
+    * safe in the oracle's dynamically-built replace pattern; the oracle's
+    * two consume-trailing replace passes reproduce the trainer's anchored
+    * lookahead pass exactly because self-pairs are excluded (see
+    * [[graft.api.Bpe.train]]). Also pinned against a sequential reference
+    * in `ApiSpec`. */
+  private def bpeRoundCte(i: Int): String = {
+    val (prev, cur) = (s"w${i - 1}", s"w$i")
+    s"""p$i AS (
+       |  SELECT t.cnt, t.syms[u.i] AS a, t.syms[u.i+1] AS b
+       |  FROM (SELECT cnt, list_filter(string_split(s, '~'), x -> length(x) > 0) AS syms FROM $prev) t,
+       |       UNNEST(generate_series(1, length(t.syms) - 1)) AS u(i)
+       |  WHERE length(t.syms) >= 2
+       |),
+       |m$i AS (
+       |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS freq FROM p$i
+       |  WHERE a <> b GROUP BY a, b
+       |  ORDER BY sum(cnt) DESC, a, b LIMIT 1
+       |),
+       |$cur AS (
+       |  SELECT $prev.cnt,
+       |         regexp_replace(
+       |           regexp_replace($prev.s, '~' || m$i.a || '~' || m$i.b || '~',
+       |                          '~' || m$i.a || m$i.b || '~', 'g'),
+       |           '~' || m$i.a || '~' || m$i.b || '~',
+       |           '~' || m$i.a || m$i.b || '~', 'g') AS s
+       |  FROM $prev, m$i
+       |)""".stripMargin
+  }
+
+  val qBpeTrain: QueryDef = QueryDef.sql(
+    "q_bpe_train", {
+      val n = 8
+      val ctes = (1 to n).map(bpeRoundCte).mkString(",\n")
+      val finals = (1 to n)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS step, a, b, freq FROM m$i")
+        .mkString(" UNION ALL ")
+      s"""WITH words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$$')
+         |  GROUP BY w
+         |),
+         |w0 AS (
+         |  SELECT cnt, '~' || array_to_string(string_split(w, ''), '~') || '~' AS s FROM words
+         |),
+         |$ctes
+         |SELECT step, a, b, freq FROM ($finals) ORDER BY step""".stripMargin
+    }) { (s, d) =>
     import s.implicits._
-    graft.api.Bpe.train(Tables.documents(s, d), col("text"), nMerges = 8)
+    val corpus = Tables.documents(s, d).select(
+      array_join(
+        filter(split(col("text"), " "), w => w.rlike("^[a-z]+$")), " ").as("text"))
+    graft.api.Bpe.train(corpus, col("text"), nMerges = 8)
       .zipWithIndex
-      .map { case ((a, b, f), i) => (i + 1, a, b, f) }
+      .map { case ((a, b, f), i) => ((i + 1).toLong, a, b, f) }
       .toDF("step", "a", "b", "freq")
   }
 
