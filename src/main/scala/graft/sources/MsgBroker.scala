@@ -29,8 +29,8 @@ final class AckFailedException(msg: String) extends RuntimeException(msg)
   * executor threads (same JVM) reach them by name — a production connector
   * would replace fetch/ack with network calls and nothing else.
   */
-final class MsgBroker(val name: String, val numPartitions: Int, val ackTimeoutMs: Long) {
-  require(numPartitions >= 1, s"numPartitions $numPartitions")
+final class MsgBroker(val name: String, initialPartitions: Int, val ackTimeoutMs: Long) {
+  require(initialPartitions >= 1, s"numPartitions $initialPartitions")
 
   private final class Part {
     val buf = new ArrayBuffer[String]      // retained payloads, seq = firstSeq + idx
@@ -39,8 +39,25 @@ final class MsgBroker(val name: String, val numPartitions: Int, val ackTimeoutMs
     var deliveredUpTo = 0L                 // highest seq ever handed to a fetch (exclusive)
     var deliveredAt = 0L                   // wall time of the delivery that set deliveredUpTo
   }
-  private val parts = Array.fill(numPartitions)(new Part)
+  // growable: Pulsar topics can gain partitions while consumers run
+  // (the reference re-discovers every 30 s, PulsarSource.java:147-148);
+  // guarded by its own lock, per-partition state by the Part's monitor
+  private val parts = ArrayBuffer.fill(initialPartitions)(new Part)
+  private def part(p: Int): Part = parts.synchronized(parts(p))
+  private def partIds: Range = 0 until parts.synchronized(parts.size)
   private val rr = new AtomicLong(0)
+
+  def numPartitions: Int = parts.synchronized(parts.size)
+
+  /** Grow the topic by `n` partitions (Pulsar partition expansion). New
+    * partitions start empty at seq 0; existing ids keep their state. The
+    * source discovers them on its next `latestOffset` poll — every
+    * micro-batch, i.e. at least as fresh as the reference's 30 s
+    * rediscovery loop — and plans them from their earliest offset. */
+  def addPartitions(n: Int): Unit = {
+    require(n >= 1, s"addPartitions $n")
+    parts.synchronized { (0 until n).foreach(_ => parts += new Part) }
+  }
 
   /** Transient-failure injection: the next N acknowledge calls throw. */
   val failNextAcks = new AtomicInteger(0)
@@ -49,8 +66,8 @@ final class MsgBroker(val name: String, val numPartitions: Int, val ackTimeoutMs
   private val redeliveredN = new AtomicLong(0)
 
   def publishTo(p: Int, msg: String): Unit = {
-    val part = parts(p)
-    part.synchronized { part.buf += msg; part.nextSeq += 1 }
+    val pt = part(p)
+    pt.synchronized { pt.buf += msg; pt.nextSeq += 1 }
   }
 
   /** Round-robin publish across partitions. */
@@ -61,18 +78,18 @@ final class MsgBroker(val name: String, val numPartitions: Int, val ackTimeoutMs
 
   /** End-of-log (exclusive) seq per partition. */
   def endOffsets: Map[Int, Long] =
-    parts.indices.map(p => p -> parts(p).synchronized(parts(p).nextSeq)).toMap
+    partIds.map { p => val pt = part(p); p -> pt.synchronized(pt.nextSeq) }.toMap
 
   /** Earliest retained (= acked watermark) seq per partition — the Pulsar
     * `Earliest` start position (`PulsarSource.java:146`). */
   def earliestOffsets: Map[Int, Long] =
-    parts.indices.map(p => p -> parts(p).synchronized(parts(p).firstSeq)).toMap
+    partIds.map { p => val pt = part(p); p -> pt.synchronized(pt.firstSeq) }.toMap
 
   /** Serve `[from, until)` of partition `p`. Re-serving a range that was
     * already delivered but never acked counts as redelivery once the ack
     * timeout has elapsed (the broker-side view of `PulsarSource.java:149`). */
   def fetch(p: Int, from: Long, until: Long): Seq[(Long, String)] = {
-    val part = parts(p)
+    val part = this.part(p)
     part.synchronized {
       require(from >= part.firstSeq,
         s"$name/$p: fetch from $from below acked watermark ${part.firstSeq} (truncated)")
@@ -94,7 +111,7 @@ final class MsgBroker(val name: String, val numPartitions: Int, val ackTimeoutMs
     val n = failNextAcks.get()
     if (n > 0 && failNextAcks.compareAndSet(n, n - 1))
       throw new AckFailedException(s"$name/$p: injected ack failure ($n left)")
-    val part = parts(p)
+    val part = this.part(p)
     part.synchronized {
       if (upTo > part.firstSeq) {
         require(upTo <= part.nextSeq, s"$name/$p: ack $upTo past end ${part.nextSeq}")
@@ -105,8 +122,8 @@ final class MsgBroker(val name: String, val numPartitions: Int, val ackTimeoutMs
     acksN.incrementAndGet()
   }
 
-  def retained(p: Int): Int = parts(p).synchronized(parts(p).buf.size)
-  def retainedTotal: Long = parts.indices.map(retained(_).toLong).sum
+  def retained(p: Int): Int = { val pt = part(p); pt.synchronized(pt.buf.size) }
+  def retainedTotal: Long = partIds.map(retained(_).toLong).sum
   def redelivered: Long = redeliveredN.get()
   def ackAttempts: Long = ackAttemptsN.get()
   def acks: Long = acksN.get()

@@ -29,7 +29,13 @@ import scala.jdk.CollectionConverters._
   *     never commits is re-planned from the WAL on restart, which the broker
   *     observes as ack-timeout redelivery (`:149`);
   *   - rate limiting (`maxPerTrigger`) via [[SupportsAdmissionControl]], the
-  *     analog of the consumer's receive-queue bound.
+  *     analog of the consumer's receive-queue bound;
+  *   - partition discovery (`PulsarSource.java:147-148`, 30 s rediscovery
+  *     loop): [[latestOffset(start:*]] re-polls the broker's partition set
+  *     every micro-batch, so a partition added mid-stream enters the next
+  *     batch from its earliest offset (`from.getOrElse(p, 0L)`) and is
+  *     acked/checkpointed like any other — exercised by `BrokerSourceSpec`
+  *     "partition appearing mid-stream".
   *
   * Usage: `spark.readStream.format("graft-msgs").option("broker", name)
   * .load()` → columns `(value STRING, partition INT, seq LONG)`.

@@ -184,6 +184,46 @@ class BrokerSourceSpec extends SparkSpec {
     assert(batchSizes.forall(_ <= 10), s"the cap is a hard bound per batch: $batchSizes")
   }
 
+  test("partition appearing mid-stream is discovered; offsets/acks stay exactly-once") {
+    // the reference rediscovers topic partitions every 30 s
+    // (PulsarSource.java:147-148); here the source re-polls endOffsets every
+    // micro-batch, so a partition added while the query runs must be picked
+    // up from its earliest offset without disturbing existing partitions
+    val b = MsgBroker.create("grow", numPartitions = 2)
+    (1 to 10).foreach(i => b.publish(mk("session", 1000000L + i, s"g$i\n")))
+
+    val dir = ckpt("grow")
+    val seen = new ConcurrentHashMap[Long, Seq[String]]
+    val q = MsgPipeline.runFanOut(
+      MessageSource.brokerStream(spark, "grow"), dir, () => 2000000L,
+      (ds, id) => seen.put(id, ds.collect().toSeq),
+      (_, _) => ())
+    q.processAllAvailable()
+    assert(seen.values.asScala.flatten.size == 10, "pre-growth data drained")
+
+    b.addPartitions(1) // topic grows 2 -> 3 while the query is running
+    assert(b.numPartitions == 3)
+    (11 to 16).foreach(i => b.publishTo(2, mk("session", 1000000L + i, s"g$i\n")))
+    (17 to 18).foreach(i => b.publishTo(0, mk("session", 1000000L + i, s"g$i\n")))
+    drainAndAck(b, q)
+
+    val delivered = seen.values.asScala.flatten.toSeq
+    assert(delivered.size == 18, s"exactly-once across growth: $delivered")
+    assert(delivered.toSet == (1 to 18).map(i => s"g$i\n").toSet)
+    assert(b.retained(2) == 0, "new partition's batches committed and acked")
+    assert(b.retainedTotal == 1, "only the flush sentinel remains in flight")
+
+    // restart from the same checkpoint: the WAL's last offset covers the
+    // new partition; nothing replays, nothing is lost
+    (19 to 20).foreach(i => b.publishTo(2, mk("session", 1000000L + i, s"g$i\n")))
+    drainAndAck(b, MsgPipeline.runFanOut(
+      MessageSource.brokerStream(spark, "grow"), dir, () => 2000000L,
+      (ds, id) => seen.put(id, ds.collect().toSeq),
+      (_, _) => ()))
+    assert(seen.values.asScala.flatten.toSet == (1 to 20).map(i => s"g$i\n").toSet,
+      "restart resumes the grown topic exactly-once")
+  }
+
   test("admission control never exceeds the cap and is overflow-safe") {
     import graft.sources.MsgMicroBatchStream
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
