@@ -33,3 +33,27 @@ object Persisting {
     if (disabled) df
     else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 }
+
+/** Lineage cap for iterative loops (PageRank, connected components, BPE):
+  * every round must cut the plan or the lineage grows O(rounds) and the
+  * optimizer re-walks it each iteration.
+  *
+  * Default is `localCheckpoint` — executor-local blocks, fastest, but NOT
+  * fault-tolerant: losing an executor mid-loop kills the job (acceptable in
+  * local[32], where executor == driver). On a real cluster set
+  * `spark.graft.checkpointDir` to a durable path (HDFS/S3): rounds then use
+  * RELIABLE `checkpoint`, so executor loss replays from the last round's
+  * files instead of failing the loop. `CheckpointSpec` pins that both modes
+  * converge to bit-identical results. */
+object Checkpointing {
+  def cut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(true)
+      case _ => df.localCheckpoint(true)
+    }
+  }
+}

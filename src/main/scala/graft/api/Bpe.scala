@@ -55,7 +55,7 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(col("cnt"),
         concat(lit(Sep), array_join(split(col("w"), ""), Sep), lit(Sep)).as("s"))
-      .localCheckpoint()
+      .localCheckpoint() // always local: rebuilding this frame is one cheap scan
     val merges = Seq.newBuilder[(String, String, Long)]
     var exhausted = false
     for (_ <- 0 until nMerges if !exhausted) {
@@ -79,9 +79,8 @@ object Bpe {
         merges += ((a, b, f))
         val pat = java.util.regex.Pattern.quote(s"$Sep$a$Sep$b") + "(?=\\|)"
         val rep = java.util.regex.Matcher.quoteReplacement(s"$Sep$a$b")
-        val next = cur
-          .select(col("cnt"), regexp_replace(col("s"), pat, rep).as("s"))
-          .localCheckpoint()
+        val next = graft.Checkpointing.cut(
+          cur.select(col("cnt"), regexp_replace(col("s"), pat, rep).as("s")))
         cur.unpersist()
         cur = next
       }

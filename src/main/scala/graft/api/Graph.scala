@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * ships only the (node, rank) frame — 16 bytes/node — through the join;
   * the transpose shuffle (groupBy `dst`) likewise carries 16-byte rows.
   * Per round: one join + one aggregate, the Pregel communication pattern
-  * expressed relationally. `localCheckpoint` caps lineage at O(1) like the
-  * connected-components loop (api/TextDedup.scala).
+  * expressed relationally. [[graft.Checkpointing.cut]] caps lineage at O(1)
+  * like the connected-components loop (api/TextDedup.scala) — local blocks
+  * by default, reliable files when `spark.graft.checkpointDir` is set.
   */
 object Graph {
 
@@ -51,10 +52,10 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div d").as("contrib"))
         .groupBy("node").agg(sum(col("contrib")).as("c"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          expr("150000L + (850000L * coalesce(c, 0L)) div 1000000L").as("r"))
-        .localCheckpoint()
+      ranks = graft.Checkpointing.cut(
+        nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            expr("150000L + (850000L * coalesce(c, 0L)) div 1000000L").as("r")))
     }
     ranks.select(col("node"), col("r").as("rank"))
   }

@@ -165,15 +165,16 @@ object TextDedup {
     * aggregate + jump), so without truncating lineage the LOGICAL plan
     * grows geometrically — exponential analysis/explain cost by round
     * ~15 even though the persisted data is tiny. Checkpointing makes
-    * every round's plan O(1). (On a cluster with lost-executor concerns,
-    * swap for `checkpoint()` to reliable storage — same shape.) */
+    * every round's plan O(1), via [[graft.Checkpointing.cut]] — local
+    * blocks by default; set `spark.graft.checkpointDir` for reliable
+    * cluster checkpoints (lost-executor safety), same shape. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+    var labels = graft.Checkpointing.cut(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -187,12 +188,11 @@ object TextDedup {
       // covered distance per round (on a chain, d' = 2d+1), keeping the
       // loop O(log m) — and joining the checkpointed `labels` instead of
       // `stepped` avoids evaluating the neighbor aggregate twice.
-      val next = stepped.as("s")
+      val next = graft.Checkpointing.cut(stepped.as("s")
         .join(labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
           col("s.lbl") === col("jid"), "left")
         .select(col("s.id").as("id"), col("prev"),
-          least(col("s.lbl"), coalesce(col("jlbl"), col("s.lbl"))).as("lbl"))
-        .localCheckpoint(true)
+          least(col("s.lbl"), coalesce(col("jlbl"), col("s.lbl"))).as("lbl")))
       converged = next.where(col("lbl") =!= col("prev")).isEmpty
       labels = next.select("id", "lbl")
       it += 1
