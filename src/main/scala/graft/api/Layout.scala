@@ -61,8 +61,11 @@ object Layout {
     * pass (OPTIMIZE in lakehouse formats). Range-partitioning on `key`
     * (sampled boundaries, one exchange) + a local sort gives each output
     * file a disjoint key range — so the rewrite also buys min/max skipping
-    * on `key`, not just fewer files. The row count comes from parquet
-    * metadata (a footer-only job), not a data scan.
+    * on `key`, not just fewer files. Sizing note: `df.count()` plans an
+    * empty-schema scan (cheap — no column data decoded, but still a
+    * distributed job over the files, not a driver-only footer read), and
+    * because `repartitionByRange` SAMPLES range boundaries, output files
+    * are only approximately `targetRowsPerFile` — some may exceed it.
     *
     * Returns the number of files written. Output goes to a NEW directory:
     * swap-by-rename (or a table format's atomic commit) is the caller's
@@ -72,7 +75,7 @@ object Layout {
       outDir: String, key: Column, targetRowsPerFile: Long): Int = {
     require(targetRowsPerFile >= 1, s"targetRowsPerFile $targetRowsPerFile")
     val df = spark.read.parquet(inDir)
-    val rows = df.count() // parquet metadata-only: no column data read
+    val rows = df.count() // empty-schema scan: no column data decoded
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
     df.repartitionByRange(nFiles, key)
       .sortWithinPartitions(key)

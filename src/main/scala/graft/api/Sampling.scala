@@ -52,16 +52,31 @@ object Sampling {
     * global rank is offset + in-bucket rank. Identical output to the
     * single-window form (the oracle replays that form and hash-matches).
     * Returns the kept rows with (stratum count, quota, rank).
+    *
+    * `weight` must be a POSITIVE integer, constant within each stratum:
+    * w < 1 breaks the quota math (`n_avail div w0` nulls or ANSI-errors),
+    * and differing weights inside one stratum would silently collapse to
+    * min(w), diverging from the documented proportional-quota contract.
+    * The guard is embedded in the quota projection (`raise_error` branch)
+    * so it costs no extra job: any violating stratum fails the run loudly
+    * instead of producing a silently-wrong mixture.
     */
   def mixture(df: DataFrame, id: Column, stratum: Column, weight: Column): DataFrame = {
     val rows = df.select(id.as("id"), stratum.as("stratum"), weight.cast("long").as("w"))
       .withColumn("h", CrossHash.md5Long(col("id").cast("string")))
       .withColumn("b", expr(s"h div ${1L << 44}")) // 56-bit hash → 4096 buckets
     val counts = rows.groupBy("stratum").agg(
-      count(lit(1)).as("n_avail"), min(col("w")).as("w0"))
+      count(lit(1)).as("n_avail"), min(col("w")).as("w0"), max(col("w")).as("w1"))
     val k = counts.agg(min(expr("n_avail div w0")).as("k"))
     val quotas = counts.crossJoin(k)
-      .select(col("stratum"), col("n_avail"), (col("w0") * col("k")).as("quota"))
+      .select(col("stratum"), col("n_avail"),
+        when(col("w0") >= 1 && col("w0") === col("w1"), col("w0") * col("k"))
+          .otherwise(raise_error(concat_ws("",
+            lit("mixture(): stratum '"), col("stratum").cast("string"),
+            lit("' has weight range ["), col("w0").cast("string"),
+            lit(", "), col("w1").cast("string"),
+            lit("] - weights must be >= 1 and constant per stratum"))))
+          .as("quota"))
     val boff = rows.groupBy("stratum", "b").agg(count(lit(1)).as("bn"))
       .withColumn("boff",
         coalesce(sum(col("bn")).over(org.apache.spark.sql.expressions.Window

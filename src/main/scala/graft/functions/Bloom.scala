@@ -162,6 +162,20 @@ case class BloomMightContain(
        """.stripMargin
     })
 
+  // the case-class equals/hashCode on an Array field is reference-based —
+  // two semantically identical filters would never compare equal, defeating
+  // canonicalization / subexpression elimination / codegen reuse. Compare
+  // contents, as Spark's own literal-array-bearing expressions do.
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomMightContain =>
+      child == o.child && numHashes == o.numHashes &&
+        java.util.Arrays.equals(words, o.words)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child, Integer.valueOf(numHashes),
+    Integer.valueOf(java.util.Arrays.hashCode(words)))
+
   override protected def withNewChildInternal(c: Expression): BloomMightContain =
     copy(child = c)
 }

@@ -82,6 +82,19 @@ case class PqDist2(child: Expression, centMicros: Array[Long], offset: Int)
          |  graft.functions.PqMicro.dist2Unscaled($v, $offset, $c), 38, 12);""".stripMargin
     })
 
+  // content-based equality (Array fields are reference-equal by default):
+  // keeps canonicalization and codegen-class reuse working across
+  // semantically identical instances
+  override def equals(other: Any): Boolean = other match {
+    case o: PqDist2 =>
+      child == o.child && offset == o.offset &&
+        java.util.Arrays.equals(centMicros, o.centMicros)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child, Integer.valueOf(offset),
+    Integer.valueOf(java.util.Arrays.hashCode(centMicros)))
+
   override protected def withNewChildInternal(c: Expression): PqDist2 =
     copy(child = c)
 }
@@ -101,6 +114,19 @@ case class PqArgmin(child: Expression, centsMicros: Array[Array[Long]], offset: 
       val c = ctx.addReferenceObj("pqCents", centsMicros, "long[][]")
       s"${ev.value} = graft.functions.PqMicro.argmin($v, $offset, $c);"
     })
+
+  override def equals(other: Any): Boolean = other match {
+    case o: PqArgmin =>
+      child == o.child && offset == o.offset &&
+        java.util.Arrays.deepEquals(
+          centsMicros.asInstanceOf[Array[AnyRef]],
+          o.centsMicros.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, child, Integer.valueOf(offset),
+    Integer.valueOf(java.util.Arrays.deepHashCode(
+      centsMicros.asInstanceOf[Array[AnyRef]])))
 
   override protected def withNewChildInternal(c: Expression): PqArgmin =
     copy(child = c)

@@ -131,9 +131,11 @@ object Maintenance {
     *   matched + U → new values; matched + D → drop; unmatched source → insert.
     *
     * The change feed derives deterministically from orders itself so the
-    * oracle can rebuild it: even keys get a 5 % price update, keys ≡ 5
-    * (mod 9) a delete, and keys ≡ 7 (mod 1000) reappear as inserts at
-    * key + 20 000 000. At 100 TB both sides hash-partition on the merge
+    * oracle can rebuild it: even keys get a 5 % price update (excluding
+    * delete keys — MERGE requires each target row to match at most ONE
+    * change row, and a key that is both updated and deleted would be the
+    * illegal multi-match case), keys ≡ 5 (mod 9) a delete, and keys ≡ 7
+    * (mod 1000) reappear as inserts at key + 20 000 000. At 100 TB both sides hash-partition on the merge
     * key — one co-partitioned shuffle join, no broadcast needed, and the
     * output is write-ready partitioned by the same key.
     */
@@ -143,7 +145,7 @@ object Maintenance {
       |  SELECT o_orderkey AS k, 'U' AS op,
       |         CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * CAST(1.05 AS DECIMAL(3,2)), 2) AS DOUBLE) AS new_price,
       |         o_orderstatus AS new_status
-      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 9 <> 5
       |  UNION ALL
       |  SELECT o_orderkey, 'D', NULL, NULL FROM orders WHERE o_orderkey % 9 = 5
       |  UNION ALL
@@ -168,7 +170,7 @@ object Maintenance {
       |WHERE op IS DISTINCT FROM 'D' AND (op IS NOT NULL OR matched)
       |ORDER BY orderkey""".stripMargin) { (s, d) =>
     val t = Tables.orders(s, d)
-    val chg = t.filter(col("o_orderkey") % 2 === 0)
+    val chg = t.filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") % 9 =!= 5)
       .select(col("o_orderkey").as("k"), lit("U").as("op"),
         round(col("o_totalprice").cast("decimal(18,6)") * lit(1.05).cast("decimal(3,2)"), 2)
           .cast("double").as("new_price"),

@@ -47,6 +47,17 @@ object IncrementalAgg {
         col("c").as("cnt"),
         round(col("s").cast("double") / col("c"), 4).as("avg_v")))
 
+  /** Durable pointer-file update: write a sibling temp file, fsync-rename it
+    * into place (`ATOMIC_MOVE`). Readers see either the old or the new
+    * content, never a torn/empty file. */
+  private def writeAtomic(p: java.nio.file.Path, content: String): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   private def lastApplied(root: String): Long = {
     val p = stateDir(root).resolve("_LAST_BATCH")
     if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim.toLong
@@ -75,9 +86,12 @@ object IncrementalAgg {
     merged.write.mode("overwrite").parquet(s"$root/$version")
     // order matters: data first, then the pointer, then the idempotence
     // marker — a crash between steps replays the batch against the OLD
-    // pointer (no partial state is ever visible)
-    java.nio.file.Files.writeString(stateDir(root).resolve("_CURRENT"), version)
-    java.nio.file.Files.writeString(stateDir(root).resolve("_LAST_BATCH"), batchId.toString)
+    // pointer (no partial state is ever visible). Pointer files move into
+    // place atomically (write-temp-then-rename): an in-place truncate+write
+    // could be caught mid-write, leaving _CURRENT empty (read back as "no
+    // state" → silent history loss) or pointing at a GC'd version.
+    writeAtomic(stateDir(root).resolve("_CURRENT"), version)
+    writeAtomic(stateDir(root).resolve("_LAST_BATCH"), batchId.toString)
     // GC: the superseded version is unreachable once the pointer moved;
     // removing it keeps state at O(1) versions across an unbounded stream
     prevVersion.filter(_ != version).foreach { v =>

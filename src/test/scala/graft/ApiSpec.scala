@@ -428,6 +428,22 @@ class ApiSpec extends SparkSpec {
     assert(run(7) == kept, "mixture selection must not depend on partitioning")
   }
 
+  test("mixture rejects non-positive and non-constant-per-stratum weights") {
+    import graft.api.Sampling
+    val rows = ((1L to 10L).map(i => (i, "a")) ++ (11L to 20L).map(i => (i, "b")))
+      .toDF("id", "s")
+    val nonConstant = intercept[Exception] {
+      Sampling.mixture(rows, col("id"), col("s"),
+        when(col("id") % 2 === 0, 2).otherwise(1)).collect()
+    }
+    assert(nonConstant.getMessage.contains("constant per stratum") ||
+      Option(nonConstant.getCause).exists(_.getMessage.contains("constant per stratum")))
+    intercept[Exception] {
+      Sampling.mixture(rows, col("id"), col("s"),
+        when(col("s") === "a", 0).otherwise(1)).collect()
+    } // w=0: ANSI div-by-zero or the embedded guard — either way loud
+  }
+
   test("IVF-PQ composition: every hit comes from a probed cell, scored by codes") {
     import graft.api.ProductQuant
     val n = VectorSearch.withNorm(

@@ -51,4 +51,28 @@ class JoinAccelSpec extends SparkSpec {
     val pruned = JoinAccel.bloomPruned(none, Tables.lineitem(spark, sf()))
     assert(pruned.count() == 0L)
   }
+
+  test("array-bearing expressions compare by content, not reference") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.LongType
+    import graft.functions.{BloomMightContain, PqArgmin, PqDist2}
+    // reference-based equals would defeat canonicalization / subexpression
+    // elimination / codegen-class reuse for semantically identical instances
+    val h = BoundReference(0, LongType, nullable = true)
+    val b1 = BloomMightContain(h, Array(1L, 2L, 3L), 4)
+    val b2 = BloomMightContain(h, Array(1L, 2L, 3L), 4)
+    assert(b1 == b2 && b1.hashCode == b2.hashCode && b1.semanticEquals(b2))
+    assert(b1 != BloomMightContain(h, Array(1L, 2L, 4L), 4))
+
+    val v = BoundReference(0, org.apache.spark.sql.types.ArrayType(LongType), nullable = true)
+    val d1 = PqDist2(v, Array(10L, 20L), 0)
+    val d2 = PqDist2(v, Array(10L, 20L), 0)
+    assert(d1 == d2 && d1.hashCode == d2.hashCode && d1.semanticEquals(d2))
+    assert(d1 != PqDist2(v, Array(10L, 21L), 0))
+
+    val a1 = PqArgmin(v, Array(Array(1L, 2L), Array(3L, 4L)), 0)
+    val a2 = PqArgmin(v, Array(Array(1L, 2L), Array(3L, 4L)), 0)
+    assert(a1 == a2 && a1.hashCode == a2.hashCode && a1.semanticEquals(a2))
+    assert(a1 != PqArgmin(v, Array(Array(1L, 2L), Array(3L, 5L)), 0))
+  }
 }
