@@ -4,15 +4,17 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** The classic TPC-H showcase queries (Q1, Q3, Q5), adapted to the
-  * driver's synthetic star schema (same columns where present; this
-  * schema has no o_shippriority and its dates run 1995–2001, so the
+/** The classic TPC-H showcase queries (Q1, Q3, Q5, Q7, Q10, Q18), adapted
+  * to the driver's synthetic star schema (same columns where present; this
+  * schema has no o_shippriority/partsupp and its dates run 1995–2001, so
   * selection constants shift accordingly). These are the workload-shaped
   * proof that the engine's operator inventory composes: scan pruning +
   * predicate pushdown (Q1), selective dim broadcast + fact-fact join +
-  * top-k (Q3), and a five-table join snowflake with a cross-side filter
-  * (Q5). All money arithmetic routes through DECIMAL(18,6) partials per
-  * the determinism contract.
+  * top-k (Q3), a five-table join snowflake with a cross-side filter (Q5),
+  * a double-dim-role join with a symmetric pair predicate (Q7), quarter-
+  * scoped returned-revenue ranking (Q10), and an aggregate-driven
+  * semi-join (Q18). All money arithmetic routes through DECIMAL(18,6)
+  * partials per the determinism contract.
   *
   * Reference provenance: the reference has no relational layer at all
   * (SURVEY.md §2.A) — these document the engine's warehouse surface in
@@ -156,5 +158,88 @@ object Tpch {
       .limit(100)
   }
 
-  val all: Seq[QueryDef] = Seq(qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ18)
+  /** Q7: volume shipping between two nations — the double-dim-role join
+    * (nation joined twice under different roles) with a symmetric pair
+    * predicate, grouped by year. Both nation sides broadcast; the
+    * lineitem→orders fact join shuffles once on orderkey. Adapted names:
+    * this schema's nations are NATION_0..24 and dates run 1995–2001, so
+    * the pair and the two-year window shift accordingly. */
+  val qTpchQ7: QueryDef = QueryDef.sql(
+    "q_tpch_q7",
+    """SELECT supp_nation, cust_nation, l_year,
+      |       round(CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+      |         l.l_extendedprice * (1 - l.l_discount) AS volume
+      |  FROM supplier s
+      |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+    val n1 = Tables.nation(s, d).select(
+      col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).select(
+      col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    Tables.supplier(s, d)
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1999-01-01 00:00:00").cast("timestamp")),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .withColumn("l_year", year(col("l_shipdate")))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(d2(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q10: returned-item reporting — which customers returned the most
+    * revenue in one quarter. Fact-fact join shuffles on orderkey; the
+    * customer/nation dims broadcast; top-20 compiles to
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  val qTpchQ10: QueryDef = QueryDef.sql(
+    "q_tpch_q10",
+    """SELECT c.c_custkey, c.c_name,
+      |       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+      |       c.c_acctbal, n.n_name
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l.l_returnflag = 'R'
+      |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+      |ORDER BY revenue DESC, c.c_custkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-10-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(d2(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ18, qTpchQ7, qTpchQ10)
 }
