@@ -351,4 +351,15 @@ class PlanSpec extends SparkSpec {
       !finalPlan.contains("row_number"),
       s"grouped top-k must not fall back to a window sort:\n$p")
   }
+
+  test("TPC-H Q7/Q10: dims broadcast, no cartesian, Q10 keeps heap top-k") {
+    val p7 = planString(Tpch.qTpchQ7.fn(spark, sf()))
+    assert(p7.contains("BroadcastHashJoin"), s"Q7 nation dims must broadcast:\n$p7")
+    assert(!p7.contains("CartesianProduct") && !p7.contains("BroadcastNestedLoop"),
+      s"Q7 symmetric pair predicate degenerated to a product:\n$p7")
+    val p10 = planString(Tpch.qTpchQ10.fn(spark, sf()))
+    assert(p10.contains("BroadcastHashJoin"), s"Q10 dims must broadcast:\n$p10")
+    assert(p10.contains("TakeOrderedAndProject"),
+      s"Q10 top-20 must be per-partition heaps, not a global sort:\n$p10")
+  }
 }
