@@ -261,5 +261,38 @@ object Maintenance {
       .orderBy("status_at_ship", "l_returnflag")
   }
 
-  val all: Seq[QueryDef] = Seq(qIncrAgg, qScd2, qMergeUpsert, qPitEnrich)
+  /** Incremental JOIN-view maintenance ([[graft.api.IncrementalJoin]]):
+    * orders and lineitem arrive as three aligned delta batches (orders
+    * split by orderkey mod 3, lineitem by LINENUMBER mod 3, so an order's
+    * lines land in different steps than the order row and every delta-rule
+    * term — ΔA⋈B, A⋈ΔB, ΔA⋈ΔB — carries real rows). The maintained view
+    * must equal the full join, which is exactly what the oracle computes.
+    * Cost shape: each step joins only deltas against accumulated history;
+    * the view and the full inputs are never re-joined. */
+  val qIncrJoin: QueryDef = QueryDef.sql(
+    "q_incr_join",
+    """SELECT o.o_orderstatus, l.l_returnflag,
+      |       count(*) AS cnt,
+      |       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS rev
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderstatus, l.l_returnflag
+      |ORDER BY o.o_orderstatus, l.l_returnflag""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
+    val view = graft.api.IncrementalJoin.maintain(
+      (0 to 2).map(i => o.filter(col("okey") % 3 === i)),
+      (0 to 2).map(i => li.filter(col("l_linenumber") % 3 === i)),
+      keys = Seq("okey"))
+    view.groupBy("o_orderstatus", "l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("double"), 2).as("rev"))
+      .orderBy("o_orderstatus", "l_returnflag")
+  }
+
+  val all: Seq[QueryDef] = Seq(qIncrAgg, qScd2, qMergeUpsert, qPitEnrich, qIncrJoin)
 }

@@ -241,5 +241,82 @@ object Tpch {
       .limit(20)
   }
 
-  val all: Seq[QueryDef] = Seq(qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ18, qTpchQ7, qTpchQ10)
+  /** Q8: national market share — the eight-relation join (part, supplier,
+    * lineitem, orders, customer, nation×2, region) reduced to a per-year
+    * conditional-aggregate ratio. The share divides two exact DECIMAL
+    * partial sums (one CASE-gated), so the double ratio is deterministic.
+    * Dims broadcast; the only fact-fact shuffle is lineitem→orders. */
+  val qTpchQ8: QueryDef = QueryDef.sql(
+    "q_tpch_q8",
+    """SELECT o_year,
+      |       round(CAST(sum(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+      |             / CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE), 4) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+      |         l.l_extendedprice * (1 - l.l_discount) AS volume,
+      |         n2.n_name AS nation
+      |  FROM part p
+      |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+      |  WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin) { (s, d) =>
+    val n1 = Tables.nation(s, d).select(
+      col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+    val n2 = Tables.nation(s, d).select(
+      col("n_nationkey").as("n2_key"), col("n_name").as("nation"))
+    Tables.part(s, d).filter(col("p_type") === "PROMO")
+      .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n1_region") === col("r_regionkey"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy("o_year")
+      .agg(round(
+        dsum(when(col("nation") === "NATION_3", col("volume")).otherwise(0)).cast("double") /
+          dsum(col("volume")).cast("double"), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q14: promotion-revenue share per month of 1998 — lineitem⋈part with a
+    * CASE-gated ratio of exact DECIMAL sums; the part side broadcasts at
+    * dim scale and co-partitions at 100 TB. */
+  val qTpchQ14: QueryDef = QueryDef.sql(
+    "q_tpch_q14",
+    """SELECT CAST(month(l.l_shipdate) AS INTEGER) AS ship_month,
+      |       round(100.0 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
+      |                       THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+      |             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_share
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY ship_month
+      |ORDER BY ship_month""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy(month(col("l_shipdate")).cast("int").as("ship_month"))
+      .agg(round(lit(100.0) *
+        dsum(when(col("p_type") === "PROMO", col("rev")).otherwise(0)).cast("double") /
+        dsum(col("rev")).cast("double"), 4).as("promo_share"))
+      .orderBy("ship_month")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ18, qTpchQ7, qTpchQ10, qTpchQ8, qTpchQ14)
 }

@@ -110,4 +110,30 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("event_id")).toSet == Set(21L),
       s"expected exactly the planted spike, got ${out.mkString(",")}")
   }
+
+  test("incr_join: view equals the full join after EVERY step, any batching") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"))
+      .toDF("k", "av")
+    val b = Seq((1L, 10), (1L, 11), (2L, 20), (3L, 30), (5L, 50))
+      .toDF("k", "bv")
+    def slice(df: org.apache.spark.sql.DataFrame, col0: String, n: Int) =
+      (0 until n).map(i => df.filter(abs(hash(col(col0))) % n === i))
+    for (steps <- Seq(1, 2, 3)) {
+      val aB = slice(a, "av", steps)
+      val bB = slice(b, "bv", steps)
+      // invariant at every prefix: maintained view == full join of what's
+      // been ingested so far (the delta rule never misses a cross term)
+      for (prefix <- 1 to steps) {
+        val got = graft.api.IncrementalJoin
+          .maintain(aB.take(prefix), bB.take(prefix), Seq("k"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq.sorted
+        val aIn = aB.take(prefix).reduce(_ unionByName _)
+        val bIn = bB.take(prefix).reduce(_ unionByName _)
+        val want = aIn.join(bIn, Seq("k"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq.sorted
+        assert(got == want, s"steps=$steps prefix=$prefix: $got != $want")
+      }
+    }
+  }
 }
