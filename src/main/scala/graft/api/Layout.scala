@@ -82,4 +82,24 @@ object Layout {
       .write.mode("error").parquet(outDir)
     nFiles
   }
+
+  /** Write `df` as a bucketed+sorted managed table: rows hash to
+    * `buckets` files by `key`, sorted by `key` within each.
+    *
+    * This is the co-located join layout: two tables bucketed on the same
+    * key with the same bucket count join with NO exchange on either side
+    * (and no sort, since files are pre-sorted) — at 100 TB the dominant
+    * shuffle of a fact-fact join disappears entirely, paid once at write
+    * time instead of on every query. `LayoutSpec` proves the plan shape:
+    * the bucketed join contains zero `Exchange` nodes where the same join
+    * over plain tables shuffles both sides. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets $buckets")
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
 }

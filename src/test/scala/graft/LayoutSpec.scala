@@ -102,4 +102,34 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    val o = Tables.orders(spark, sf()).select("o_orderkey", "o_orderstatus")
+    val li = Tables.lineitem(spark, sf())
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    Layout.writeBucketed(o, "orders_b", "o_orderkey", buckets = 4)
+    Layout.writeBucketed(li, "lineitem_b", "o_orderkey", buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // forbid broadcast so the join must pick a shuffle strategy — the
+      // bucketing is what must eliminate the exchanges, not a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), "o_orderkey")
+      val expected = o.join(li, "o_orderkey").count()
+      assert(joined.count() == expected, "bucketed join changed the result")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"),
+        s"bucketed co-located join must not shuffle either side:\n$plan")
+      // same join over the plain frames DOES shuffle — the layout is load-bearing
+      val plain = o.join(li, "o_orderkey")
+      plain.count()
+      assert(plain.queryExecution.executedPlan.toString().contains("Exchange"),
+        "control: the unbucketed join was expected to exchange")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
 }
