@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming face of [[graft.api.IncrementalJoin]]: maintain the inner
+  * equi-join view of TWO append-only row feeds arriving interleaved on one
+  * stream (rows tagged 'A' / 'B' by `sideCol` — the single-topic CDC
+  * shape), with the same delta rule per micro-batch:
+  *
+  * {{{  ΔJ = ΔA ⋈ B_prev  ∪  A_prev ⋈ ΔB  ∪  ΔA ⋈ ΔB  }}}
+  *
+  * State layout under `root/`: `A/batch=<id>/`, `B/batch=<id>/` hold the
+  * accumulated sides, `view/batch=<id>/` the per-batch join increments —
+  * everything is APPEND-only and keyed by batchId, so a replayed batch
+  * OVERWRITES its own partition directories and reads exclude the
+  * in-flight id: exactly-once without a transaction log (the
+  * batch-subdirectory analog of [[IncrementalAgg]]'s versioned pointer;
+  * `StreamingSpec` applies one batch twice to prove idempotence, and pins
+  * the maintained view bit-identical to the batch
+  * [[graft.api.IncrementalJoin.maintain]] and to the full join — the
+  * suite's fifth batch↔stream parity pair).
+  *
+  * Scale shape: per batch, two delta-vs-history joins and one delta-delta
+  * join — the view is never rescanned; history sides are plain parquet a
+  * production build would bucket by the join key (see
+  * `Layout.writeBucketed`) so the delta joins co-partition without
+  * shuffling history.
+  */
+object StreamJoinView {
+
+  /** Column sets of the maintained join: `keys` on both sides, `aCols`
+    * from 'A' rows, `bCols` from 'B' rows; `sideCol` holds the tag. */
+  final case class JoinViewSpec(
+      keys: Seq[String], aCols: Seq[String], bCols: Seq[String],
+      sideCol: String = "side")
+
+  /** Accumulated side state STRICTLY BEFORE `beforeBatch`. The strict
+    * ordering is load-bearing for replay correctness: the delta rule is
+    * order-dependent (batch N's increment joins its delta against batches
+    * < N only — later batches' increments claim the cross terms against
+    * N), so a replayed batch must see exactly the state it saw the first
+    * time, not "everything except itself". */
+  private def readSide(spark: SparkSession, path: String, beforeBatch: Long,
+      cols: Seq[String]): Option[DataFrame] = {
+    val dir = new java.io.File(path)
+    val hasPrior = dir.isDirectory && dir.listFiles().exists { f =>
+      f.isDirectory && f.getName.startsWith("batch=") &&
+        f.getName.stripPrefix("batch=").toLongOption.exists(_ < beforeBatch)
+    }
+    if (!hasPrior) None
+    else Some(
+      spark.read.option("basePath", path).parquet(path)
+        .filter(col("batch") < beforeBatch)
+        .select(cols.map(col): _*))
+  }
+
+  /** Apply one micro-batch (idempotent on `batchId`). */
+  def applyBatch(batch: DataFrame, batchId: Long, root: String,
+      spec: JoinViewSpec): Unit = {
+    val spark = batch.sparkSession
+    val dA = batch.filter(col(spec.sideCol) === "A")
+      .select((spec.keys ++ spec.aCols).map(col): _*)
+    val dB = batch.filter(col(spec.sideCol) === "B")
+      .select((spec.keys ++ spec.bCols).map(col): _*)
+    val aPrev = readSide(spark, s"$root/A", batchId, spec.keys ++ spec.aCols)
+    val bPrev = readSide(spark, s"$root/B", batchId, spec.keys ++ spec.bCols)
+    val deltaJ = Seq(
+      bPrev.map(b => dA.join(b, spec.keys)), // ΔA ⋈ B_prev
+      aPrev.map(a => a.join(dB, spec.keys)), // A_prev ⋈ ΔB
+      Some(dA.join(dB, spec.keys))           // ΔA ⋈ ΔB
+    ).flatten.reduce(_ unionByName _)
+    // per-batch partition dirs: a replay overwrites exactly its own output
+    deltaJ.write.mode("overwrite").parquet(s"$root/view/batch=$batchId")
+    dA.write.mode("overwrite").parquet(s"$root/A/batch=$batchId")
+    dB.write.mode("overwrite").parquet(s"$root/B/batch=$batchId")
+  }
+
+  /** The maintained view (all increments so far). */
+  def view(spark: SparkSession, root: String): Option[DataFrame] = {
+    val dir = new java.io.File(s"$root/view")
+    if (!dir.isDirectory || dir.listFiles().isEmpty) None
+    else Some(spark.read.option("basePath", s"$root/view").parquet(s"$root/view")
+      .drop("batch"))
+  }
+
+  /** Wire a tagged stream into the maintained join view. */
+  def maintain(tagged: DataFrame, root: String, checkpoint: String,
+      spec: JoinViewSpec): org.apache.spark.sql.streaming.StreamingQuery =
+    tagged.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => applyBatch(b, id, root, spec))
+      .start()
+}

@@ -485,6 +485,59 @@ class StreamingSpec extends SparkSpec {
     assert(versions.toSeq == Seq("v99"), s"superseded versions not GC'd: ${versions.toSeq}")
   }
 
+  test("stream join view: equals batch IncrementalJoin and the full join; replay idempotent") {
+    import graft.streaming.StreamJoinView
+    val root = Files.createTempDirectory("sjv").toString
+    val ckpt = Files.createTempDirectory("sjv-ckpt").toString
+    val input = MemoryStream[(String, Long, String, Int)](spark)
+    val df = input.toDF().toDF("side", "k", "av", "bv")
+    val spec = StreamJoinView.JoinViewSpec(Seq("k"), Seq("av"), Seq("bv"))
+    val q = StreamJoinView.maintain(df, root, ckpt, spec)
+
+    def viewNow(): Seq[(Long, String, Int)] =
+      StreamJoinView.view(spark, root).get.collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("av"), r.getAs[Int]("bv")))
+        .toSeq.sorted
+
+    val b0 = Seq(("A", 1L, "x", 0), ("B", 1L, "", 10), ("B", 2L, "", 20))
+    val b1 = Seq(("A", 2L, "y", 0), ("B", 1L, "", 11))
+    val b2 = Seq(("A", 1L, "xx", 0), ("B", 9L, "", 90))
+    input.addData(b0: _*); q.processAllAvailable()
+    assert(viewNow() == Seq((1L, "x", 10)), "after batch 0")
+    input.addData(b1: _*); q.processAllAvailable()
+    assert(viewNow() == Seq((1L, "x", 10), (1L, "x", 11), (2L, "y", 20)), "after batch 1")
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = viewNow()
+
+    // parity 1: ≡ the batch IncrementalJoin over the same delta batching
+    import spark.implicits._
+    def aOf(rows: Seq[(String, Long, String, Int)]) =
+      rows.filter(_._1 == "A").map(t => (t._2, t._3)).toDF("k", "av")
+    def bOf(rows: Seq[(String, Long, String, Int)]) =
+      rows.filter(_._1 == "B").map(t => (t._2, t._4)).toDF("k", "bv")
+    val batches = Seq(b0, b1, b2)
+    val ivm = graft.api.IncrementalJoin
+      .maintain(batches.map(aOf), batches.map(bOf), Seq("k"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("av"), r.getAs[Int]("bv")))
+      .toSeq.sorted
+    assert(streamed == ivm, "stream view diverged from batch IncrementalJoin")
+
+    // parity 2: ≡ the full join of everything ingested
+    val all = batches.flatten
+    val full = aOf(all).join(bOf(all), Seq("k"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("av"), r.getAs[Int]("bv")))
+      .toSeq.sorted
+    assert(streamed == full, "stream view diverged from the full join")
+
+    // replaying batch 0 with identical data (the crash-recovery case:
+    // Spark re-runs the same offsets) must leave the view unchanged —
+    // partition-dir overwrite, not append
+    StreamJoinView.applyBatch(
+      b0.toDF("side", "k", "av", "bv"), batchId = 0L, root, spec)
+    assert(viewNow() == streamed, "replayed batch duplicated view rows")
+  }
+
   test("streaming funnel: conversions equal the batch q_funnel on identical input") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     StatefulOps.useRocksDbStateStore(spark)
