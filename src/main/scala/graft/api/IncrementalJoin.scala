@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Incremental JOIN-view maintenance — the delta rule for materialized
   * views over append-only inputs, the join-side counterpart of
@@ -51,5 +52,53 @@ object IncrementalJoin {
       bAcc = Some(graft.Checkpointing.cut(bAcc.fold(dB)(_ unionByName dB)))
     }
     view.get
+  }
+
+  /** Signed (insert/retract) variant — full IVM, not just the insert-only
+    * case: each delta row carries `signCol` = +1 (insert) or -1 (retract),
+    * inputs and view are signed bags. The same delta rule applies with
+    * multiplicities MULTIPLYING through the join
+    * (count_J(a⋈b) = count_A(a) · count_B(b), so Δ terms carry the sign
+    * product). Returns the signed increment stream; [[net]] collapses it
+    * to the current view. A retraction arriving before its partner row
+    * simply drives the pair's net count to 0 when the partner lands —
+    * no ordering constraints between sides.
+    *
+    * This is the relational core of differential/incremental view
+    * maintenance with deletions (the CDC U/D/I feed of `q_merge_upsert`
+    * maps to it directly: U = retract old + insert new). */
+  def maintainSigned(aBatches: Seq[DataFrame], bBatches: Seq[DataFrame],
+      keys: Seq[String], signCol: String = "sign"): DataFrame = {
+    require(aBatches.nonEmpty && aBatches.length == bBatches.length,
+      s"batch sequences must align: ${aBatches.length} vs ${bBatches.length}")
+    def signed(df: DataFrame, as: String): DataFrame =
+      df.withColumnRenamed(signCol, as)
+    def joinSigned(a: DataFrame, b: DataFrame): DataFrame =
+      signed(a, "__sa").join(signed(b, "__sb"), keys)
+        .withColumn(signCol, col("__sa") * col("__sb"))
+        .drop("__sa", "__sb")
+    var aAcc: Option[DataFrame] = None
+    var bAcc: Option[DataFrame] = None
+    var view: Option[DataFrame] = None
+    aBatches.zip(bBatches).foreach { case (dA, dB) =>
+      val deltaJ = Seq(
+        bAcc.map(b => joinSigned(dA, b)),
+        aAcc.map(a => joinSigned(a, dB)),
+        Some(joinSigned(dA, dB))
+      ).flatten.reduce(_ unionByName _)
+      view = Some(view.fold(deltaJ)(_ unionByName deltaJ))
+      aAcc = Some(graft.Checkpointing.cut(aAcc.fold(dA)(_ unionByName dA)))
+      bAcc = Some(graft.Checkpointing.cut(bAcc.fold(dB)(_ unionByName dB)))
+    }
+    view.get
+  }
+
+  /** Collapse a signed increment stream to the current view: net count per
+    * distinct row, rows with net ≤ 0 gone. */
+  def net(view: DataFrame, signCol: String = "sign"): DataFrame = {
+    val payload = view.columns.filterNot(_ == signCol).toSeq
+    view.groupBy(payload.map(org.apache.spark.sql.functions.col): _*)
+      .agg(sum(col(signCol)).as("net_count"))
+      .filter(col("net_count") > 0)
   }
 }

@@ -136,4 +136,39 @@ class MaintenanceSpec extends SparkSpec {
       }
     }
   }
+
+  test("incr_join signed: retractions cancel pairs regardless of arrival order") {
+    import spark.implicits._
+    import graft.api.IncrementalJoin
+    // batch 0: insert a(1,x) twice (multiplicity 2), b(1,10); batch 1:
+    // retract ONE a(1,x) before b(1,11) exists; batch 2: insert b(1,11),
+    // retract b(1,10), insert a(2,y) whose partner b(2,20) was in batch 0
+    val aB = Seq(
+      Seq((1L, "x", 1), (1L, "x", 1)),
+      Seq((1L, "x", -1)),
+      Seq((2L, "y", 1))
+    ).map(_.toDF("k", "av", "sign"))
+    val bB = Seq(
+      Seq((1L, 10, 1), (2L, 20, 1)),
+      Seq.empty[(Long, Int, Int)],
+      Seq((1L, 11, 1), (1L, 10, -1))
+    ).map(_.toDF("k", "bv", "sign"))
+    val got = IncrementalJoin.net(
+        IncrementalJoin.maintainSigned(aB, bB, Seq("k")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getAs[Long]("net_count")))
+      .toSeq.sorted
+    // net inputs: A = {(1,x)×1, (2,y)×1}; B = {(1,11)×1, (2,20)×1}
+    // full join: (1,x,11)×1, (2,y,20)×1 — (1,10) pairs fully cancelled
+    assert(got == Seq((1L, "x", 11, 1L), (2L, "y", 20, 1L)), s"got $got")
+
+    // multiplicity check on a prefix: after batch 0 only, (1,x,10) has
+    // net 2 (two a-copies × one b) and (2,20) has no partner yet
+    val p0 = IncrementalJoin.net(
+        IncrementalJoin.maintainSigned(aB.take(1), bB.take(1), Seq("k")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getAs[Long]("net_count")))
+      .toSeq.sorted
+    assert(p0 == Seq((1L, "x", 10, 2L)), s"got $p0")
+  }
 }
