@@ -336,7 +336,35 @@ object Analytic {
         (col("est_whole") === col("est_merged")).as("merged_matches_whole"))
   }
 
-  val all: Seq[QueryDef] = Seq(
+  /** Trailing exact median per user (5-reading ROWS frame) — the robust
+    * running-statistic window shape (outlier-resistant counterpart of
+    * `q_window_running`'s mean). Integer determinism: values milli-quantize
+    * to BIGINT once, and a median of ≤5 integers is integral or
+    * half-integral — doubling it (`med2`) makes every output an exact
+    * BIGINT in both engines, no float interpolation left in the hash.
+    * Scale shape: one shuffle on user_id, per-partition sorted frames; the
+    * frame is O(1) per row (5 readings), so the window never materializes
+    * history. */
+  val qWindowMedian: QueryDef = QueryDef.sql(
+    "q_window_median",
+    """SELECT event_id, user_id,
+      |       CAST(median(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 2 AS BIGINT) AS med2
+      |FROM (SELECT event_id, user_id, ts, CAST(round(value * 1000) AS BIGINT) AS vm
+      |      FROM events WHERE user_id % 7 = 0)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-4, 0)
+    Tables.events(s, d)
+      .filter(col("user_id") % 7 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 1000).cast("long").as("vm"))
+      .select(col("event_id"), col("user_id"),
+        (expr("percentile(vm, 0.5)").over(w) * 2).cast("long").as("med2"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(qWindowMedian,
     qPivot, qAggCube, qPercentiles, qSampleStratified, qGapfill, qWindowDist,
     qCorrStats, qGroupedTopk, qHllMerge)
 }

@@ -109,5 +109,38 @@ object SqlSurface {
     withViews(s, d)(recursiveCteText)
   }
 
-  val all: Seq[QueryDef] = Seq(qSubqueryCorrelated, qWindowRange, qRecursiveCte)
+  /** LATERAL correlated subquery (top-2 orders per customer): the SQL
+    * surface's per-row dependent subquery, distinct from the aggregate
+    * formulation of `q_grouped_topk` — Catalyst decorrelates the lateral
+    * into a ranked join (DomainJoin rewrite), never a per-customer rescan
+    * of orders: the measured plan is WindowGroupLimit (partial BEFORE the
+    * exchange, so ≤2 rows per customer ever shuffle) + one broadcast hash
+    * join. DuckDB runs the same text natively. Deterministic via the
+    * (o_totalprice DESC, o_orderkey) tie-break. */
+  val qLateralTopn: QueryDef = QueryDef.sql(
+    "q_lateral_topn", {
+      val q =
+        """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice
+          |  FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+          |  ORDER BY o_totalprice DESC, o_orderkey
+          |  LIMIT 2) t
+          |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin
+      q
+    }) { (s, d) =>
+    withViews(s, d)(
+      """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qSubqueryCorrelated, qWindowRange, qRecursiveCte, qLateralTopn)
 }
