@@ -446,6 +446,90 @@ object Multimodal {
       .orderBy("doc_id", "frame")
   }
 
+  /** Image near-duplicate detection: the text-dedup LSH machinery applied
+    * to the perceptual hash — REAL codec decode → 64-bit average-hash →
+    * four 16-bit bands → per-band equi-join (doc₁ < doc₂, degenerate
+    * buckets > 64 dropped lazily, the `BucketCap` semantics mirrored in
+    * the oracle) → exact Hamming verify ≤ 2 on the full hash. The
+    * cross-modal composition a 100 TB crawl pipeline runs to collapse
+    * re-encoded/resized copies of the same image: cost ∝ candidate pairs
+    * within capped buckets, never all-pairs; only 16-byte (doc_id, band,
+    * value) rows shuffle — pixels stay in the decode stage. Oracle
+    * recomputes the hash from the gradient closed form (the
+    * `q_image_phash` gate) and replays banding/cap/Hamming in SQL. */
+  val qImageNeardup: QueryDef = QueryDef.sql(
+    "q_image_neardup",
+    """WITH m AS (SELECT doc_id, n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h FROM documents),
+      |g AS (SELECT unnest(range(0, 8)) AS i),
+      |px AS (
+      |  SELECT doc_id,
+      |         CAST(gi.i * 8 + gj.i AS INTEGER) AS idx,
+      |         (((doc_id + (gi.i * w) // 8) % 256) * 299 +
+      |          ((doc_id * 7 + 3 * ((gj.i * h) // 8)) % 256) * 587 +
+      |          ((doc_id * 13) % 256) * 114) // 1000 AS luma
+      |  FROM m, g gi, g gj
+      |),
+      |mu AS (SELECT doc_id, sum(luma) / 64.0 AS mu FROM px GROUP BY doc_id),
+      |fp AS (
+      |  SELECT p.doc_id,
+      |       bit_or(CASE WHEN p.luma > mu.mu AND p.idx >= 32
+      |                   THEN CAST(1 AS BIGINT) << (p.idx - 32) ELSE CAST(0 AS BIGINT) END) AS hi,
+      |       bit_or(CASE WHEN p.luma > mu.mu AND p.idx < 32
+      |                   THEN CAST(1 AS BIGINT) << p.idx ELSE CAST(0 AS BIGINT) END) AS lo
+      |  FROM px p JOIN mu ON mu.doc_id = p.doc_id
+      |  GROUP BY p.doc_id
+      |),
+      |bands AS (
+      |  SELECT doc_id, b AS band,
+      |         CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+      |                WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bv
+      |  FROM fp, (SELECT unnest(range(0, 4)) AS b) g
+      |),
+      |big AS (SELECT band, bv FROM bands GROUP BY band, bv HAVING count(*) > 64),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+      |  WHERE NOT EXISTS (SELECT 1 FROM big g WHERE g.band = x.band AND g.bv = x.bv)
+      |)
+      |SELECT c.a, c.b,
+      |       CAST(bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) AS INTEGER) AS hamming
+      |FROM cand c JOIN fp fa ON fa.doc_id = c.a JOIN fp fb ON fb.doc_id = c.b
+      |WHERE bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) <= 2
+      |ORDER BY c.a, c.b""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val fp = graft.Persisting.maybe(
+      gradientMediaTable(s, d)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val h = averageHash(r.media)
+            (r.doc_id, h >>> 32, h & 0xFFFFFFFFL)
+          }
+        }
+        .toDF("doc_id", "hi", "lo"))
+    val bands = fp.select(col("doc_id"), posexplode(array(
+        col("lo").bitwiseAND(65535),
+        shiftright(col("lo"), 16).bitwiseAND(65535),
+        col("hi").bitwiseAND(65535),
+        shiftright(col("hi"), 16).bitwiseAND(65535))))
+      .toDF("doc_id", "band", "bv")
+    val big = bands.groupBy("band", "bv")
+      .agg(count(lit(1)).as("n")).where(col("n") > 64).select("band", "bv")
+    val ok = bands.join(big, Seq("band", "bv"), "left_anti")
+    val cand = ok.select(col("band"), col("bv"), col("doc_id").as("a"))
+      .join(ok.select(col("band"), col("bv"), col("doc_id").as("b")), Seq("band", "bv"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(fp.select(col("doc_id").as("a"), col("hi").as("ha"), col("lo").as("la")), "a")
+      .join(fp.select(col("doc_id").as("b"), col("hi").as("hb"), col("lo").as("lb")), "b")
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
+      .where(col("hamming") <= 2)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qMultimodalFeatures, qImagePhash, qAudioFeatures, qVideoFrames)
+    qMultimodalFeatures, qImagePhash, qAudioFeatures, qVideoFrames, qImageNeardup)
 }
