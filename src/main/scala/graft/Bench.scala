@@ -68,7 +68,11 @@ object Bench {
         // measured bench logs (q_decontaminate runs alphabetically BEFORE
         // the dedup warm set, so it was paying the cold shingle pipeline)
         "q_decontaminate", "q_triangles", "q_pagerank", "q_ivfpq_ann",
-        "q_pq_ann", "q_repetition")
+        "q_pq_ann", "q_repetition",
+        // round-8 additions whose first run carries codegen/plan-analysis
+        // cost worth absorbing at the warm SF (delta-rule join tree, phash
+        // decode pipeline, the rank-check join of the sketch agg)
+        "q_incr_join", "q_image_neardup", "q_agg_approx", "q_bpe_train")
       SparkEntry.defs.filter(q => heavy(q.name)).foreach { q =>
         try q.fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

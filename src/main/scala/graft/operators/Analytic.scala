@@ -364,7 +364,63 @@ object Analytic {
       .orderBy("event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(qWindowMedian,
+  /** Argmax/argmin aggregates (`max_by`/`min_by`, DuckDB `arg_max`/
+    * `arg_min`): the whole-record-at-extreme shape that otherwise costs a
+    * window + filter pass. Ties broken deterministically by folding the
+    * unique key into the ordering value (cents · 10⁵ + custkey — monotone
+    * lexicographic since custkey < 10⁵). One map-side-combined aggregate,
+    * no window, no join-back. */
+  val qArgmax: QueryDef = QueryDef.sql(
+    "q_argmax",
+    """SELECT n.n_name,
+      |       arg_max(c.c_name, CAST(round(c.c_acctbal * 100) AS BIGINT) * 100000 + c.c_custkey) AS richest,
+      |       arg_min(c.c_name, CAST(round(c.c_acctbal * 100) AS BIGINT) * 100000 + c.c_custkey) AS poorest,
+      |       round(max(c.c_acctbal), 2) AS max_bal
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("ord",
+        round(col("c_acctbal") * 100).cast("long") * 100000L + col("c_custkey"))
+      .groupBy("n_name")
+      .agg(
+        expr("max_by(c_name, ord)").as("richest"),
+        expr("min_by(c_name, ord)").as("poorest"),
+        round(max(col("c_acctbal")), 2).as("max_bal"))
+      .orderBy("n_name")
+  }
+
+  /** Daily cohort retention — the product-analytics grid: users bucketed
+    * by FIRST-seen day, activity counted per (cohort, days-since) cell.
+    * Two aggregates over events (first-touch, distinct active days) and
+    * one join on user_id; at 100 TB both aggregates are map-side combined
+    * and the join co-partitions on user_id — the grid itself is
+    * cohort² -sized, i.e. model-sized. */
+  val qCohort: QueryDef = QueryDef.sql(
+    "q_cohort",
+    """WITH firstd AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+      |),
+      |activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+      |SELECT cohort AS cohort_day,
+      |       CAST(date_diff('day', cohort, d) AS INTEGER) AS days_since,
+      |       CAST(count(*) AS BIGINT) AS n_active
+      |FROM firstd JOIN activity USING (user_id)
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+    val first = ev.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    val act = ev.distinct()
+    first.join(act, "user_id")
+      .groupBy(col("cohort").as("cohort_day"),
+        datediff(col("d"), col("cohort")).cast("int").as("days_since"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+      .orderBy("cohort_day", "days_since")
+  }
+
+  val all: Seq[QueryDef] = Seq(qWindowMedian, qArgmax, qCohort,
     qPivot, qAggCube, qPercentiles, qSampleStratified, qGapfill, qWindowDist,
     qCorrStats, qGroupedTopk, qHllMerge)
 }
