@@ -102,4 +102,18 @@ object Layout {
       .mode("overwrite")
       .saveAsTable(table)
   }
+
+  /** Hive-style partitioned layout (`outDir/col=value/...`): the
+    * directory-level pruning primitive every date-partitioned 100 TB fact
+    * table relies on — a query filtering on the partition column never
+    * LISTS the other directories, so scan cost tracks the queried window,
+    * not table size (cheaper than any file-level min/max skip, which still
+    * reads footers). Keep partition columns low-cardinality (days, not
+    * user ids): each value is a directory. `LayoutSpec` proves a
+    * partition-filtered read plans `PartitionFilters` and touches only the
+    * matching directory's files. */
+  def writePartitioned(df: DataFrame, outDir: String, partCols: String*): Unit = {
+    require(partCols.nonEmpty, "at least one partition column")
+    df.write.partitionBy(partCols: _*).mode("overwrite").parquet(outDir)
+  }
 }

@@ -132,4 +132,34 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("partitioned layout: partition filter prunes directories, not just rows") {
+    val dir = java.nio.file.Files.createTempDirectory("part-layout").toString + "/events"
+    val ev = Tables.events(spark, sf())
+      .withColumn("day", org.apache.spark.sql.functions.dayofmonth(col("ts")))
+    Layout.writePartitioned(ev, dir, "day")
+
+    val all = spark.read.parquet(dir)
+    val one = all.filter(col("day") === 5)
+    val n = one.count()
+    assert(n > 0 && n < all.count())
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString()
+    assert(scan.contains("PartitionFilters") && scan.contains("(day"),
+      s"partition filter not pushed to directory pruning:\n$scan")
+    // the pruned scan must touch ONLY the matching directory's files:
+    // numFiles is the scan's POST-PRUNING metric (inputFiles would report
+    // the whole relation)
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numFiles").value
+    }
+    val prunedFiles = numFiles(one)
+    val allFiles = numFiles(spark.read.parquet(dir))
+    assert(prunedFiles >= 1 && prunedFiles < allFiles,
+      s"no directory pruning: read $prunedFiles of $allFiles files")
+    assert(prunedFiles <= allFiles / 10,
+      s"pruning too weak for a 30-day layout: $prunedFiles of $allFiles")
+  }
 }
