@@ -41,15 +41,17 @@ object IncrementalJoin {
     var aAcc: Option[DataFrame] = None
     var bAcc: Option[DataFrame] = None
     var view: Option[DataFrame] = None
-    aBatches.zip(bBatches).foreach { case (dA, dB) =>
+    aBatches.zip(bBatches).zipWithIndex.foreach { case ((dA, dB), i) =>
       val deltaJ = Seq(
         bAcc.map(b => dA.join(b, keys)), // ΔA ⋈ B_prev
         aAcc.map(a => a.join(dB, keys)), // A_prev ⋈ ΔB
         Some(dA.join(dB, keys))          // ΔA ⋈ ΔB
       ).flatten.reduce(_ unionByName _)
       view = Some(view.fold(deltaJ)(_ unionByName deltaJ))
-      aAcc = Some(graft.Checkpointing.cut(aAcc.fold(dA)(_ unionByName dA)))
-      bAcc = Some(graft.Checkpointing.cut(bAcc.fold(dB)(_ unionByName dB)))
+      if (i < aBatches.length - 1) { // the last step's accumulators are never read
+        aAcc = Some(graft.Checkpointing.cut(aAcc.fold(dA)(_ unionByName dA)))
+        bAcc = Some(graft.Checkpointing.cut(bAcc.fold(dB)(_ unionByName dB)))
+      }
     }
     view.get
   }
@@ -80,15 +82,17 @@ object IncrementalJoin {
     var aAcc: Option[DataFrame] = None
     var bAcc: Option[DataFrame] = None
     var view: Option[DataFrame] = None
-    aBatches.zip(bBatches).foreach { case (dA, dB) =>
+    aBatches.zip(bBatches).zipWithIndex.foreach { case ((dA, dB), i) =>
       val deltaJ = Seq(
         bAcc.map(b => joinSigned(dA, b)),
         aAcc.map(a => joinSigned(a, dB)),
         Some(joinSigned(dA, dB))
       ).flatten.reduce(_ unionByName _)
       view = Some(view.fold(deltaJ)(_ unionByName deltaJ))
-      aAcc = Some(graft.Checkpointing.cut(aAcc.fold(dA)(_ unionByName dA)))
-      bAcc = Some(graft.Checkpointing.cut(bAcc.fold(dB)(_ unionByName dB)))
+      if (i < aBatches.length - 1) { // the last step's accumulators are never read
+        aAcc = Some(graft.Checkpointing.cut(aAcc.fold(dA)(_ unionByName dA)))
+        bAcc = Some(graft.Checkpointing.cut(bAcc.fold(dB)(_ unionByName dB)))
+      }
     }
     view.get
   }
