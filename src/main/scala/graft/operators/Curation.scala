@@ -223,7 +223,44 @@ object Curation_ {
       .orderBy("stratum", "rnk")
   }
 
+  /** Paragraph/chunk-level exact dedup: the sub-document granularity a
+    * corpus pipeline dedups at (repeated boilerplate paragraphs survive
+    * document-level dedup). Full 32-token chunks digest to md5 and
+    * group — only the 16-byte digest shuffles, text stays in the map
+    * stage; `keeper` picks the canonical (doc, chunk) deterministically.
+    * Composes [[Curation.chunk]] with the `q_dedup_exact` digest-groupBy
+    * shape. */
+  val qChunkDedup: QueryDef = QueryDef.sql(
+    "q_chunk_dedup",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c AS (SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start FROM t),
+      |ch AS (
+      |  SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_id,
+      |         array_to_string(w[start + 1 : start + 32], ' ') AS chunk,
+      |         least(len(w) - start, 32) AS n_toks
+      |  FROM c
+      |)
+      |SELECT md5(chunk) AS dig,
+      |       CAST(count(*) AS BIGINT) AS n_copies,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(min(doc_id * 100000 + chunk_id) AS BIGINT) AS keeper
+      |FROM ch WHERE n_toks = 32
+      |GROUP BY dig HAVING count(*) > 1
+      |ORDER BY dig""".stripMargin) { (s, d) =>
+    Curation.chunk(Tables.documents(s, d), col("doc_id"), col("text"),
+        size = 32, stride = 24)
+      .filter(col("n_toks") === 32)
+      .select(md5(col("chunk")).as("dig"), col("id"), col("chunk_id"))
+      .groupBy("dig")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("id")).as("n_docs"),
+        min(col("id") * 100000L + col("chunk_id")).cast("long").as("keeper"))
+      .filter(col("n_copies") > 1)
+      .orderBy("dig")
+  }
+
   val all: Seq[QueryDef] =
     Seq(qRepetition, qDocChunks, qDecontaminate, qHeavyHitters, qPiiScrub, qPack,
-      qMixture)
+      qMixture, qChunkDedup)
 }
