@@ -536,6 +536,23 @@ class StreamingSpec extends SparkSpec {
     StreamJoinView.applyBatch(
       b0.toDF("side", "k", "av", "bv"), batchId = 0L, root, spec)
     assert(viewNow() == streamed, "replayed batch duplicated view rows")
+
+    // torn-write crash: batch 2 wrote its view increment but died before
+    // its state dirs landed. The replay must regenerate the SAME increment
+    // (it reads strictly-prior state, so the half-written batch can't see
+    // itself) and restore the state dirs.
+    def rmr(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmr(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmr(java.nio.file.Paths.get(s"$root/A/batch=2"))
+    rmr(java.nio.file.Paths.get(s"$root/B/batch=2"))
+    StreamJoinView.applyBatch(
+      b2.toDF("side", "k", "av", "bv"), batchId = 2L, root, spec)
+    assert(viewNow() == streamed, "torn-write replay diverged")
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$root/A/batch=2")),
+      "state dir not restored by replay")
   }
 
   test("streaming funnel: conversions equal the batch q_funnel on identical input") {
