@@ -294,5 +294,57 @@ object Maintenance {
       .orderBy("o_orderstatus", "l_returnflag")
   }
 
-  val all: Seq[QueryDef] = Seq(qIncrAgg, qScd2, qMergeUpsert, qPitEnrich, qIncrJoin)
+  /** Data-quality audit (the dbt-test / Deequ shape): constraint
+    * violations counted in ONE pass per table family — uniqueness of the
+    * orders key, referential integrity of lineitem→orders and
+    * orders→customer (anti-join orphans), null/blank rates, and a domain
+    * check on discounts. Emitting counts (not booleans) makes the audit
+    * monitorable over time; every check is an aggregate or anti-join that
+    * map-side combines, so the audit costs one scan per table at 100 TB.
+    * The synthetic tables are clean, so nonzero rows here would THEMSELVES
+    * be the regression signal — the oracle recomputes each count. */
+  val qDqChecks: QueryDef = QueryDef.sql(
+    "q_dq_checks",
+    """SELECT 'orders_pk_dup' AS check_name,
+      |       CAST((SELECT count(*) FROM (
+      |          SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT) AS violations
+      |UNION ALL
+      |SELECT 'lineitem_orphan_fk',
+      |       CAST((SELECT count(*) FROM lineitem l
+      |             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'orders_orphan_cust',
+      |       CAST((SELECT count(*) FROM orders o
+      |             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      |UNION ALL
+      |SELECT 'orders_null_status',
+      |       CAST((SELECT count(*) FROM orders WHERE o_orderstatus IS NULL OR o_orderstatus = '') AS BIGINT)
+      |UNION ALL
+      |SELECT 'discount_out_of_range',
+      |       CAST((SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.5) AS BIGINT)
+      |ORDER BY check_name""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val c = Tables.customer(s, d)
+    def one(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    one("orders_pk_dup",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("n")).filter(col("n") > 1))
+      .unionByName(one("lineitem_orphan_fk",
+        li.join(o.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")))
+      .unionByName(one("orders_orphan_cust",
+        o.join(c.select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")))
+      .unionByName(one("orders_null_status",
+        o.filter(col("o_orderstatus").isNull || col("o_orderstatus") === "")))
+      .unionByName(one("discount_out_of_range",
+        li.filter(col("l_discount") < 0 || col("l_discount") > 0.5)))
+      .orderBy("check_name")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qIncrAgg, qScd2, qMergeUpsert, qPitEnrich, qIncrJoin, qDqChecks)
 }

@@ -317,6 +317,27 @@ object Tpch {
       .orderBy("ship_month")
   }
 
+  /** Q6: forecast revenue change — the canonical pushdown microbenchmark:
+    * one scan, three pushed predicates, one sum, zero joins. The plan to
+    * demand at 100 TB: every predicate in `PushedFilters`, projection
+    * pruned to three columns, map-side partial sum, one-row exchange. */
+  val qTpchQ6: QueryDef = QueryDef.sql(
+    "q_tpch_q6",
+    """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(d2(dsum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ18, qTpchQ7, qTpchQ10, qTpchQ8, qTpchQ14)
+    qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ18, qTpchQ7, qTpchQ10, qTpchQ8, qTpchQ14,
+    qTpchQ6)
 }
