@@ -352,6 +352,17 @@ class PlanSpec extends SparkSpec {
       s"grouped top-k must not fall back to a window sort:\n$p")
   }
 
+  test("TPC-H Q6: all three predicates pushed to the scan, projection pruned") {
+    val p = planString(Tpch.qTpchQ6.fn(spark, sf()))
+    // the rendered PushedFilters list truncates, so pin the visible
+    // prefix plus the pruned read schema (exactly the 4 referenced cols)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      s"Q6 predicates not pushed:\n$p")
+    assert(p.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"),
+      s"Q6 scan projection not pruned to 4 columns:\n$p")
+  }
+
   test("TPC-H Q7/Q10: dims broadcast, no cartesian, Q10 keeps heap top-k") {
     val p7 = planString(Tpch.qTpchQ7.fn(spark, sf()))
     assert(p7.contains("BroadcastHashJoin"), s"Q7 nation dims must broadcast:\n$p7")
