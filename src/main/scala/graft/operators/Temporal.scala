@@ -205,5 +205,77 @@ object Temporal {
       .orderBy("click_id")
   }
 
-  val all: Seq[QueryDef] = Seq(qAsofJoin, qRangeJoin, qSessionize, qAsofForward)
+  /** Nearest-direction as-of join (pandas `merge_asof` direction=nearest):
+    * each purchase picks the click minimizing |Δt|, ties toward the
+    * BACKWARD candidate (the only replay-safe choice — at a tie the
+    * backward row was already observable). Same single-shuffle union
+    * trick as [[qAsofJoin]]: one sort serves two frames — carry-forward
+    * (last preceding click) and carry-backward (first following click) —
+    * then a narrow argmin projection picks per row. No theta-join, no
+    * second shuffle, frames O(1) per row. */
+  val qAsofNearest: QueryDef = QueryDef.sql(
+    "q_asof_nearest",
+    """WITH u AS (
+      |  SELECT event_id, ts, user_id,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase')
+      |),
+      |w AS (
+      |  SELECT event_id, ts, user_id, isp,
+      |         last_value(CASE WHEN isp = 0 THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, isp, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_id,
+      |         last_value(CASE WHEN isp = 0 THEN ts END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, isp, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+      |         first_value(CASE WHEN isp = 0 THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, isp, event_id
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_id,
+      |         first_value(CASE WHEN isp = 0 THEN ts END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, isp, event_id
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+      |  FROM u
+      |)
+      |SELECT event_id AS purchase_id, user_id, ts,
+      |       CASE WHEN back_ts IS NOT NULL AND (fwd_ts IS NULL
+      |                  OR epoch_us(ts) - epoch_us(back_ts) <= epoch_us(fwd_ts) - epoch_us(ts))
+      |            THEN back_id ELSE fwd_id END AS nearest_id,
+      |       CASE WHEN back_ts IS NOT NULL AND (fwd_ts IS NULL
+      |                  OR epoch_us(ts) - epoch_us(back_ts) <= epoch_us(fwd_ts) - epoch_us(ts))
+      |            THEN epoch_us(ts) - epoch_us(back_ts)
+      |            ELSE epoch_us(fwd_ts) - epoch_us(ts) END AS dt_us,
+      |       CASE WHEN back_ts IS NOT NULL AND (fwd_ts IS NULL
+      |                  OR epoch_us(ts) - epoch_us(back_ts) <= epoch_us(fwd_ts) - epoch_us(ts))
+      |            THEN 'B' ELSE 'F' END AS direction
+      |FROM w WHERE isp = 1
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .withColumn("isp", when(col("event_type") === "purchase", 1).otherwise(0))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("isp"), col("event_id"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val clickId = when(col("isp") === 0, col("event_id"))
+    val clickTs = when(col("isp") === 0, col("ts"))
+    val w = e
+      .withColumn("back_id", last(clickId, ignoreNulls = true).over(back))
+      .withColumn("back_ts", last(clickTs, ignoreNulls = true).over(back))
+      .withColumn("fwd_id", first(clickId, ignoreNulls = true).over(fwd))
+      .withColumn("fwd_ts", first(clickTs, ignoreNulls = true).over(fwd))
+      .where(col("isp") === 1)
+    val backDt = unix_micros(col("ts")) - unix_micros(col("back_ts"))
+    val fwdDt = unix_micros(col("fwd_ts")) - unix_micros(col("ts"))
+    val takeBack = col("back_ts").isNotNull &&
+      (col("fwd_ts").isNull || backDt <= fwdDt)
+    w.select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+        when(takeBack, col("back_id")).otherwise(col("fwd_id")).as("nearest_id"),
+        when(takeBack, backDt).otherwise(fwdDt).as("dt_us"),
+        when(takeBack, lit("B")).otherwise(lit("F")).as("direction"))
+      .orderBy("purchase_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qAsofJoin, qRangeJoin, qSessionize, qAsofForward, qAsofNearest)
 }
