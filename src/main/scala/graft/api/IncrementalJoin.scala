@@ -69,16 +69,21 @@ object IncrementalJoin {
     * This is the relational core of differential/incremental view
     * maintenance with deletions (the CDC U/D/I feed of `q_merge_upsert`
     * maps to it directly: U = retract old + insert new). */
+  /** Join two signed bags: multiplicities multiply, so the result's sign
+    * column is the product. Shared with [[graft.streaming.StreamJoinView]]. */
+  private[graft] def joinSignedPair(a: DataFrame, b: DataFrame,
+      keys: Seq[String], signCol: String): DataFrame =
+    a.withColumnRenamed(signCol, "__sa")
+      .join(b.withColumnRenamed(signCol, "__sb"), keys)
+      .withColumn(signCol, col("__sa") * col("__sb"))
+      .drop("__sa", "__sb")
+
   def maintainSigned(aBatches: Seq[DataFrame], bBatches: Seq[DataFrame],
       keys: Seq[String], signCol: String = "sign"): DataFrame = {
     require(aBatches.nonEmpty && aBatches.length == bBatches.length,
       s"batch sequences must align: ${aBatches.length} vs ${bBatches.length}")
-    def signed(df: DataFrame, as: String): DataFrame =
-      df.withColumnRenamed(signCol, as)
     def joinSigned(a: DataFrame, b: DataFrame): DataFrame =
-      signed(a, "__sa").join(signed(b, "__sb"), keys)
-        .withColumn(signCol, col("__sa") * col("__sb"))
-        .drop("__sa", "__sb")
+      joinSignedPair(a, b, keys, signCol)
     var aAcc: Option[DataFrame] = None
     var bAcc: Option[DataFrame] = None
     var view: Option[DataFrame] = None

@@ -30,10 +30,15 @@ import org.apache.spark.sql.functions._
 object StreamJoinView {
 
   /** Column sets of the maintained join: `keys` on both sides, `aCols`
-    * from 'A' rows, `bCols` from 'B' rows; `sideCol` holds the tag. */
+    * from 'A' rows, `bCols` from 'B' rows; `sideCol` holds the tag.
+    * `signCol`, when set, names a ±1 column on every delta row and
+    * switches the view to SIGNED semantics ([[graft.api.IncrementalJoin
+    * .maintainSigned]]): retractions flow through the maintained join by
+    * sign-product multiplication — the streaming face of CDC-with-deletes
+    * IVM. Read the live view through [[netView]] in that mode. */
   final case class JoinViewSpec(
       keys: Seq[String], aCols: Seq[String], bCols: Seq[String],
-      sideCol: String = "side")
+      sideCol: String = "side", signCol: Option[String] = None)
 
   /** Accumulated side state STRICTLY BEFORE `beforeBatch`. The strict
     * ordering is load-bearing for replay correctness: the delta rule is
@@ -59,16 +64,22 @@ object StreamJoinView {
   def applyBatch(batch: DataFrame, batchId: Long, root: String,
       spec: JoinViewSpec): Unit = {
     val spark = batch.sparkSession
+    val extra = spec.signCol.toSeq
     val dA = batch.filter(col(spec.sideCol) === "A")
-      .select((spec.keys ++ spec.aCols).map(col): _*)
+      .select((spec.keys ++ spec.aCols ++ extra).map(col): _*)
     val dB = batch.filter(col(spec.sideCol) === "B")
-      .select((spec.keys ++ spec.bCols).map(col): _*)
-    val aPrev = readSide(spark, s"$root/A", batchId, spec.keys ++ spec.aCols)
-    val bPrev = readSide(spark, s"$root/B", batchId, spec.keys ++ spec.bCols)
+      .select((spec.keys ++ spec.bCols ++ extra).map(col): _*)
+    val aPrev = readSide(spark, s"$root/A", batchId, spec.keys ++ spec.aCols ++ extra)
+    val bPrev = readSide(spark, s"$root/B", batchId, spec.keys ++ spec.bCols ++ extra)
+    def j(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      spec.signCol match {
+        case Some(sc) => graft.api.IncrementalJoin.joinSignedPair(a, b, spec.keys, sc)
+        case None => a.join(b, spec.keys)
+      }
     val deltaJ = Seq(
-      bPrev.map(b => dA.join(b, spec.keys)), // ΔA ⋈ B_prev
-      aPrev.map(a => a.join(dB, spec.keys)), // A_prev ⋈ ΔB
-      Some(dA.join(dB, spec.keys))           // ΔA ⋈ ΔB
+      bPrev.map(b => j(dA, b)), // ΔA ⋈ B_prev
+      aPrev.map(a => j(a, dB)), // A_prev ⋈ ΔB
+      Some(j(dA, dB))           // ΔA ⋈ ΔB
     ).flatten.reduce(_ unionByName _)
     // per-batch partition dirs: a replay overwrites exactly its own output
     deltaJ.write.mode("overwrite").parquet(s"$root/view/batch=$batchId")
@@ -83,6 +94,13 @@ object StreamJoinView {
     else Some(spark.read.option("basePath", s"$root/view").parquet(s"$root/view")
       .drop("batch"))
   }
+
+  /** Signed-mode live view: net count per distinct row, retracted rows
+    * gone ([[graft.api.IncrementalJoin.net]] over the increments). */
+  def netView(spark: SparkSession, root: String, spec: JoinViewSpec): Option[DataFrame] =
+    view(spark, root).map(v =>
+      graft.api.IncrementalJoin.net(v,
+        spec.signCol.getOrElse(sys.error("netView requires a signed JoinViewSpec"))))
 
   /** Wire a tagged stream into the maintained join view. */
   def maintain(tagged: DataFrame, root: String, checkpoint: String,

@@ -555,6 +555,36 @@ class StreamingSpec extends SparkSpec {
       "state dir not restored by replay")
   }
 
+  test("signed stream join view: retractions cancel through the live view") {
+    import graft.streaming.StreamJoinView
+    val root = Files.createTempDirectory("sjvs").toString
+    val ckpt = Files.createTempDirectory("sjvs-ckpt").toString
+    val input = MemoryStream[(String, Long, String, Int, Int)](spark)
+    val df = input.toDF().toDF("side", "k", "av", "bv", "sign")
+    val spec = StreamJoinView.JoinViewSpec(
+      Seq("k"), Seq("av"), Seq("bv"), signCol = Some("sign"))
+    val q = StreamJoinView.maintain(df, root, ckpt, spec)
+
+    def netNow(): Seq[(Long, String, Int, Long)] =
+      StreamJoinView.netView(spark, root, spec).get.collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("av"),
+          r.getAs[Int]("bv"), r.getAs[Long]("net_count"))).toSeq.sorted
+
+    // batch 0: a(1,x) + b(1,10); batch 1: retract a(1,x) BEFORE b(1,11)
+    // arrives; batch 2: b(1,11) (pairs with nothing), a(2,y) meets b(2,20)
+    input.addData(("A", 1L, "x", 0, 1), ("B", 1L, "", 10, 1), ("B", 2L, "", 20, 1))
+    q.processAllAvailable()
+    assert(netNow() == Seq((1L, "x", 10, 1L)))
+    input.addData(("A", 1L, "x", 0, -1))
+    q.processAllAvailable()
+    assert(netNow() == Seq(), "retraction must cancel the joined pair")
+    input.addData(("B", 1L, "", 11, 1), ("A", 2L, "y", 0, 1))
+    q.processAllAvailable()
+    q.stop()
+    assert(netNow() == Seq((2L, "y", 20, 1L)),
+      "late partner of a retracted row must not resurrect it")
+  }
+
   test("streaming funnel: conversions equal the batch q_funnel on identical input") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     StatefulOps.useRocksDbStateStore(spark)
