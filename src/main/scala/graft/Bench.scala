@@ -170,21 +170,28 @@ object Bench {
       val median = sorted((sorted.size - 1) / 2)
       (q.name, sec, qShuffleMb, readings.size, median)
     }
-    // Output contract (round 8): diagnostics lines FIRST, then ONE compact
-    // `{"metric":"total",...}` line LAST — the driver tail-captures stdout
-    // and must always see a parseable total (round 7's single giant line
-    // got truncated mid-line and recorded `parsed: null`). Per-query
-    // attempts+median make the min-of-retries steal mitigation auditable.
-    val sh = results.map { case (k, _, mb, _, _) => f"""\"$k\":$mb%.2f""" }
+    // Output contract (round 9): diagnostics lines FIRST, then a FINAL
+    // stdout line containing ONLY the total — no queries map. The driver
+    // tail-captures the last ~2000 chars of stdout; round 7 lost the total
+    // to a single giant line truncated mid-line, and round 8 lost it again
+    // because `"value"` sat at the HEAD of a line that also inlined all 114
+    // per-query times (the head fell outside the tail window). The total
+    // line must stay short AND last. Numeric fields are formatted with
+    // Locale.ROOT — the `f` interpolator uses the default locale, and a
+    // comma-decimal locale would emit unparseable JSON.
+    def num(d: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
+    val sh = results.map { case (k, _, mb, _, _) => s""""$k":${num(mb, 2)}""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"shuffle_mb","unit":"MB","queries":$sh,"sf":"$sfDir"}""")
     val att = results.map { case (k, _, _, n, med) =>
-      f"""\"$k\":{"attempts":$n,"median":$med%.4f}""" }.mkString("{", ",", "}")
+      s""""$k":{"attempts":$n,"median":${num(med, 4)}}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"attempts","queries":$att,"sf":"$sfDir"}""")
-    val qs = results.map { case (k, v, _, _, _) => f"""\"$k\":$v%.4f""" }
+    val qs = results.map { case (k, v, _, _, _) => s""""$k":${num(v, 4)}""" }
       .mkString("{", ",", "}")
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

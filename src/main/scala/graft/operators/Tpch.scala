@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{Persisting, QueryDef, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -337,7 +337,157 @@ object Tpch {
       .agg(d2(dsum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
   }
 
+  /** Q4: order-priority checking — the EXISTS date-window semi-join. The
+    * quarter-scoped orders probe lineitem for at least one problem line
+    * (adapted: this schema has no l_commitdate/l_receiptdate, so "late"
+    * is l_returnflag = 'R'). The plan contract: the EXISTS compiles to a
+    * LeftSemi hash join — each order tests membership once — never a
+    * distinct-then-inner-join (which would shuffle the full qualifying
+    * lineitem key set twice). */
+  val qTpchQ4: QueryDef = QueryDef.sql(
+    "q_tpch_q4",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-07-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q13: customer order-count distribution — the left-outer shape whose
+    * whole point is the NULL-extended rows: customers with zero qualifying
+    * orders must survive to the c_count=0 bucket, so the order-side
+    * predicate (adapted: o_orderpriority <> '1-URGENT'; this schema has no
+    * o_comment) lives on the join input, NOT in a post-join WHERE. Two
+    * aggregations: per-customer count, then the distribution. */
+  val qTpchQ13: QueryDef = QueryDef.sql(
+    "q_tpch_q13",
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c
+      |  LEFT OUTER JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Q17: small-quantity-order revenue — the correlated scalar-average
+    * pattern: each selected part's lineitems compare against that part's
+    * own mean quantity. Decorrelated by construction: the per-part
+    * averages are ONE aggregate over the (part-filtered) lineitems,
+    * broadcast back — never a per-row re-scan. Adapted selection:
+    * p_brand + p_type (no p_container in this schema). Output in exact
+    * integer micro-units via floor(x/7) per the determinism contract
+    * (decimal division rounds differently across engines; floor of an
+    * integer ratio cannot). avg runs over BIGINT-cast quantities, whose
+    * sums are exact in both engines, so the 0.2*avg threshold is the
+    * same IEEE double on both sides. */
+  val qTpchQ17: QueryDef = QueryDef.sql(
+    "q_tpch_q17",
+    """SELECT CAST(floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) / 7) AS BIGINT) AS avg_yearly_micro
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#3' AND p.p_type = 'ECONOMY'
+      |  AND l.l_quantity < 0.2 * (
+      |    SELECT avg(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+      |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin) { (s, d) =>
+    val selParts = broadcast(Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#3" && col("p_type") === "ECONOMY")
+      .select("p_partkey"))
+    // all lineitems of the selected parts: the correlated subquery's domain
+    // (lineitems of other parts can never satisfy the equi-correlation)
+    val liSel = Persisting.maybe(
+      Tables.lineitem(s, d)
+        .join(selParts, col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice"))
+    val avgs = liSel.groupBy(col("l_partkey").as("ap_key"))
+      .agg(avg(col("l_quantity").cast("long")).as("avg_qty"))
+    liSel.join(broadcast(avgs), col("l_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(floor(
+        (dsum(col("l_extendedprice")) * 1000000).cast("long") / 7)
+        .cast("long").as("avg_yearly_micro"))
+  }
+
+  /** Q21: suppliers who kept orders waiting — the chained EXISTS +
+    * NOT EXISTS on the same fact: a supplier's problem line (adapted:
+    * l_returnflag = 'R'; no receipt/commit dates in this schema) counts
+    * only when the finished order had other suppliers (EXISTS, different
+    * suppkey) and NONE of those others also had a problem line
+    * (NOT EXISTS). Both quantifiers compile to hash semi/anti joins on
+    * orderkey with the suppkey inequality as a residual condition — the
+    * decorrelation stress shape. Supplier/nation prefilter broadcasts
+    * FIRST so the heavy self-semi-joins run on ~1/25th of l1. */
+  val qTpchQ21: QueryDef = QueryDef.sql(
+    "q_tpch_q21",
+    """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier s
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE n.n_name = 'NATION_5'
+      |  AND l1.l_returnflag = 'R'
+      |  AND o.o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s.s_name
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val suppInNation = broadcast(
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name"))
+    val l2 = li.select(col("l_orderkey").as("l2_okey"), col("l_suppkey").as("l2_skey"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("l3_okey"), col("l_suppkey").as("l3_skey"))
+    li.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+      .join(suppInNation, col("l_suppkey") === col("s_suppkey"))
+      .join(l2, col("l_orderkey") === col("l2_okey") &&
+        col("l_suppkey") =!= col("l2_skey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_okey") &&
+        col("l_suppkey") =!= col("l3_skey"), "left_anti")
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ18, qTpchQ7, qTpchQ10, qTpchQ8, qTpchQ14,
-    qTpchQ6)
+    qTpchQ6, qTpchQ4, qTpchQ13, qTpchQ17, qTpchQ21)
 }

@@ -363,6 +363,58 @@ class PlanSpec extends SparkSpec {
       s"Q6 scan projection not pruned to 4 columns:\n$p")
   }
 
+  test("TPC-H Q4/Q13: EXISTS is a semi join; outer distribution keeps its hash join") {
+    val p4 = planString(Tpch.qTpchQ4.fn(spark, sf()))
+    val f4 = p4.split("== Initial Plan ==").head
+    // the EXISTS must test membership once per order (LeftSemi), never
+    // materialize a distinct qualifying-key set and re-join it
+    assert(f4.contains("LeftSemi"), s"Q4 EXISTS not a semi join:\n$p4")
+    assert("Scan parquet".r.findAllIn(f4).length == 2,
+      s"Q4 must scan orders + lineitem exactly once each:\n$p4")
+    assert(!f4.contains("NestedLoop") && !f4.contains("Cartesian"),
+      s"Q4 EXISTS degenerated to a product:\n$p4")
+    val p13 = planString(Tpch.qTpchQ13.fn(spark, sf()))
+    val f13 = p13.split("== Initial Plan ==").head
+    // zero-order customers ride the NULL-extended outer rows; the join
+    // must stay hash-based with the priority predicate on the orders input
+    assert(f13.contains("LeftOuter"), s"Q13 lost its outer join:\n$p13")
+    assert(f13.contains("HashJoin") || f13.contains("SortMergeJoin"),
+      s"Q13 outer join not hash-based:\n$p13")
+    assert(!f13.contains("NestedLoop") && !f13.contains("Cartesian"),
+      s"Q13 outer join degenerated to a product:\n$p13")
+  }
+
+  test("TPC-H Q21/Q17: quantifiers and scalar avg decorrelate to hash joins") {
+    // NB: asserted on the full plan (Final + Initial sections): the tiny
+    // test SF yields zero qualifying rows, so AQE's empty-relation
+    // propagation erases the final plan's join tree — the Initial section
+    // still shows the compiled shape
+    val p21 = planString(Tpch.qTpchQ21.fn(spark, sf()))
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"Q21 EXISTS/NOT EXISTS not semi/anti joins:\n$p21")
+    assert(!p21.contains("NestedLoop") && !p21.contains("Cartesian"),
+      s"Q21 quantifier chain degenerated to a product:\n$p21")
+    val p17 = planString(Tpch.qTpchQ17.fn(spark, sf()))
+    val f17 = p17.split("== Initial Plan ==").head
+    // the per-part average is ONE aggregate broadcast back, not a re-scan
+    assert(f17.contains("BroadcastHashJoin"),
+      s"Q17 per-part averages must broadcast:\n$p17")
+    assert(!f17.contains("NestedLoop") && !f17.contains("Cartesian"),
+      s"Q17 correlation planned as a nested loop:\n$p17")
+  }
+
+  test("TPC-H Q7: nation build sides pruned to the two named nations") {
+    val p = planString(Tpch.qTpchQ7.fn(spark, sf()))
+    // the symmetric pair disjunction must reach BOTH nation scans as a
+    // per-side n_name predicate (derived or explicit): at 100 TB this is
+    // joining ~(2/25)^2 of the fact rows vs the full two-year window
+    val prunedScans =
+      """(?s)PushedFilters: \[[^\]]*(Or\(EqualTo\(n_name|In\(n_name|EqualTo\(n_name)"""
+        .r.findAllIn(p).length
+    assert(prunedScans >= 2,
+      s"nation scans not pruned to the named pair (found $prunedScans):\n$p")
+  }
+
   test("TPC-H Q7/Q10: dims broadcast, no cartesian, Q10 keeps heap top-k") {
     val p7 = planString(Tpch.qTpchQ7.fn(spark, sf()))
     assert(p7.contains("BroadcastHashJoin"), s"Q7 nation dims must broadcast:\n$p7")
