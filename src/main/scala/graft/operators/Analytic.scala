@@ -367,14 +367,17 @@ object Analytic {
   /** Argmax/argmin aggregates (`max_by`/`min_by`, DuckDB `arg_max`/
     * `arg_min`): the whole-record-at-extreme shape that otherwise costs a
     * window + filter pass. Ties broken deterministically by folding the
-    * unique key into the ordering value (cents · 10⁵ + custkey — monotone
-    * lexicographic since custkey < 10⁵). One map-side-combined aggregate,
-    * no window, no join-back. */
+    * unique key into the ordering value (cents · 10¹⁰ + custkey — monotone
+    * lexicographic). REQUIREMENT: c_custkey < 10¹⁰ and |balance cents| <
+    * 9·10⁸ (encoding headroom: cents·10¹⁰ stays under 2⁶³); both hold by
+    * orders of magnitude at any TPC-H scale factor (SF 10⁵ ≈ 1.5·10¹⁰
+    * rows total would still keep custkey in range). One map-side-combined
+    * aggregate, no window, no join-back. */
   val qArgmax: QueryDef = QueryDef.sql(
     "q_argmax",
     """SELECT n.n_name,
-      |       arg_max(c.c_name, CAST(round(c.c_acctbal * 100) AS BIGINT) * 100000 + c.c_custkey) AS richest,
-      |       arg_min(c.c_name, CAST(round(c.c_acctbal * 100) AS BIGINT) * 100000 + c.c_custkey) AS poorest,
+      |       arg_max(c.c_name, CAST(round(c.c_acctbal * 100) AS BIGINT) * 10000000000 + c.c_custkey) AS richest,
+      |       arg_min(c.c_name, CAST(round(c.c_acctbal * 100) AS BIGINT) * 10000000000 + c.c_custkey) AS poorest,
       |       round(max(c.c_acctbal), 2) AS max_bal
       |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY n.n_name
@@ -382,7 +385,7 @@ object Analytic {
     Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .withColumn("ord",
-        round(col("c_acctbal") * 100).cast("long") * 100000L + col("c_custkey"))
+        round(col("c_acctbal") * 100).cast("long") * 10000000000L + col("c_custkey"))
       .groupBy("n_name")
       .agg(
         expr("max_by(c_name, ord)").as("richest"),

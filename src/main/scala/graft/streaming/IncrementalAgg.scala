@@ -47,9 +47,11 @@ object IncrementalAgg {
         col("c").as("cnt"),
         round(col("s").cast("double") / col("c"), 4).as("avg_v")))
 
-  /** Durable pointer-file update: write a sibling temp file, fsync-rename it
-    * into place (`ATOMIC_MOVE`). Readers see either the old or the new
-    * content, never a torn/empty file. */
+  /** Pointer-file update via temp write + atomic rename (`ATOMIC_MOVE`):
+    * crash-consistent — readers see either the old or the new content,
+    * never a torn/empty file. NOT power-fail durable: neither the temp
+    * file nor the directory entry is fsynced, so an OS crash can roll the
+    * pointer back to the previous (still valid) version. */
   private def writeAtomic(p: java.nio.file.Path, content: String): Unit = {
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
     java.nio.file.Files.writeString(tmp, content)

@@ -40,6 +40,24 @@ object StreamJoinView {
       keys: Seq[String], aCols: Seq[String], bCols: Seq[String],
       sideCol: String = "side", signCol: Option[String] = None)
 
+  /** State roots are plain paths resolved through the Hadoop FileSystem
+    * API, so the batch=<id> layout works wherever Spark's parquet I/O does
+    * (HDFS/S3/local) — a `java.io.File` listing would silently find
+    * nothing on a remote scheme and drop the history cross terms. */
+  private def stateFs(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def batchDirs(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("batch=") =>
+        st.getPath.getName.stripPrefix("batch=").toLongOption
+    }.flatten
+
   /** Accumulated side state STRICTLY BEFORE `beforeBatch`. The strict
     * ordering is load-bearing for replay correctness: the delta rule is
     * order-dependent (batch N's increment joins its delta against batches
@@ -48,12 +66,8 @@ object StreamJoinView {
     * time, not "everything except itself". */
   private def readSide(spark: SparkSession, path: String, beforeBatch: Long,
       cols: Seq[String]): Option[DataFrame] = {
-    val dir = new java.io.File(path)
-    val hasPrior = dir.isDirectory && dir.listFiles().exists { f =>
-      f.isDirectory && f.getName.startsWith("batch=") &&
-        f.getName.stripPrefix("batch=").toLongOption.exists(_ < beforeBatch)
-    }
-    if (!hasPrior) None
+    val (fs, p) = stateFs(spark, path)
+    if (!batchDirs(fs, p).exists(_ < beforeBatch)) None
     else Some(
       spark.read.option("basePath", path).parquet(path)
         .filter(col("batch") < beforeBatch)
@@ -64,6 +78,16 @@ object StreamJoinView {
   def applyBatch(batch: DataFrame, batchId: Long, root: String,
       spec: JoinViewSpec): Unit = {
     val spark = batch.sparkSession
+    // replay hygiene: a crashed attempt can leave a torn parquet file under
+    // this batch's OWN partition dirs; readSide's schema inference walks the
+    // whole side directory before partition pruning, so a bad footer there
+    // wedges the replay. The in-flight batch's dirs are about to be
+    // overwritten anyway — clear them before reading prior state.
+    Seq(s"$root/A/batch=$batchId", s"$root/B/batch=$batchId",
+        s"$root/view/batch=$batchId").foreach { d =>
+      val (fs, p) = stateFs(spark, d)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val extra = spec.signCol.toSeq
     val dA = batch.filter(col(spec.sideCol) === "A")
       .select((spec.keys ++ spec.aCols ++ extra).map(col): _*)
@@ -89,8 +113,8 @@ object StreamJoinView {
 
   /** The maintained view (all increments so far). */
   def view(spark: SparkSession, root: String): Option[DataFrame] = {
-    val dir = new java.io.File(s"$root/view")
-    if (!dir.isDirectory || dir.listFiles().isEmpty) None
+    val (fs, p) = stateFs(spark, s"$root/view")
+    if (batchDirs(fs, p).isEmpty) None
     else Some(spark.read.option("basePath", s"$root/view").parquet(s"$root/view")
       .drop("batch"))
   }

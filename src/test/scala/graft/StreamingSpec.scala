@@ -553,6 +553,20 @@ class StreamingSpec extends SparkSpec {
     assert(viewNow() == streamed, "torn-write replay diverged")
     assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$root/A/batch=2")),
       "state dir not restored by replay")
+
+    // torn FILE crash: batch 2's own dir holds a half-written parquet file
+    // (garbage bytes, no valid footer). applyBatch clears the in-flight
+    // batch's dirs before reading prior state, so the bad footer never
+    // reaches schema inference and the replay heals in place.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/A/batch=2/part-torn.snappy.parquet"),
+      Array[Byte]('P', 'A', 'R', '1', 0, 1, 2, 3))
+    StreamJoinView.applyBatch(
+      b2.toDF("side", "k", "av", "bv"), batchId = 2L, root, spec)
+    assert(viewNow() == streamed, "torn-file replay diverged")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/A/batch=2/part-torn.snappy.parquet")),
+      "torn file survived the replay")
   }
 
   test("signed stream join view: retractions cancel through the live view") {
