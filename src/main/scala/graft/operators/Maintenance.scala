@@ -295,13 +295,17 @@ object Maintenance {
   }
 
   /** Data-quality audit (the dbt-test / Deequ shape): constraint
-    * violations counted in ONE pass per table family — uniqueness of the
-    * orders key, referential integrity of lineitem→orders and
-    * orders→customer (anti-join orphans), null/blank rates, and a domain
-    * check on discounts. Emitting counts (not booleans) makes the audit
-    * monitorable over time; every check is an aggregate or anti-join that
-    * map-side combines, so the audit costs one scan per table at 100 TB.
-    * The synthetic tables are clean, so nonzero rows here would THEMSELVES
+    * violations counted for uniqueness of the orders key, referential
+    * integrity of lineitem→orders and orders→customer (anti-join
+    * orphans), null/blank rates, and a domain check on discounts.
+    * Emitting counts (not booleans) makes the audit monitorable over
+    * time. Scan economics at 100 TB: ALL scalar checks on a table share
+    * ONE scan — orders' pk-dup and null-rate ride a single two-level
+    * aggregate (per-key counts + per-key null partials through one
+    * map-side-combined exchange), lineitem's domain check is one
+    * conditional aggregate — and only the two referential anti-joins add
+    * scans of their own (pinned: 6 scans total in `PlanSpec`). The
+    * synthetic tables are clean, so nonzero rows here would THEMSELVES
     * be the regression signal — the oracle recomputes each count. */
   val qDqChecks: QueryDef = QueryDef.sql(
     "q_dq_checks",
@@ -330,16 +334,28 @@ object Maintenance {
     def one(name: String, df: org.apache.spark.sql.DataFrame) =
       df.agg(count(lit(1)).as("violations"))
         .select(lit(name).as("check_name"), col("violations"))
-    one("orders_pk_dup",
-        o.groupBy("o_orderkey").agg(count(lit(1)).as("n")).filter(col("n") > 1))
+    // fused orders scalars: one scan, per-key (count, null-count) partials,
+    // then both check totals off the grouped frame — sum-of-group-sums
+    // equals the row-level null count whether or not keys duplicate
+    val ordersScalars = o
+      .select(col("o_orderkey"),
+        (col("o_orderstatus").isNull || col("o_orderstatus") === "")
+          .cast("long").as("is_null"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n"), sum("is_null").as("nulls"))
+      .agg(
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("orders_pk_dup"),
+        sum("nulls").as("orders_null_status"))
+      .selectExpr("""stack(2,
+        'orders_pk_dup', orders_pk_dup,
+        'orders_null_status', orders_null_status) AS (check_name, violations)""")
+    ordersScalars
       .unionByName(one("lineitem_orphan_fk",
         li.join(o.select("o_orderkey"),
           col("l_orderkey") === col("o_orderkey"), "left_anti")))
       .unionByName(one("orders_orphan_cust",
         o.join(c.select("c_custkey"),
           col("o_custkey") === col("c_custkey"), "left_anti")))
-      .unionByName(one("orders_null_status",
-        o.filter(col("o_orderstatus").isNull || col("o_orderstatus") === "")))
       .unionByName(one("discount_out_of_range",
         li.filter(col("l_discount") < 0 || col("l_discount") > 0.5)))
       .orderBy("check_name")

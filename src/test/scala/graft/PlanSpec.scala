@@ -282,6 +282,39 @@ class PlanSpec extends SparkSpec {
     assert(scanned.contains(1), s"expected exactly 1 partition scanned, got $scanned")
   }
 
+  test("dynamic partition pruning: runtime dim filter prunes the partitioned fact scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the 100 TB star-schema idiom: the fact table is partitioned on a
+    // dim-joined column, and the dim's SELECTIVE filter is only known at
+    // runtime — DPP turns the broadcast build side into a partition-filter
+    // subquery, so the fact scan lists only the surviving directories
+    val base = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val dir = s"$base/orders"
+    graft.api.Layout.writePartitioned(
+      Tables.orders(spark, sf()).withColumn("prio", col("o_orderpriority")),
+      dir, "prio")
+    // the dim must be a file-source scan with a real runtime filter — an
+    // in-memory LocalRelation constant-folds the filter away and the
+    // pruning rule sees no selective predicate to subquery on
+    Seq(("1-URGENT", "keep"), ("2-HIGH", "drop"), ("3-MEDIUM", "drop"),
+      ("4-NOT SPECIFIED", "drop"), ("5-LOW", "drop")).toDF("d_prio", "d_tag")
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val fact = spark.read.parquet(dir)
+    val dim = spark.read.parquet(s"$base/dim")
+    val joined = fact
+      .join(broadcast(dim.filter(col("d_tag") === "keep")),
+        col("prio") === col("d_prio"))
+      .agg(count(lit(1)).as("n"))
+    val p = planString(joined)
+    assert(p.contains("dynamicpruningexpression"),
+      s"fact scan carries no runtime partition-pruning subquery:\n$p")
+    // and the pruned read is still correct
+    val expected = Tables.orders(spark, sf())
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(joined.head().getLong(0) == expected)
+  }
+
   test("dot_product expression is codegen-capable (no fallback)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -334,6 +367,15 @@ class PlanSpec extends SparkSpec {
     // conditional-min per step: partial aggregation runs before each join
     assert(finalPlan.contains("partial_min") || finalPlan.contains("partial"),
       s"step minima not map-side combined:\n$p")
+  }
+
+  test("dq audit: scalar checks share one scan per table, anti-joins add their own") {
+    val p = planString(Maintenance.qDqChecks.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // 6 scans: orders scalars (pk-dup + null-rate fused) 1, lineitem
+    // domain 1, lineitem→orders anti 2, orders→customer anti 2
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    assert(scans == 6, s"expected 6 scans (fused scalar checks), got $scans:\n$p")
   }
 
   test("incr_agg: partials map-side combined in both slices") {
