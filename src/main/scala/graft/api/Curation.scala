@@ -86,6 +86,49 @@ object Curation {
         array_join(slice(col("w"), col("start") + 1, lit(size)), " ").as("chunk"))
   }
 
+  /** Content-defined chunking (the rsync/LBFS boundary trick): a chunk
+    * boundary falls BEFORE token i exactly when `md5Long(w[i]) % p == 0`
+    * (i ≥ 1), so boundaries derive from the tokens themselves, never from
+    * document offsets. A span duplicated across documents at DIFFERENT
+    * offsets therefore chunks identically in every copy — the property
+    * fixed-grid chunking ([[chunk]]) lacks, and the reason this is the
+    * carrier for suffix-granularity exact-substring dedup
+    * (`q_span_dedup`). Expected chunk length is `p` tokens.
+    *
+    * Pure per-row projection: token-hash + boundary filter + slice are
+    * array HOFs over the split column — no shuffle, text never leaves the
+    * map stage. The hash is [[graft.functions.CrossHash.md5Long]], so a
+    * SQL oracle replays boundaries bit-identically.
+    *
+    * Returns (id, chunk_id, n_toks, chunk).
+    */
+  def cdcChunk(df: DataFrame, id: Column, text: Column, p: Int = 16): DataFrame = {
+    require(p >= 2, s"boundary modulus must be >= 2, got $p")
+    import org.apache.spark.sql.functions.{size => asize}
+    df.select(id.as("id"), split(text, " ").as("w"))
+      .select(col("id"), col("w"),
+        // ascending boundary positions, always including 0 and n_tokens
+        concat(
+          array(lit(0)),
+          filter(
+            transform(col("w"), (x, i) =>
+              when(i >= 1 && graft.functions.CrossHash.md5Long(x) % p === 0, i)
+                .otherwise(lit(-1))),
+            v => v =!= -1),
+          array(asize(col("w")))).as("b"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), asize(col("b")) - 2), j =>
+          struct(
+            (element_at(col("b"), j + 2) - element_at(col("b"), j + 1))
+              .as("n_toks"),
+            array_join(
+              slice(col("w"), element_at(col("b"), j + 1) + 1,
+                element_at(col("b"), j + 2) - element_at(col("b"), j + 1)),
+              " ").as("chunk")))).as(Seq("chunk_id", "c")))
+      .select(col("id"), col("chunk_id"),
+        col("c.n_toks").as("n_toks"), col("c.chunk").as("chunk"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * one word n-gram with an evaluation set. `evalIds` marks the eval
     * slice inside `df`; the result is (id, n_shared) for every NON-eval

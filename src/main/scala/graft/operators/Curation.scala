@@ -260,7 +260,51 @@ object Curation_ {
       .orderBy("dig")
   }
 
+  /** Suffix-granularity exact substring dedup (the Lee et al. duplicated-
+    * span problem): [[qChunkDedup]]'s fixed 32-token grid misses a span
+    * duplicated at DIFFERENT offsets in two documents — the copies chunk
+    * against different grids. Content-defined chunking
+    * ([[graft.api.Curation.cdcChunk]]) derives boundaries from token
+    * hashes, so every copy of a span yields the same interior chunks no
+    * matter where it starts; duplicated spans ≥ a couple of boundary
+    * intervals surface as shared chunk digests. Same scale shape as
+    * [[qChunkDedup]]: chunking is map-only, only 16-byte digests (plus
+    * ids) shuffle, map-side combined. */
+  val qSpanDedup: QueryDef = QueryDef.sql(
+    "q_span_dedup",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |b AS (SELECT doc_id, w,
+       |        list_concat(list_concat([0],
+       |          list_filter(range(0, len(w)),
+       |            i -> i >= 1 AND (${graft.functions.CrossHash.md5LongSql("w[i+1]")} % 16) = 0)),
+       |          [len(w)]) AS b
+       |      FROM t),
+       |c AS (SELECT doc_id, b, w, unnest(range(0, len(b) - 1)) AS j FROM b),
+       |ch AS (SELECT doc_id, CAST(j AS INTEGER) AS chunk_id,
+       |              b[j+2] - b[j+1] AS n_toks,
+       |              array_to_string(w[b[j+1]+1 : b[j+2]], ' ') AS chunk
+       |       FROM c)
+       |SELECT md5(chunk) AS dig,
+       |       CAST(count(*) AS BIGINT) AS n_copies,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(min(doc_id * 100000 + chunk_id) AS BIGINT) AS keeper
+       |FROM ch WHERE n_toks >= 8
+       |GROUP BY dig HAVING count(*) > 1
+       |ORDER BY dig""".stripMargin) { (s, d) =>
+    graft.api.Curation.cdcChunk(
+        Tables.documents(s, d), col("doc_id"), col("text"), p = 16)
+      .filter(col("n_toks") >= 8)
+      .select(md5(col("chunk")).as("dig"), col("id"), col("chunk_id"))
+      .groupBy("dig")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("id")).as("n_docs"),
+        min(col("id") * 100000L + col("chunk_id")).cast("long").as("keeper"))
+      .filter(col("n_copies") > 1)
+      .orderBy("dig")
+  }
+
   val all: Seq[QueryDef] =
     Seq(qRepetition, qDocChunks, qDecontaminate, qHeavyHitters, qPiiScrub, qPack,
-      qMixture, qChunkDedup)
+      qMixture, qChunkDedup, qSpanDedup)
 }

@@ -84,6 +84,46 @@ class CurationSpec extends SparkSpec {
 
   // ---- decontamination ---------------------------------------------------
 
+  test("cdcChunk: boundaries are offset-invariant — a shifted span chunks identically") {
+    // the same 64-token span embedded at offset 0 in doc 1 and offset 7 in
+    // doc 2: a fixed 32/24 grid slices the two copies differently (7 ≢ 0
+    // mod 24), but content-defined boundaries depend only on the tokens.
+    // Every 10th span token is a precomputed boundary token
+    // (md5Long % 16 == 0), so the span is guaranteed interior chunks.
+    val boundaryToks = Seq("b9", "b46", "b108", "b111", "b118", "b162")
+    val span = (0 until 64).map { i =>
+      if (i % 10 == 9) boundaryToks(i / 10) else s"w$i"
+    }.mkString(" ")
+    val prefix = (0 until 7).map(i => s"pre$i").mkString(" ")
+    val suffix = (0 until 9).map(i => s"post$i").mkString(" ")
+    val d = docs(1L -> s"$span $suffix", 2L -> s"$prefix $span")
+
+    // fixed-grid chunks share NOTHING across the two docs (misaligned)
+    val grid = Curation.chunk(d, col("doc_id"), col("text"), size = 32, stride = 24)
+      .filter(col("n_toks") === 32)
+      .select(md5(col("chunk")).as("dig"), col("id"))
+    val gridShared = grid.groupBy("dig")
+      .agg(countDistinct("id").as("nd")).filter(col("nd") > 1).count()
+    assert(gridShared == 0,
+      "fixed grid unexpectedly aligned — pick a different planted offset")
+
+    // CDC chunks: the span's interior chunks digest identically in both
+    val cdc = Curation.cdcChunk(d, col("doc_id"), col("text"), p = 16)
+      .select(md5(col("chunk")).as("dig"), col("id"))
+    val cdcShared = cdc.groupBy("dig")
+      .agg(countDistinct("id").as("nd")).filter(col("nd") > 1).count()
+    assert(cdcShared >= 1,
+      "content-defined chunking must surface the shifted duplicate span")
+
+    // chunks partition each document: concatenating them restores the text
+    val restored = Curation.cdcChunk(d, col("doc_id"), col("text"), p = 16)
+      .orderBy("id", "chunk_id")
+      .collect().groupBy(_.getAs[Long]("id"))
+      .view.mapValues(_.map(_.getAs[String]("chunk")).mkString(" ")).toMap
+    assert(restored(1L) == s"$span $suffix" && restored(2L) == s"$prefix $span",
+      "cdc chunks must partition the token stream")
+  }
+
   test("decontaminate: flags only true n-gram overlap, counts distinct shingles") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon", true),   // eval
