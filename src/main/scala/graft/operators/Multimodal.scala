@@ -496,6 +496,14 @@ object Multimodal {
       |FROM cand c JOIN fp fa ON fa.doc_id = c.a JOIN fp fb ON fb.doc_id = c.b
       |WHERE bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) <= 2
       |ORDER BY c.a, c.b""".stripMargin) { (s, d) =>
+    imagePairs(s, d).orderBy("a", "b")
+  }
+
+  /** The image near-dup pair pipeline (decode → phash → banded LSH →
+    * Hamming ≤ 2 verify), shared by [[qImageNeardup]] and the cross-modal
+    * composition [[qCrossmodalDedup]]. Returns (a, b, hamming). */
+  private[operators] def imagePairs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val fp = graft.Persisting.maybe(
       gradientMediaTable(s, d)
@@ -527,9 +535,127 @@ object Multimodal {
           bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
       .where(col("hamming") <= 2)
       .select("a", "b", "hamming")
-      .orderBy("a", "b")
+  }
+
+  /** Cross-modal near-dup composition — the crawl-pipeline shape that
+    * collapses a page when EITHER modality duplicates: text SimHash pairs
+    * (`q_dedup_simhash` derivation) full-outer-joined with image phash
+    * pairs ([[imagePairs]], the `q_image_neardup` derivation) on the
+    * shared (a, b) doc pair, with per-modality flags and Hamming
+    * distances (-1 = not detected by that modality). Scale shape: both
+    * inputs are banding-capped candidate sets verified before this join,
+    * so the composition joins two pair tables several orders of magnitude
+    * smaller than the corpus — adding a modality costs one pair-keyed
+    * shuffle, not another corpus pass. Oracle replays BOTH derivations
+    * (image CTEs i-prefixed to avoid name capture). */
+  val qCrossmodalDedup: QueryDef = {
+    import graft.functions.CrossHash.md5LongSql
+    QueryDef.sql(
+      "q_crossmodal_dedup",
+      s"""WITH ${Corpora.dedupCorpusCte},
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |wc AS (
+         |  SELECT doc_id, word, count(*) AS cnt
+         |  FROM tok, unnest(w) AS u(word)
+         |  GROUP BY doc_id, word
+         |),
+         |wh AS (SELECT doc_id, ${md5LongSql("word")} AS h, cnt FROM wc),
+         |bs AS (
+         |  SELECT doc_id,
+         |         ${(0 until 48).map(i => s"sum(cnt * (2 * ((h >> $i) & 1) - 1)) AS s$i").mkString(",\n         ")}
+         |  FROM wh GROUP BY doc_id
+         |),
+         |fp AS (
+         |  SELECT doc_id,
+         |         ${(0 until 48).map(i => s"(CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" + ")} AS f
+         |  FROM bs
+         |),
+         |sbands AS (
+         |  SELECT doc_id, b AS band, (f >> (12 * b)) & 4095 AS bv
+         |  FROM fp, (SELECT unnest(range(0, 4)) AS b) g
+         |),
+         |sbig AS (
+         |  SELECT band, bv FROM sbands GROUP BY band, bv HAVING count(*) > 10000
+         |),
+         |scand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM sbands x JOIN sbands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sbig g WHERE g.band = x.band AND g.bv = x.bv)
+         |),
+         |tp AS (
+         |  SELECT c.a, c.b, CAST(bit_count(xor(fa.f, fb.f)) AS INTEGER) AS th
+         |  FROM scand c
+         |  JOIN fp fa ON fa.doc_id = c.a
+         |  JOIN fp fb ON fb.doc_id = c.b
+         |  WHERE bit_count(xor(fa.f, fb.f)) <= 8
+         |),
+         |im AS (SELECT doc_id, n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h FROM documents),
+         |ig AS (SELECT unnest(range(0, 8)) AS i),
+         |ipx AS (
+         |  SELECT doc_id,
+         |         CAST(gi.i * 8 + gj.i AS INTEGER) AS idx,
+         |         (((doc_id + (gi.i * w) // 8) % 256) * 299 +
+         |          ((doc_id * 7 + 3 * ((gj.i * h) // 8)) % 256) * 587 +
+         |          ((doc_id * 13) % 256) * 114) // 1000 AS luma
+         |  FROM im, ig gi, ig gj
+         |),
+         |imu AS (SELECT doc_id, sum(luma) / 64.0 AS mu FROM ipx GROUP BY doc_id),
+         |ifp AS (
+         |  SELECT p.doc_id,
+         |       bit_or(CASE WHEN p.luma > imu.mu AND p.idx >= 32
+         |                   THEN CAST(1 AS BIGINT) << (p.idx - 32) ELSE CAST(0 AS BIGINT) END) AS hi,
+         |       bit_or(CASE WHEN p.luma > imu.mu AND p.idx < 32
+         |                   THEN CAST(1 AS BIGINT) << p.idx ELSE CAST(0 AS BIGINT) END) AS lo
+         |  FROM ipx p JOIN imu ON imu.doc_id = p.doc_id
+         |  GROUP BY p.doc_id
+         |),
+         |ibands AS (
+         |  SELECT doc_id, b AS band,
+         |         CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+         |                WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bv
+         |  FROM ifp, (SELECT unnest(range(0, 4)) AS b) g
+         |),
+         |ibig AS (SELECT band, bv FROM ibands GROUP BY band, bv HAVING count(*) > 64),
+         |icand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM ibands x JOIN ibands y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM ibig g WHERE g.band = x.band AND g.bv = x.bv)
+         |),
+         |ip AS (
+         |  SELECT c.a, c.b,
+         |         CAST(bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) AS INTEGER) AS ih
+         |  FROM icand c
+         |  JOIN ifp fa ON fa.doc_id = c.a
+         |  JOIN ifp fb ON fb.doc_id = c.b
+         |  WHERE bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) <= 2
+         |)
+         |SELECT coalesce(tp.a, ip.a) AS a, coalesce(tp.b, ip.b) AS b,
+         |       CAST(tp.a IS NOT NULL AS INTEGER) AS dup_text,
+         |       CAST(ip.a IS NOT NULL AS INTEGER) AS dup_image,
+         |       CAST(coalesce(tp.th, -1) AS INTEGER) AS text_hamming,
+         |       CAST(coalesce(ip.ih, -1) AS INTEGER) AS image_hamming
+         |FROM tp FULL OUTER JOIN ip ON tp.a = ip.a AND tp.b = ip.b
+         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val fp = graft.api.TextDedup
+        .simhash(Corpora.dedupCorpus(s, d), col("doc_id"), col("text"), bits = 48)
+        .transform(graft.Persisting.maybe)
+      val tp = graft.api.TextDedup
+        .simhashPairs(fp, bands = 4, bitsPerBand = 12, maxHamming = 8)
+        .select(col("a"), col("b"), col("hamming").as("th"))
+      val ip = imagePairs(s, d)
+        .select(col("a"), col("b"), col("hamming").as("ih"))
+      tp.join(ip, Seq("a", "b"), "full_outer")
+        .select(col("a"), col("b"),
+          col("th").isNotNull.cast("int").as("dup_text"),
+          col("ih").isNotNull.cast("int").as("dup_image"),
+          coalesce(col("th"), lit(-1)).cast("int").as("text_hamming"),
+          coalesce(col("ih"), lit(-1)).cast("int").as("image_hamming"))
+        .orderBy("a", "b")
+    }
   }
 
   val all: Seq[QueryDef] = Seq(
-    qMultimodalFeatures, qImagePhash, qAudioFeatures, qVideoFrames, qImageNeardup)
+    qMultimodalFeatures, qImagePhash, qAudioFeatures, qVideoFrames, qImageNeardup,
+    qCrossmodalDedup)
 }
