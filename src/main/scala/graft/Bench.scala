@@ -72,7 +72,11 @@ object Bench {
         // round-8 additions whose first run carries codegen/plan-analysis
         // cost worth absorbing at the warm SF (delta-rule join tree, phash
         // decode pipeline, the rank-check join of the sketch agg)
-        "q_incr_join", "q_image_neardup", "q_agg_approx", "q_bpe_train")
+        "q_incr_join", "q_image_neardup", "q_agg_approx", "q_bpe_train",
+        // round-9: the cross-modal join re-runs both the simhash and phash
+        // pipelines (two large generated aggregate classes), and CDC
+        // chunking carries a wide HOF projection worth one warm pass
+        "q_crossmodal_dedup", "q_span_dedup")
       SparkEntry.defs.filter(q => heavy(q.name)).foreach { q =>
         try q.fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

@@ -487,7 +487,122 @@ object Tpch {
       .limit(100)
   }
 
+  /** Q15: top supplier by quarterly revenue — the aggregate-view +
+    * max-over-view shape (the original's CREATE VIEW): the revenue
+    * aggregate is computed ONCE (persisted — both the join probe and the
+    * scalar max read it), and the max is a one-row broadcast joined back
+    * on exact DECIMAL equality, not a window sort over all suppliers.
+    * Ties (exact decimal equality in both engines) all surface. */
+  val qTpchQ15: QueryDef = QueryDef.sql(
+    "q_tpch_q15",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s.s_suppkey, s.s_name,
+      |       round(CAST(r.total_revenue AS DOUBLE), 2) AS total_revenue
+      |FROM supplier s
+      |JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s.s_suppkey""".stripMargin) { (s, d) =>
+    val rev = Persisting.maybe(
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue")))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("supplier_no"))
+      .join(broadcast(rev.agg(max(col("total_revenue")).as("mx"))),
+        col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_revenue").cast("double"), 2).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q19: discounted revenue under a three-way DISJUNCTION of conjunct
+    * groups spanning BOTH join sides (brand × size-range × quantity-range;
+    * adapted: p_size stands in for the absent p_container, and the
+    * shipmode/shipinstruct conjuncts are dropped with the columns). The
+    * plan contract: one equi hash join on partkey with the OR as a
+    * residual — never a union of three joins, never a product — and
+    * Catalyst's CNF conversion derives the per-side implied predicates
+    * (brand IN (...) to the part scan, the quantity hull to lineitem). */
+  val qTpchQ19: QueryDef = QueryDef.sql(
+    "q_tpch_q19",
+    """SELECT round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+      |       AND l.l_quantity BETWEEN 1 AND 11)
+      |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+      |       AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(d2(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+  }
+
+  /** Q22: lapsed high-balance customers — the anti-join + scalar-average
+    * composite: country-coded customers whose balance exceeds the
+    * positive-balance average AND who placed no orders in the recent
+    * window (adapted: cntrycode := c_nationkey % 5 — no c_phone in this
+    * schema — and "no orders at all" becomes "none since 2000-06-01",
+    * which is non-vacuous here). Balances ride exact integer cents; the
+    * average threshold is one broadcast row; the NOT EXISTS is a hash
+    * anti join against the date-pruned orders slice. */
+  val qTpchQ22: QueryDef = QueryDef.sql(
+    "q_tpch_q22",
+    """WITH c2 AS (
+      |  SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer
+      |  WHERE c_nationkey % 5 IN (0, 1, 2)
+      |),
+      |ab AS (SELECT avg(bal_c) AS ab FROM c2 WHERE bal_c > 0)
+      |SELECT cntrycode,
+      |       CAST(count(*) AS BIGINT) AS numcust,
+      |       CAST(sum(bal_c) AS BIGINT) AS totacctbal_cents
+      |FROM c2, ab
+      |WHERE bal_c > ab.ab
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c2.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin) { (s, d) =>
+    val c2 = Tables.customer(s, d)
+      .select(col("c_custkey"), (col("c_nationkey") % 5).as("cntrycode"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      .filter(col("cntrycode").isin(0, 1, 2))
+    c2.crossJoin(broadcast(
+        c2.filter(col("bal_c") > 0).agg(avg(col("bal_c")).as("ab"))))
+      .filter(col("bal_c") > col("ab"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-06-01 00:00:00").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal_c")).cast("long").as("totacctbal_cents"))
+      .orderBy("cntrycode")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ18, qTpchQ7, qTpchQ10, qTpchQ8, qTpchQ14,
-    qTpchQ6, qTpchQ4, qTpchQ13, qTpchQ17, qTpchQ21)
+    qTpchQ6, qTpchQ4, qTpchQ13, qTpchQ17, qTpchQ21, qTpchQ15, qTpchQ19,
+    qTpchQ22)
 }

@@ -457,6 +457,34 @@ class PlanSpec extends SparkSpec {
       s"nation scans not pruned to the named pair (found $prunedScans):\n$p")
   }
 
+  test("TPC-H Q19: one hash join with the disjunction residual, per-side predicates derived") {
+    val p = planString(Tpch.qTpchQ19.fn(spark, sf()))
+    val f = p.split("== Initial Plan ==").head
+    // ONE equi join carries the three-way OR as a residual — not a union
+    // of three joins, not a product
+    assert(f.contains("BroadcastHashJoin"), s"Q19 lost its hash join:\n$p")
+    assert(!f.contains("Union") && !f.contains("Cartesian") && !f.contains("NestedLoop"),
+      s"Q19 planned as a union/product:\n$p")
+    assert("Scan parquet".r.findAllIn(f).length == 2,
+      s"Q19 must scan lineitem + part exactly once each:\n$p")
+    // CNF conversion pushes the implied per-side hulls into both scans
+    assert("""PushedFilters: \[[^\]]*l_quantity""".r.findAllIn(p).nonEmpty,
+      s"quantity hull not pushed to the lineitem scan:\n$p")
+    assert("""PushedFilters: \[[^\]]*p_brand""".r.findAllIn(p).nonEmpty,
+      s"brand disjunction not pushed to the part scan:\n$p")
+  }
+
+  test("TPC-H Q15/Q22: view max is a broadcast row (no window); lapsed check is a hash anti join") {
+    val p15 = planString(Tpch.qTpchQ15.fn(spark, sf()))
+    val f15 = p15.split("== Initial Plan ==").head
+    assert(!f15.contains("Window"), s"Q15 max-over-view fell back to a window sort:\n$p15")
+    assert(f15.contains("BroadcastHashJoin"), s"Q15 max row must broadcast:\n$p15")
+    val p22 = planString(Tpch.qTpchQ22.fn(spark, sf()))
+    assert(p22.contains("LeftAnti"), s"Q22 NOT EXISTS not an anti join:\n$p22")
+    assert(!p22.contains("CartesianProduct"),
+      s"Q22 threshold join degenerated to a cartesian:\n$p22")
+  }
+
   test("TPC-H Q7/Q10: dims broadcast, no cartesian, Q10 keeps heap top-k") {
     val p7 = planString(Tpch.qTpchQ7.fn(spark, sf()))
     assert(p7.contains("BroadcastHashJoin"), s"Q7 nation dims must broadcast:\n$p7")
