@@ -601,8 +601,301 @@ object Tpch {
       .orderBy("cntrycode")
   }
 
+  // --------------------------------------------------------------------
+  // Derived partsupp: the driver's star schema ships no partsupp table, so
+  // the six TPC-H shapes that need one (Q2/Q9/Q11/Q16/Q20 + the cost side
+  // of profit math) derive it deterministically from part × a 4-row tally
+  // — pure integer arithmetic on p_partkey, mirrored character-for-
+  // character in each oracle CTE (the same precedent as the derived dedup
+  // corpus in Corpora.scala). Each part gets 4 suppliers spread by
+  // coprime strides over the dense 0..n_supp-1 key domain; availqty and
+  // supply cost (integer CENTS — exact everywhere) are modular hashes of
+  // (partkey, k).
+  // --------------------------------------------------------------------
+
+  private def partsupp(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.part(s, d).select("p_partkey")
+      .crossJoin(broadcast(
+        Tables.supplier(s, d).agg(count(lit(1)).as("n_supp"))))
+      .select(col("p_partkey"), col("n_supp"),
+        explode(sequence(lit(0L), lit(3L))).as("k"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 7 + col("k") * 13) % col("n_supp")).as("ps_suppkey"),
+        ((col("p_partkey") * 17 + col("k") * 31) % 9999 + 1).as("ps_availqty"),
+        ((col("p_partkey") * 97 + col("k") * 61) % 89989 + 100).as("ps_cost_cents"))
+
+  /** Oracle CTE mirroring [[partsupp]] (view name `ps`). */
+  private val psCte: String =
+    """ps AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey * 7 + g.k * 13) % (SELECT count(*) FROM supplier) AS ps_suppkey,
+      |         (p_partkey * 17 + g.k * 31) % 9999 + 1 AS ps_availqty,
+      |         (p_partkey * 97 + g.k * 61) % 89989 + 100 AS ps_cost_cents
+      |  FROM part, (SELECT unnest(range(0, 4)) AS k) g
+      |)""".stripMargin
+
+  /** Q12: shipping-mode line counts — the join + CASE-gated priority-class
+    * tally (adapted: l_linestatus stands in for the absent l_shipmode, and
+    * "late" is l_returnflag = 'R' in place of the missing receipt/commit
+    * dates). One fact-fact join on orderkey, map-side-combined conditional
+    * sums. */
+  val qTpchQ12: QueryDef = QueryDef.sql(
+    "q_tpch_q12",
+    """SELECT l.l_linestatus AS shipmode,
+      |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders o
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_returnflag = 'R'
+      |  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l.l_linestatus
+      |ORDER BY shipmode""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R" &&
+            col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+          .select("l_orderkey", "l_linestatus"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_linestatus").as("shipmode"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("shipmode")
+  }
+
+  /** Q2: minimum-cost supplier — the correlated-min over a shared view:
+    * each selected part pairs with exactly its cheapest European
+    * suppliers. Decorrelated by construction: the European ps⋈supplier
+    * frame is built ONCE (persisted — it feeds both the per-part min and
+    * the probe), the per-part minima broadcast back. Adapted: p_type +
+    * p_size selection (no p_mfgr), cost in integer cents. */
+  val qTpchQ2: QueryDef = QueryDef.sql(
+    "q_tpch_q2",
+    s"""WITH $psCte,
+       |eur AS (
+       |  SELECT ps.ps_partkey, ps.ps_cost_cents, s.s_name, s.s_acctbal, n.n_name
+       |  FROM ps
+       |  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  WHERE r.r_name = 'EUROPE'
+       |)
+       |SELECT round(e.s_acctbal, 2) AS s_acctbal, e.s_name, e.n_name,
+       |       p.p_partkey, p.p_brand,
+       |       CAST(e.ps_cost_cents AS BIGINT) AS cost_cents
+       |FROM part p
+       |JOIN eur e ON p.p_partkey = e.ps_partkey
+       |WHERE p.p_type = 'LARGE' AND p.p_size < 26
+       |  AND e.ps_cost_cents = (SELECT min(e2.ps_cost_cents) FROM eur e2
+       |                         WHERE e2.ps_partkey = p.p_partkey)
+       |ORDER BY s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+       |LIMIT 100""".stripMargin) { (s, d) =>
+    val eur = Persisting.maybe(
+      partsupp(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("s_suppkey") === col("ps_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("ps_partkey", "ps_cost_cents", "s_name", "s_acctbal", "n_name"))
+    val minCost = eur.groupBy(col("ps_partkey").as("mc_key"))
+      .agg(min(col("ps_cost_cents")).as("min_cost"))
+    Tables.part(s, d)
+      .filter(col("p_type") === "LARGE" && col("p_size") < 26)
+      .select("p_partkey", "p_brand")
+      .join(eur, col("p_partkey") === col("ps_partkey"))
+      .join(minCost, col("p_partkey") === col("mc_key") &&
+        col("ps_cost_cents") === col("min_cost"))
+      .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"), col("p_brand"),
+        col("ps_cost_cents").as("cost_cents"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q9: product-type profit by nation and year — the five-fact join with
+    * derived cost: profit = revenue − supply cost × quantity, computed
+    * entirely in exact integer MICRO-units (revenue micros from the
+    * DECIMAL(18,6) cast of the price product; cost cents × qty × 10⁴) so
+    * per-group sums are order-independent BIGINTs. The ps join on
+    * (partkey, suppkey) is the selective composite-key fact join the
+    * original exercises. */
+  val qTpchQ9: QueryDef = QueryDef.sql(
+    "q_tpch_q9",
+    s"""WITH $psCte
+       |SELECT n.n_name AS nation,
+       |       CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       |       CAST(sum(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+       |                - ps.ps_cost_cents * CAST(l.l_quantity AS BIGINT) * 10000) AS BIGINT) AS profit_micros
+       |FROM lineitem l
+       |JOIN part p ON p.p_partkey = l.l_partkey
+       |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       |JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+       |JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |WHERE p.p_name LIKE 'red%'
+       |GROUP BY nation, o_year
+       |ORDER BY nation, o_year""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("red%"))
+          .select("p_partkey")),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(partsupp(s, d)),
+        col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("o_year"),
+        ((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)") * 1000000).cast("long")
+          .minus(col("ps_cost_cents") * col("l_quantity").cast("long") * 10000)
+          .as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(sum(col("amount")).cast("long").as("profit_micros"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** Q11: important stock — per-part value share against a global total:
+    * the HAVING-over-scalar-subquery shape. Value is exact integer cents;
+    * the share test multiplies through (value × 250 > total) so no
+    * fraction is ever computed. The national ps frame is built once
+    * (persisted) and feeds both the per-part aggregate and the one-row
+    * total, which broadcasts back. */
+  val qTpchQ11: QueryDef = QueryDef.sql(
+    "q_tpch_q11",
+    s"""WITH $psCte,
+       |natps AS (
+       |  SELECT ps.ps_partkey, ps.ps_cost_cents * ps.ps_availqty AS val_cents
+       |  FROM ps
+       |  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  WHERE n.n_name = 'NATION_7'
+       |)
+       |SELECT ps_partkey, CAST(sum(val_cents) AS BIGINT) AS value_cents
+       |FROM natps
+       |GROUP BY ps_partkey
+       |HAVING sum(val_cents) * 250 > (SELECT sum(val_cents) FROM natps)
+       |ORDER BY value_cents DESC, ps_partkey""".stripMargin) { (s, d) =>
+    val natps = Persisting.maybe(
+      partsupp(s, d)
+        .join(broadcast(Tables.supplier(s, d)
+            .join(broadcast(Tables.nation(s, d)
+                .filter(col("n_name") === "NATION_7")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select("s_suppkey")),
+          col("ps_suppkey") === col("s_suppkey"))
+        .select(col("ps_partkey"),
+          (col("ps_cost_cents") * col("ps_availqty")).as("val_cents")))
+    natps.groupBy("ps_partkey")
+      .agg(sum(col("val_cents")).as("value_cents"))
+      .crossJoin(broadcast(natps.agg(sum(col("val_cents")).as("total"))))
+      .filter(col("value_cents") * 250 > col("total"))
+      .select(col("ps_partkey"), col("value_cents").cast("long").as("value_cents"))
+      .orderBy(col("value_cents").desc, col("ps_partkey"))
+  }
+
+  /** Q16: supplier count per part attribute — count(DISTINCT) over the
+    * ps⋈part join with a NOT-IN exclusion (adapted: negative-balance
+    * suppliers stand in for the complaint-comment filter). The exclusion
+    * compiles to a hash anti join (the small bad-supplier set broadcasts);
+    * the distinct count shuffles (brand, type, size, suppkey) partials. */
+  val qTpchQ16: QueryDef = QueryDef.sql(
+    "q_tpch_q16",
+    s"""WITH $psCte
+       |SELECT p.p_brand, p.p_type, CAST(p.p_size AS INTEGER) AS p_size,
+       |       CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM ps
+       |JOIN part p ON p.p_partkey = ps.ps_partkey
+       |WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+       |  AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+       |  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY p.p_brand, p.p_type, p.p_size
+       |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size""".stripMargin) { (s, d) =>
+    partsupp(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("p_partkey") === col("ps_partkey"))
+      .join(broadcast(Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey").as("bad_skey"))),
+        col("ps_suppkey") === col("bad_skey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("int").as("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** Q20: suppliers with excess stock — the nested-quantifier shape:
+    * suppliers (in one nation) holding some selected part whose availqty
+    * exceeds half what that (part, supplier) shipped in 1997. The
+    * correlated half-sum decorrelates to ONE grouped aggregate over the
+    * date-pruned lineitem outer-joined under the ps probe (absent
+    * shipments count as zero — an inner join would wrongly drop them);
+    * the ×2 integer test avoids fractions; the final supplier membership
+    * is a semi join. */
+  val qTpchQ20: QueryDef = QueryDef.sql(
+    "q_tpch_q20",
+    s"""WITH $psCte,
+       |shipped AS (
+       |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  GROUP BY l_partkey, l_suppkey
+       |),
+       |excess AS (
+       |  SELECT DISTINCT ps.ps_suppkey
+       |  FROM ps
+       |  JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'red%'
+       |  LEFT JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+       |                      AND sh.l_suppkey = ps.ps_suppkey
+       |  WHERE ps.ps_availqty * 2 > coalesce(sh.qty, 0)
+       |)
+       |SELECT s.s_suppkey, s.s_name
+       |FROM supplier s
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |WHERE n.n_name = 'NATION_3'
+       |  AND s.s_suppkey IN (SELECT ps_suppkey FROM excess)
+       |ORDER BY s.s_suppkey""".stripMargin) { (s, d) =>
+    val shipped = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    val excess = partsupp(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("red%"))
+          .select("p_partkey")),
+        col("p_partkey") === col("ps_partkey"))
+      .join(shipped, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"), "left_outer")
+      .filter(col("ps_availqty") * 2 > coalesce(col("qty"), lit(0L)))
+      .select("ps_suppkey").distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTpchQ1, qTpchQ3, qTpchQ5, qTpchQ18, qTpchQ7, qTpchQ10, qTpchQ8, qTpchQ14,
     qTpchQ6, qTpchQ4, qTpchQ13, qTpchQ17, qTpchQ21, qTpchQ15, qTpchQ19,
-    qTpchQ22)
+    qTpchQ22, qTpchQ12, qTpchQ2, qTpchQ9, qTpchQ11, qTpchQ16, qTpchQ20)
 }

@@ -485,6 +485,31 @@ class PlanSpec extends SparkSpec {
       s"Q22 threshold join degenerated to a cartesian:\n$p22")
   }
 
+  test("TPC-H Q2/Q9/Q20: derived-partsupp joins stay hash-based; Q16 exclusion is an anti join") {
+    // full-string asserts (tiny SFs can zero out final plans via AQE
+    // empty-relation propagation; the Initial section keeps the shape).
+    // The partsupp derivation attaches the supplier-count SCALAR via a
+    // one-row broadcast cross join — the only nested-loop shape allowed:
+    // every BNLJ in these plans must be that `, Cross` scalar attach,
+    // never an Inner/Outer equi-join fallback.
+    def noJoinFallback(p: String, q: String): Unit = {
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      val bnlj = """BroadcastNestedLoopJoin [^\n]*""".r.findAllIn(p).toSeq
+      assert(bnlj.forall(_.contains(", Cross")),
+        s"$q has a non-scalar nested-loop join: ${bnlj.mkString("; ")}\n$p")
+    }
+    val p2 = planString(Tpch.qTpchQ2.fn(spark, sf()))
+    noJoinFallback(p2, "Q2")
+    assert(p2.contains("BroadcastHashJoin"), s"Q2 dims must broadcast:\n$p2")
+    val p9 = planString(Tpch.qTpchQ9.fn(spark, sf()))
+    noJoinFallback(p9, "Q9")
+    val p20 = planString(Tpch.qTpchQ20.fn(spark, sf()))
+    assert(p20.contains("LeftSemi"), s"Q20 membership not a semi join:\n$p20")
+    noJoinFallback(p20, "Q20")
+    val p16 = planString(Tpch.qTpchQ16.fn(spark, sf()))
+    assert(p16.contains("LeftAnti"), s"Q16 NOT IN not an anti join:\n$p16")
+  }
+
   test("TPC-H Q7/Q10: dims broadcast, no cartesian, Q10 keeps heap top-k") {
     val p7 = planString(Tpch.qTpchQ7.fn(spark, sf()))
     assert(p7.contains("BroadcastHashJoin"), s"Q7 nation dims must broadcast:\n$p7")
