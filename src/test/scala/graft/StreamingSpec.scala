@@ -266,6 +266,90 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming span dedup: equals the batch CDC digest groups; shifted span flagged cross-batch") {
+    import graft.api.Curation
+    import graft.streaming.{StreamSpanDedup, SpanHit}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StatefulOps.useRocksDbStateStore(spark)
+    try {
+      import spark.implicits._
+      // the CurationSpec planted pair: one 64-token span (with seeded
+      // boundary tokens) at offset 0 in doc 1 and offset 7 in doc 2
+      val boundaryToks = Seq("b9", "b46", "b108", "b111", "b118", "b162")
+      val span = (0 until 64).map { i =>
+        if (i % 10 == 9) boundaryToks(i / 10) else s"w$i"
+      }.mkString(" ")
+      val d1text = span + " " + (0 until 9).map(i => s"post$i").mkString(" ")
+      val d2text = (0 until 7).map(i => s"pre$i").mkString(" ") + " " + span
+
+      // host-side chunker ≡ the batch column derivation, digest for digest
+      val batchChunks = Curation
+        .cdcChunk(Seq((1L, d1text)).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), p = 16)
+        .filter(col("n_toks") >= 8)
+        .select(col("chunk_id"), md5(col("chunk")).as("dig")).collect()
+        .map(r => (r.getAs[Int]("chunk_id"), r.getAs[String]("dig"))).toSet
+      assert(StreamSpanDedup.cdcChunksOf(d1text).toSet == batchChunks,
+        "stream chunker must equal the batch cdcChunk digests")
+
+      val input = MemoryStream[DocEvent](spark)
+      val q = StreamSpanDedup.spanDupStream(spark, input.toDS(),
+          horizonMs = 60000L, watermark = "10 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("spandup").start()
+      def doc(id: Long, sec: Long, text: String) =
+        DocEvent(id, new java.sql.Timestamp(sec * 1000), text)
+      def hits() = spark.table("spandup").as[SpanHit].collect()
+        .map(h => (h.doc_id, h.chunk_id, h.dup_of_doc, h.dup_of_chunk)).toSet
+
+      input.addData(doc(1, 100, d1text))
+      q.processAllAvailable()
+      assert(hits().isEmpty, "first copy must not flag")
+
+      // the shifted span arrives a BATCH LATER: its interior chunks must
+      // collide with doc 1's accumulated digests
+      input.addData(doc(2, 110, d2text))
+      q.processAllAvailable()
+      assert(hits().nonEmpty && hits().forall(h => h._1 == 2L && h._3 == 1L),
+        s"shifted span not flagged against the canonical: ${hits()}")
+
+      // parity: streamed hits == the batch digest-group derivation
+      // (group members minus the canonical minimum, pointed at it)
+      val rows = Curation
+        .cdcChunk(Seq((1L, d1text), (2L, d2text)).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), p = 16)
+        .filter(col("n_toks") >= 8)
+        .select(md5(col("chunk")).as("dig"), col("id"), col("chunk_id")).collect()
+        .map(r => (r.getAs[String]("dig"), r.getAs[Long]("id"), r.getAs[Int]("chunk_id")))
+      val expected = rows.groupBy(_._1).values.filter(_.length > 1).flatMap { g =>
+        val sorted = g.sortBy(x => (x._2, x._3))
+        val canon = sorted.head
+        sorted.tail.map(x => (x._2, x._3, canon._2, canon._3))
+      }.toSet
+      assert(hits() == expected,
+        s"stream hits diverge from batch groups: ${hits()} vs $expected")
+
+      // horizon: watermark past expiry evicts the canonicals — a re-sent
+      // copy re-seeds silently, and only the NEXT copy flags against it.
+      // The filler must emit ≥1 chunk (≥ 8 non-boundary tokens) or the
+      // chunked stream sees no rows and the watermark cannot advance.
+      input.addData(doc(9, 300, "w0 w1 w2 w3 w4 w5 w6 w7 w9 w10"))
+      q.processAllAvailable()
+      input.addData(doc(5, 310, d1text))
+      q.processAllAvailable()
+      assert(!hits().exists(_._1 == 5L),
+        s"doc 5 matched chunks the horizon should have evicted: ${hits()}")
+      input.addData(doc(6, 320, d1text))
+      q.processAllAvailable()
+      assert(hits().exists(h => h._1 == 6L && h._3 == 5L),
+        s"doc 6 must match the re-seeded doc 5: ${hits()}")
+      q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming near-dup: a full band key stops indexing but keeps matching") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     StatefulOps.useRocksDbStateStore(spark)
