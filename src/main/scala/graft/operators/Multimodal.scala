@@ -548,11 +548,13 @@ object Multimodal {
     * smaller than the corpus — adding a modality costs one pair-keyed
     * shuffle, not another corpus pass. Oracle replays BOTH derivations
     * (image CTEs i-prefixed to avoid name capture). */
-  val qCrossmodalDedup: QueryDef = {
+  /** Oracle CTE chain shared by the cross-modal queries: derives the text
+    * SimHash pair set `tp` (the `q_dedup_simhash` derivation) and the
+    * image phash pair set `ip` (the `q_image_neardup` derivation,
+    * i-prefixed to avoid name capture). */
+  private val crossmodalPairsCtes: String = {
     import graft.functions.CrossHash.md5LongSql
-    QueryDef.sql(
-      "q_crossmodal_dedup",
-      s"""WITH ${Corpora.dedupCorpusCte},
+    s"""${Corpora.dedupCorpusCte},
          |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
          |wc AS (
          |  SELECT doc_id, word, count(*) AS cnt
@@ -629,33 +631,69 @@ object Multimodal {
          |  JOIN ifp fa ON fa.doc_id = c.a
          |  JOIN ifp fb ON fb.doc_id = c.b
          |  WHERE bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo)) <= 2
-         |)
-         |SELECT coalesce(tp.a, ip.a) AS a, coalesce(tp.b, ip.b) AS b,
+         |)""".stripMargin
+  }
+
+  val qCrossmodalDedup: QueryDef = QueryDef.sql(
+    "q_crossmodal_dedup",
+    s"""WITH $crossmodalPairsCtes
+       |SELECT coalesce(tp.a, ip.a) AS a, coalesce(tp.b, ip.b) AS b,
          |       CAST(tp.a IS NOT NULL AS INTEGER) AS dup_text,
          |       CAST(ip.a IS NOT NULL AS INTEGER) AS dup_image,
          |       CAST(coalesce(tp.th, -1) AS INTEGER) AS text_hamming,
          |       CAST(coalesce(ip.ih, -1) AS INTEGER) AS image_hamming
          |FROM tp FULL OUTER JOIN ip ON tp.a = ip.a AND tp.b = ip.b
          |ORDER BY a, b""".stripMargin) { (s, d) =>
-      val fp = graft.api.TextDedup
-        .simhash(Corpora.dedupCorpus(s, d), col("doc_id"), col("text"), bits = 48)
-        .transform(graft.Persisting.maybe)
-      val tp = graft.api.TextDedup
-        .simhashPairs(fp, bands = 4, bitsPerBand = 12, maxHamming = 8)
-        .select(col("a"), col("b"), col("hamming").as("th"))
-      val ip = imagePairs(s, d)
-        .select(col("a"), col("b"), col("hamming").as("ih"))
-      tp.join(ip, Seq("a", "b"), "full_outer")
-        .select(col("a"), col("b"),
-          col("th").isNotNull.cast("int").as("dup_text"),
-          col("ih").isNotNull.cast("int").as("dup_image"),
-          coalesce(col("th"), lit(-1)).cast("int").as("text_hamming"),
-          coalesce(col("ih"), lit(-1)).cast("int").as("image_hamming"))
-        .orderBy("a", "b")
-    }
+    val tp = textPairs(s, d).select(col("a"), col("b"), col("hamming").as("th"))
+    val ip = imagePairs(s, d).select(col("a"), col("b"), col("hamming").as("ih"))
+    tp.join(ip, Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"),
+        col("th").isNotNull.cast("int").as("dup_text"),
+        col("ih").isNotNull.cast("int").as("dup_image"),
+        coalesce(col("th"), lit(-1)).cast("int").as("text_hamming"),
+        coalesce(col("ih"), lit(-1)).cast("int").as("image_hamming"))
+      .orderBy("a", "b")
+  }
+
+  /** The text near-dup pair pipeline (the `q_dedup_simhash` derivation),
+    * shared by the cross-modal queries. Returns (a, b, hamming). */
+  private[operators] def textPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val fp = graft.api.TextDedup
+      .simhash(Corpora.dedupCorpus(s, d), col("doc_id"), col("text"), bits = 48)
+      .transform(graft.Persisting.maybe)
+    graft.api.TextDedup.simhashPairs(fp, bands = 4, bitsPerBand = 12, maxHamming = 8)
+  }
+
+  /** Cross-modal duplicate CLUSTERS: connected components over the UNION
+    * of both modality pair sets — the step after [[qCrossmodalDedup]] in
+    * the crawl pipeline: a page joins a cluster when a chain of text OR
+    * image duplications links it, and the cluster's minimum doc_id is the
+    * canonical keeper. Spark side is the same pointer-jumping min-label
+    * propagation as `q_dedup_cluster` (O(log diameter) rounds, lineage
+    * capped); the oracle replays both pair derivations and closes them
+    * with one recursive transitive closure. */
+  val qCrossmodalCluster: QueryDef = QueryDef.sql(
+    "q_crossmodal_cluster",
+    s"""WITH RECURSIVE $crossmodalPairsCtes,
+       |allp AS (SELECT a, b FROM tp UNION SELECT a, b FROM ip),
+       |e2 AS (SELECT a AS s, b AS t FROM allp UNION ALL SELECT b AS s, a AS t FROM allp),
+       |reach AS (
+       |  SELECT s AS src, t AS dst FROM e2
+       |  UNION
+       |  SELECT r.src, e.t FROM reach r JOIN e2 e ON e.s = r.dst
+       |)
+       |SELECT src AS id, least(src, min(dst)) AS component
+       |FROM reach
+       |GROUP BY src
+       |ORDER BY id""".stripMargin) { (s, d) =>
+    val pairs = textPairs(s, d).select("a", "b")
+      .unionByName(imagePairs(s, d).select("a", "b"))
+      .distinct()
+    graft.api.TextDedup.connectedComponents(pairs).orderBy("id")
   }
 
   val all: Seq[QueryDef] = Seq(
     qMultimodalFeatures, qImagePhash, qAudioFeatures, qVideoFrames, qImageNeardup,
-    qCrossmodalDedup)
+    qCrossmodalDedup, qCrossmodalCluster)
 }
