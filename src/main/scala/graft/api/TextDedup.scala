@@ -167,8 +167,58 @@ object TextDedup {
     * ~15 even though the persisted data is tiny. Checkpointing makes
     * every round's plan O(1), via [[graft.Checkpointing.cut]] — local
     * blocks by default; set `spark.graft.checkpointDir` for reliable
-    * cluster checkpoints (lost-executor safety), same shape. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * cluster checkpoints (lost-executor safety), same shape.
+    *
+    * `jumps`: pointer jumps through the previous round's label map per
+    * round. The default 1 is the classic path-halving schedule; a
+    * DIAMETER-BOUND graph (one long chain — e.g. gradient-image phash
+    * components, where round count, not data volume, is the cost) cuts
+    * rounds roughly ×jumps for the price of `jumps − 1` extra joins
+    * against the small cached label frame. The fixpoint is identical for
+    * any schedule (labels decrease monotonically to the component
+    * minimum), so `jumps` is purely a performance knob.
+    *
+    * `driverCutoff` (0 = off): the broadcast-threshold idiom applied to
+    * CC. Every distributed round costs a fixed number of jobs regardless
+    * of data volume, so on a SMALL edge list (16 bytes/pair) a driver
+    * union-find is strictly cheaper than even one round — measured ~8
+    * rounds ≈ 5 s of pure scheduling overhead for a 10⁵-pair graph that
+    * union-finds in milliseconds. When the edge count is ≤ the cutoff
+    * (checked with a limit-probe, one job, no count-then-collect double
+    * evaluation), pairs collect and path-compressed union-find labels
+    * each node with its component minimum — bit-identical to the
+    * distributed fixpoint. Larger graphs fall through to the distributed
+    * loop unchanged; size the cutoff like a broadcast threshold
+    * (2^20 pairs = 16 MB driver memory). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      jumps: Int = 1, driverCutoff: Long = 0L): DataFrame = {
+    require(jumps >= 1, s"jumps must be >= 1, got $jumps")
+    if (driverCutoff > 0) {
+      val probe = edges.select(col("a"), col("b"))
+        .limit(driverCutoff.toInt + 1).collect()
+      if (probe.length <= driverCutoff) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        probe.foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = probe.iterator
+          .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toArray.distinct
+        // min-root union order makes every root its component's minimum id
+        val out = nodes.sorted.map(n => (n, find(n))).toSeq
+        import edges.sparkSession.implicits._
+        return out.toDF("id", "component")
+      }
+      // fell past the cutoff: continue distributed (edges re-evaluates —
+      // the rare path; callers with a borderline graph should persist)
+    }
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist()
@@ -177,7 +227,9 @@ object TextDedup {
         .withColumn("lbl", col("id")))
     var converged = false
     var it = 0
+    val ccDebug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && it < maxIter) {
+      val tRound = System.nanoTime()
       val nbrMin = sym.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min("lbl").as("nlbl"))
       val stepped = labels.join(nbrMin, col("id") === col("src"), "left")
@@ -188,16 +240,26 @@ object TextDedup {
       // covered distance per round (on a chain, d' = 2d+1), keeping the
       // loop O(log m) — and joining the checkpointed `labels` instead of
       // `stepped` avoids evaluating the neighbor aggregate twice.
-      val next = graft.Checkpointing.cut(stepped.as("s")
-        .join(labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
-          col("s.lbl") === col("jid"), "left")
-        .select(col("s.id").as("id"), col("prev"),
-          least(col("s.lbl"), coalesce(col("jlbl"), col("s.lbl"))).as("lbl")))
+      var jumped = stepped
+      var j = 0
+      while (j < jumps) {
+        jumped = jumped.as("s")
+          .join(labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
+            col("s.lbl") === col("jid"), "left")
+          .select(col("s.id").as("id"), col("prev"),
+            least(col("s.lbl"), coalesce(col("jlbl"), col("s.lbl"))).as("lbl"))
+        j += 1
+      }
+      val next = graft.Checkpointing.cut(jumped)
       converged = next.where(col("lbl") =!= col("prev")).isEmpty
       labels = next.select("id", "lbl")
       it += 1
+      if (ccDebug) System.err.println(
+        s"[cc-debug] round $it took ${(System.nanoTime() - tRound) / 1e9}s")
     }
     sym.unpersist()
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc-debug] converged=$converged rounds=$it jumps=$jumps")
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — a duplicate " +
         "cluster has diameter larger than the budget; raise maxIter " +

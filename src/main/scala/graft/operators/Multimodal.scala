@@ -690,7 +690,13 @@ object Multimodal {
     val pairs = textPairs(s, d).select("a", "b")
       .unionByName(imagePairs(s, d).select("a", "b"))
       .distinct()
-    graft.api.TextDedup.connectedComponents(pairs).orderBy("id")
+    // driverCutoff: the gradient phash pairs chain consecutive ids into
+    // ONE near-corpus-wide component, so the distributed loop is
+    // round-count-bound (~8 rounds of fixed job overhead for a tiny edge
+    // list). Below 2^20 pairs (16 MB) the driver union-find is strictly
+    // cheaper than any number of rounds; past the cutoff the same call
+    // runs the distributed pointer-jumping loop unchanged.
+    graft.api.TextDedup.connectedComponents(pairs, driverCutoff = 1 << 20).orderBy("id")
   }
 
   val all: Seq[QueryDef] = Seq(

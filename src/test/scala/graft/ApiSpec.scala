@@ -172,6 +172,22 @@ class ApiSpec extends SparkSpec {
       5L -> true, 6L -> false, 7L -> true, 8L -> true))
   }
 
+  test("connectedComponents: driver union-find path equals the distributed fixpoint") {
+    // the driverCutoff fast path must be label-identical to the
+    // distributed loop on every structure class: chain, blob, pair
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (7L, 5L), (5L, 9L)).toDF("a", "b")
+    val dist = TextDedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val drv = TextDedup.connectedComponents(edges, driverCutoff = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drv == dist, s"driver union-find diverged: $drv vs $dist")
+    // a graph larger than the cutoff falls through to the distributed loop
+    val over = TextDedup.connectedComponents(edges, driverCutoff = 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(over == dist, s"cutoff fall-through diverged: $over vs $dist")
+  }
+
   test("connectedComponents collapses a 200-node path in a logarithmic budget") {
     // path 0-1-2-...-200: neighbor-only min-label would need ~200 rounds;
     // pointer jumping covers distance d' = 2d+1 per round, so 12 rounds
