@@ -80,6 +80,24 @@ class PlanSpec extends SparkSpec {
     assert(scans == 2, s"expect 2 embeddings scans (corpus + broadcast queries), got $scans:\n$p")
   }
 
+  test("span dedup: CDC chunking is map-only, only digests shuffle") {
+    val p = planString(Curation_.qSpanDedup.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // countDistinct plans as the standard two-phase distinct aggregate:
+    // exchange on (dig, id) then on dig. Both keys lead with the 16-byte
+    // digest; chunk derivation (token hash + boundary filter + slice) is
+    // map-only and neither text nor chunk ever rides a partitioning key.
+    val exchanges = """Exchange hashpartitioning\([^)]*\)""".r.findAllIn(finalPlan).toList
+    assert(exchanges.length == 2,
+      s"span dedup must shuffle exactly twice (distinct-agg phases), got ${exchanges.length}:\n$p")
+    assert(exchanges.forall(_.contains("hashpartitioning(dig")),
+      s"every span-dedup exchange must be digest-keyed:\n$p")
+    assert(!"""hashpartitioning\([^)]*(text|chunk#)""".r.findFirstIn(finalPlan).isDefined,
+      s"document text/chunk must never ride a shuffle key:\n$p")
+    assert(finalPlan.contains("partial"),
+      s"no map-side combine before the digest exchange:\n$p")
+  }
+
   test("exact dedup shuffles the 16-byte digest, not document text") {
     val p = planString(Dedup.qDedupExact.fn(spark, sf()))
     assert("""hashpartitioning\(__digest""".r.findAllIn(p).nonEmpty,
