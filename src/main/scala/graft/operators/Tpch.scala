@@ -161,7 +161,11 @@ object Tpch {
   /** Q7: volume shipping between two nations — the double-dim-role join
     * (nation joined twice under different roles) with a symmetric pair
     * predicate, grouped by year. Both nation sides broadcast; the
-    * lineitem→orders fact join shuffles once on orderkey. Adapted names:
+    * lineitem→orders fact join shuffles once on orderkey. Catalyst's CNF
+    * conversion derives the implied per-side n_name prefilter from the
+    * pair disjunction and pushes it into BOTH nation scans (each build
+    * side is 2/25 of the dim, not all of it — PlanSpec pins the pushed
+    * filter). Adapted names:
     * this schema's nations are NATION_0..24 and dates run 1995–2001, so
     * the pair and the two-year window shift accordingly. */
   val qTpchQ7: QueryDef = QueryDef.sql(

@@ -98,6 +98,22 @@ class PlanSpec extends SparkSpec {
       s"no map-side combine before the digest exchange:\n$p")
   }
 
+  test("tpch q7: nation-pair disjunction prunes both broadcast build sides") {
+    val p = planString(Tpch.qTpchQ7.fn(spark, sf()))
+    // The symmetric (n1,n2) pair disjunction implies n_name IN
+    // ('NATION_1','NATION_2') on EACH side. At 100 TB the difference is
+    // joining the 2-year lineitem window against 2/25 of each nation dim
+    // vs all of it — the IN conjunct must reach both nation scans.
+    val natScans = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("nation.parquet")).toList
+    assert(natScans.length == 2, s"expected 2 nation scans, got ${natScans.length}:\n$p")
+    // Catalyst's CNF conversion derives it as Or(EqualTo(..)) — same prune.
+    natScans.foreach { l =>
+      assert(l.contains("In(n_name") || l.contains("Or(EqualTo(n_name"),
+        s"nation scan lacks pushed n_name prefilter:\n$l\n$p")
+    }
+  }
+
   test("exact dedup shuffles the 16-byte digest, not document text") {
     val p = planString(Dedup.qDedupExact.fn(spark, sf()))
     assert("""hashpartitioning\(__digest""".r.findAllIn(p).nonEmpty,
