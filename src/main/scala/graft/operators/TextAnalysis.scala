@@ -346,7 +346,89 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BM25 keyword retrieval (Robertson–Spärck Jones / Okapi, the Lucene
+    * `+1` idf variant) for a fixed 3-term query, exact-integer formulation:
+    *
+    *   score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with k1 = 1.2, b = 0.75. idf(t) = ln((N − df + ½)/(df + ½) + 1) is
+    * quantized ONCE to integer milli-nats (the q_lm_score precedent); with
+    * avgdl = T/N the per-term contribution multiplies out to the integer
+    * rational (idf_milli·22000·T·tf) ÷ (10·T·tf + 3·T + 9·dl·N) — micro-nat
+    * units, exact `div` on BIGINTs, engine-identical (all operands
+    * non-negative, so floor ≡ truncation). Bound: idf·22000·T·tf < 2⁶³
+    * holds through ~10⁹ corpus tokens; a 100 TB corpus carries T in
+    * kilo-token units (same formula, coarser avgdl quantization).
+    *
+    * Scale shape: per-doc tf/dl are array HOFs over ONE pruned scan — no
+    * explode, no token shuffle; corpus stats (N, T, df_t) are ONE 1-row
+    * aggregate cross-attached (the allowed 1-row BNLJ scalar attach); the
+    * top-20 compiles to TakeOrderedAndProject. Nothing wide ever shuffles —
+    * the inverted-index-free BM25 shape for scoring a fixed query at scale. */
+  val qBm25Search: QueryDef = {
+    val terms = Seq("dup", "vector", "join")
+    val tfSql = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n       |         ")
+    val dfSql = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n       |         ")
+    val idfSql = terms.indices.map(i =>
+      s"CAST(round(ln((n_docs - df$i + 0.5) / (df$i + 0.5) + 1) * 1000) AS BIGINT) AS idf$i")
+      .mkString(",\n       |         ")
+    val scoreSql = terms.indices.map(i =>
+      s"(idf$i * 22000 * t_toks * tf$i) // (10 * t_toks * tf$i + 3 * t_toks + 9 * b.dl * n_docs)")
+      .mkString(" +\n       |          ")
+    QueryDef.sql(
+      "q_bm25_search",
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         |         $tfSql
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS t_toks,
+         |         $dfSql
+         |  FROM base),
+         |idf AS (
+         |  SELECT n_docs, t_toks,
+         |         $idfSql
+         |  FROM stats)
+         |SELECT b.doc_id, b.dl,
+         |       ($scoreSql) AS score_micro
+         |FROM base b CROSS JOIN idf
+         |ORDER BY score_micro DESC, b.doc_id
+         |LIMIT 20""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).select(
+        col("doc_id") +:
+          size(split(col("text"), " ")).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(split(col("text"), " "), x => x === lit(t)))
+              .cast("long").as(s"tf$i")
+          }: _*)
+      val stats = base.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("t_toks") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      val idfRow = stats.select(
+        col("n_docs") +: col("t_toks") +:
+          terms.indices.map(i =>
+            round(log((col("n_docs") - col(s"df$i") + lit(0.5)) /
+              (col(s"df$i") + lit(0.5)) + lit(1)) * 1000)
+              .cast("long").as(s"idf$i")): _*)
+      val score = terms.indices.map(i =>
+        s"(idf$i * 22000 * t_toks * tf$i) div (10 * t_toks * tf$i + 3 * t_toks + 9 * dl * n_docs)")
+        .mkString(" + ")
+      base.crossJoin(idfRow)
+        .selectExpr("doc_id", "dl", s"($score) AS score_micro")
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextStats, qLangId, qTextTf, qTextFingerprint, qTextTfidf, qQualityFilter,
-    qTextTokens, qBpeTrain, qLmScore)
+    qTextTokens, qBpeTrain, qLmScore, qBm25Search)
 }
