@@ -471,8 +471,61 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via cluster-blocked
+    * embedding similarity. Unlike [[qEmbedNeardup]]'s label blocking (needs
+    * a curated key), the blocking key here is LEARNED: the corpus is
+    * assigned to a k-means coarse quantizer trained by the same
+    * deterministic Lloyd fit the IVF index uses, near-dup pairs form only
+    * WITHIN a cell, and every vector with a lower-id ≥0.99-cosine neighbor
+    * in its cell is dropped. Output is the per-vector keep/drop
+    * materialization (the [[Dedup.qDedupKeep]] shape) a corpus pipeline
+    * joins against.
+    *
+    * Scale: the fit moves only the model; assignment is a narrow
+    * projection (no exchange); candidate pairs are an equi-join on the
+    * cell id with [[graft.api.BucketCap]] dropping degenerate cells
+    * (mirrored in the oracle); the drop set shuffles bare 8-byte ids. At
+    * 100 TB the quadratic term is bounded per cell — raise nCells so
+    * corpus/nCells stays under the cap, exactly how SemDeDup shards its
+    * pairwise pass in practice. */
+  val qSemanticDedup: QueryDef = QueryDef.sql(
+    "q_semantic_dedup",
+    s"""WITH $eCorpusCte,
+       |${kmeansCtes(nCells = 8, rounds = 2)},
+       |asgf AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${dotSql("n.v", "c.v")} / (n.nrm * c.nrm) DESC, c.cell) AS rn
+       |    FROM n, cn2 c) WHERE rn = 1
+       |),
+       |av AS (SELECT a.cell, n.vec_id, n.v, n.nrm FROM asgf a JOIN n ON n.vec_id = a.vec_id),
+       |bigcell AS (SELECT cell FROM av GROUP BY cell HAVING count(*) > 10000),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id AS vid
+       |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.99
+       |    AND NOT EXISTS (SELECT 1 FROM bigcell g WHERE g.cell = a.cell)
+       |)
+       |SELECT av.vec_id, av.cell, (d.vid IS NULL) AS kept
+       |FROM av LEFT JOIN drops d ON d.vid = av.vec_id
+       |ORDER BY av.vec_id""".stripMargin) { (s, d) =>
+    val n = eCorpus(s, d)
+    val cents = graft.api.VectorSearch.ivfFitKMeans(n, nCells = 8, iters = 2)
+    val assigned = graft.Persisting.maybe(
+      graft.api.VectorSearch.ivfAssign(n, cents))
+    val drops = graft.api.VectorSearch
+      .nearDuplicates(assigned, block = col("cell"), minCosine = 0.99)
+      .select(col("b").as("id")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.select(col("id"), col("cell"))
+      .join(drops, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cell"), col("__dup").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qKmeansFit, qEmbedCentroids,
-    qPqAnn, qIvfPqAnn)
+    qPqAnn, qIvfPqAnn, qSemanticDedup)
 }
 
