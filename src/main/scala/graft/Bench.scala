@@ -76,7 +76,10 @@ object Bench {
         // round-9: the cross-modal join re-runs both the simhash and phash
         // pipelines (two large generated aggregate classes), and CDC
         // chunking carries a wide HOF projection worth one warm pass
-        "q_crossmodal_dedup", "q_crossmodal_cluster", "q_span_dedup")
+        "q_crossmodal_dedup", "q_crossmodal_cluster", "q_span_dedup",
+        // round-9b: the semantic-dedup Lloyd fit + within-cell pair join
+        // compile large generated classes worth absorbing at the warm SF
+        "q_semantic_dedup")
       SparkEntry.defs.filter(q => heavy(q.name)).foreach { q =>
         try q.fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
