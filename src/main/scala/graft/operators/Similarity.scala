@@ -524,8 +524,63 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of the
+    * BM25 keyword leg ([[TextAnalysis.qBm25Search]]'s scorer) and an exact
+    * cosine vector leg (query = corpus vector 0), joined on the shared
+    * document/vector id space. Each leg contributes 10⁶ ÷ (60 + rank) in
+    * exact integer micro-units (k = 60, the published constant); a doc in
+    * one leg only gets 0 from the other — the full-outer fusion every
+    * RAG-ish retrieval stack runs.
+    *
+    * Scale: each leg reduces to its top-50 BEFORE fusing (keyword leg via
+    * TakeOrderedAndProject, vector leg via the bounded-heap [[graft
+    * .functions.TopKAgg]]); the rank windows then run over ≤50-row frames,
+    * and the fusion join moves 100 rows. Nothing rank-related ever sees
+    * the full corpus — the global-sort-free fusion shape. */
+  val qHybridSearch: QueryDef = QueryDef.sql(
+    "q_hybrid_search",
+    s"""WITH ${TextAnalysis.bm25Ctes},
+       |kw AS (
+       |  SELECT doc_id, rank_kw FROM (
+       |    SELECT doc_id,
+       |           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank_kw
+       |    FROM kws) WHERE rank_kw <= 50),
+       |$normedCte,
+       |q AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+       |vs AS (
+       |  SELECT n.vec_id, ${dotSql("n.v", "q.v")} / (n.nrm * q.nrm) AS cos
+       |  FROM n, q WHERE n.vec_id <> 0),
+       |vec AS (
+       |  SELECT vec_id, rank_vec FROM (
+       |    SELECT vec_id,
+       |           CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS rank_vec
+       |    FROM vs) WHERE rank_vec <= 50),
+       |f AS (
+       |  SELECT COALESCE(kw.doc_id, vec.vec_id) AS id, rank_kw, rank_vec
+       |  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.vec_id)
+       |SELECT id, rank_kw, rank_vec,
+       |       COALESCE(CAST(1000000 // (60 + rank_kw) AS BIGINT), 0)
+       |     + COALESCE(CAST(1000000 // (60 + rank_vec) AS BIGINT), 0) AS rrf_micro
+       |FROM f
+       |ORDER BY rrf_micro DESC, id
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val rankW = Window.orderBy(col("score_micro").desc, col("doc_id"))
+    val kw = TextAnalysis.bm25Scored(s, d)
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+      .select(col("doc_id").as("id"),
+        row_number().over(rankW).as("rank_kw"))
+    val n = normed(s, d)
+    val vec = graft.api.VectorSearch.topK(n, n.where(col("id") === 0), k = 50)
+      .select(col("nid").as("id"), col("rnk").as("rank_vec"))
+    kw.join(vec, Seq("id"), "full_outer")
+      .selectExpr("id", "rank_kw", "rank_vec",
+        "coalesce(1000000 div (60 + rank_kw), 0) + coalesce(1000000 div (60 + rank_vec), 0) AS rrf_micro")
+      .orderBy(col("rrf_micro").desc, col("id"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qKmeansFit, qEmbedCentroids,
-    qPqAnn, qIvfPqAnn, qSemanticDedup)
+    qPqAnn, qIvfPqAnn, qSemanticDedup, qHybridSearch)
 }
 

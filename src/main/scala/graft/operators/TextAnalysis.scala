@@ -364,68 +364,89 @@ object TextAnalysis {
     * explode, no token shuffle; corpus stats (N, T, df_t) are ONE 1-row
     * aggregate cross-attached (the allowed 1-row BNLJ scalar attach); the
     * top-20 compiles to TakeOrderedAndProject. Nothing wide ever shuffles —
-    * the inverted-index-free BM25 shape for scoring a fixed query at scale. */
-  val qBm25Search: QueryDef = {
-    val terms = Seq("dup", "vector", "join")
+    * the inverted-index-free BM25 shape for scoring a fixed query at scale.
+    *
+    * The scoring stage is factored out ([[bm25Scored]] / [[bm25Ctes]]) so
+    * the hybrid-retrieval fusion reuses it unchanged. */
+  private val Bm25Terms = Seq("dup", "vector", "join")
+
+  /** DuckDB CTE chain ending in `kws(doc_id, dl, score_micro)` — the exact
+    * BM25 formulation of [[bm25Scored]], shared with the hybrid-retrieval
+    * fusion ([[Similarity.qHybridSearch]]). */
+  private[operators] val bm25Ctes: String = {
+    val terms = Bm25Terms
     val tfSql = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
-    }.mkString(",\n       |         ")
+    }.mkString(",\n         ")
     val dfSql = terms.indices.map(i =>
       s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
-      .mkString(",\n       |         ")
+      .mkString(",\n         ")
     val idfSql = terms.indices.map(i =>
       s"CAST(round(ln((n_docs - df$i + 0.5) / (df$i + 0.5) + 1) * 1000) AS BIGINT) AS idf$i")
-      .mkString(",\n       |         ")
+      .mkString(",\n         ")
     val scoreSql = terms.indices.map(i =>
       s"(idf$i * 22000 * t_toks * tf$i) // (10 * t_toks * tf$i + 3 * t_toks + 9 * b.dl * n_docs)")
-      .mkString(" +\n       |          ")
-    QueryDef.sql(
-      "q_bm25_search",
-      s"""WITH base AS (
-         |  SELECT doc_id,
-         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-         |         $tfSql
-         |  FROM documents),
-         |stats AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(sum(dl) AS BIGINT) AS t_toks,
-         |         $dfSql
-         |  FROM base),
-         |idf AS (
-         |  SELECT n_docs, t_toks,
-         |         $idfSql
-         |  FROM stats)
-         |SELECT b.doc_id, b.dl,
-         |       ($scoreSql) AS score_micro
-         |FROM base b CROSS JOIN idf
-         |ORDER BY score_micro DESC, b.doc_id
-         |LIMIT 20""".stripMargin) { (s, d) =>
-      val base = Tables.documents(s, d).select(
-        col("doc_id") +:
-          size(split(col("text"), " ")).cast("long").as("dl") +:
-          terms.zipWithIndex.map { case (t, i) =>
-            size(filter(split(col("text"), " "), x => x === lit(t)))
-              .cast("long").as(s"tf$i")
-          }: _*)
-      val stats = base.agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("t_toks") +:
-          terms.indices.map(i =>
-            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
-      val idfRow = stats.select(
-        col("n_docs") +: col("t_toks") +:
-          terms.indices.map(i =>
-            round(log((col("n_docs") - col(s"df$i") + lit(0.5)) /
-              (col(s"df$i") + lit(0.5)) + lit(1)) * 1000)
-              .cast("long").as(s"idf$i")): _*)
-      val score = terms.indices.map(i =>
-        s"(idf$i * 22000 * t_toks * tf$i) div (10 * t_toks * tf$i + 3 * t_toks + 9 * dl * n_docs)")
-        .mkString(" + ")
-      base.crossJoin(idfRow)
-        .selectExpr("doc_id", "dl", s"($score) AS score_micro")
-        .orderBy(col("score_micro").desc, col("doc_id"))
-        .limit(20)
-    }
+      .mkString(" +\n          ")
+    s"""bm_base AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |         $tfSql
+       |  FROM documents),
+       |bm_stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS t_toks,
+       |         $dfSql
+       |  FROM bm_base),
+       |bm_idf AS (
+       |  SELECT n_docs, t_toks,
+       |         $idfSql
+       |  FROM bm_stats),
+       |kws AS (
+       |  SELECT b.doc_id, b.dl,
+       |         ($scoreSql) AS score_micro
+       |  FROM bm_base b CROSS JOIN bm_idf)""".stripMargin
+  }
+
+  /** BM25 scores for every document: (doc_id, dl, score_micro). See
+    * [[qBm25Search]] for the formulation and scale shape. */
+  private[operators] def bm25Scored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val terms = Bm25Terms
+    val base = Tables.documents(s, d).select(
+      col("doc_id") +:
+        size(split(col("text"), " ")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(split(col("text"), " "), x => x === lit(t)))
+            .cast("long").as(s"tf$i")
+        }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_toks") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val idfRow = stats.select(
+      col("n_docs") +: col("t_toks") +:
+        terms.indices.map(i =>
+          round(log((col("n_docs") - col(s"df$i") + lit(0.5)) /
+            (col(s"df$i") + lit(0.5)) + lit(1)) * 1000)
+            .cast("long").as(s"idf$i")): _*)
+    val score = terms.indices.map(i =>
+      s"(idf$i * 22000 * t_toks * tf$i) div (10 * t_toks * tf$i + 3 * t_toks + 9 * dl * n_docs)")
+      .mkString(" + ")
+    base.crossJoin(idfRow)
+      .selectExpr("doc_id", "dl", s"($score) AS score_micro")
+  }
+
+  val qBm25Search: QueryDef = QueryDef.sql(
+    "q_bm25_search",
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, dl, score_micro
+       |FROM kws
+       |ORDER BY score_micro DESC, doc_id
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    bm25Scored(s, d)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(20)
   }
 
   val all: Seq[QueryDef] = Seq(
