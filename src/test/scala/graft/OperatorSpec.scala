@@ -50,6 +50,18 @@ class OperatorSpec extends SparkSpec {
     assert(planted.length == (0L until embCount).count(_ % 10 == 0))
   }
 
+  test("semantic dedup drops exactly the planted colinear copies") {
+    // the scaled (+100000-id) copies are colinear with their originals, so
+    // cosine-max cell assignment puts each copy in its original's cell and
+    // the in-cell pass must drop it; every original (lower id) survives
+    val rows = Similarity.qSemanticDedup.fn(spark, sf()).collect()
+    val dropped = rows.filter(!_.getAs[Boolean]("kept")).map(_.getAs[Long]("vec_id")).toSet
+    val embCount = Tables.embeddings(spark, sf()).count()
+    val planted = (0L until embCount).filter(_ % 10 == 0).map(_ + 100000L).toSet
+    assert(dropped == planted,
+      s"expected exactly the planted copies dropped; diff=${dropped.diff(planted) ++ planted.diff(dropped)}")
+  }
+
   test("sim topk: neighbors sorted desc, no self-matches, k rows per query") {
     val rows = Similarity.qSimTopk.fn(spark, sf()).collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))

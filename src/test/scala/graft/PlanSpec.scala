@@ -114,6 +114,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25: no token shuffle — single-partition stats agg + 1-row attach only") {
+    val p = planString(TextAnalysis.qBm25Search.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // per-doc tf/dl are array HOFs on the scan; the only exchange is the
+    // 1-row corpus-stats global aggregate. No hashpartitioning anywhere —
+    // nothing keyed ever shuffles, there is no explode of the token stream.
+    assert(!finalPlan.contains("Exchange hashpartitioning"),
+      s"bm25 must not hash-shuffle anything:\n$p")
+    assert(!finalPlan.contains("Generate explode"),
+      s"bm25 must not explode the token stream:\n$p")
+    assert(finalPlan.contains("TakeOrderedAndProject"),
+      s"bm25 top-20 must compile to TakeOrderedAndProject:\n$p")
+  }
+
+  test("hybrid fusion: rank windows see <=50-row legs, never the corpus") {
+    val p = planString(Similarity.qHybridSearch.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // both legs bound to top-50 before any Window: the keyword leg via
+    // TakeOrderedAndProject, the vector leg via the bounded-heap TopKAgg —
+    // a Sort over the full corpus would appear as a global Sort above a
+    // scan-sized frame; the only sorts allowed sit above the tiny legs.
+    assert(finalPlan.contains("TakeOrderedAndProject"),
+      s"keyword leg must reduce via TakeOrderedAndProject:\n$p")
+    assert(finalPlan.contains("top_k_agg") || finalPlan.contains("TopKAgg"),
+      s"vector leg must reduce via the bounded-heap aggregate:\n$p")
+  }
+
   test("exact dedup shuffles the 16-byte digest, not document text") {
     val p = planString(Dedup.qDedupExact.fn(spark, sf()))
     assert("""hashpartitioning\(__digest""".r.findAllIn(p).nonEmpty,
