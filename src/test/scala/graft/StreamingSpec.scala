@@ -849,4 +849,71 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming semantic dedup: host assignment == engine; dropped set == batch complement") {
+    import graft.streaming.{StreamSemanticDedup, VecEvent, SemDupHit}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StatefulOps.useRocksDbStateStore(spark)
+    try {
+      // the q_semantic_dedup corpus: embeddings + exactly-colinear x2 copies
+      val e = Tables.embeddings(spark, sf())
+      val base = e.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val scaled = e.where(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 100000L).as("id"),
+        transform(col("embedding"), x => x.cast("double") * 2).as("v"))
+      val corpus = base.unionAll(scaled)
+        .withColumn("nrm", graft.functions.VectorExprs.l2_norm(col("v")))
+      val cents = graft.api.VectorSearch.ivfFitKMeans(corpus, nCells = 8, iters = 2)
+
+      // host-side assignment must equal the engine projection, cell for cell
+      val engineCells = graft.api.VectorSearch.ivfAssign(corpus, cents)
+        .select(col("id"), col("cell")).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Int]("cell")).toMap
+      val vecs = corpus.select("id", "v").collect()
+        .map(r => r.getAs[Long]("id") -> r.getSeq[Double](1).toArray).sortBy(_._1)
+      vecs.foreach { case (id, v) =>
+        assert(StreamSemanticDedup.assignOf(v, StreamSemanticDedup.nrmOf(v), cents)
+          == engineCells(id), s"host assignment diverges from ivfAssign for vec $id")
+      }
+
+      // batch face: the keep-list complement on the same corpus + same fit
+      val batchDropped = graft.operators.Similarity.qSemanticDedup.fn(spark, sf())
+        .collect().filter(!_.getAs[Boolean]("kept"))
+        .map(_.getAs[Long]("vec_id")).toSet
+      assert(batchDropped.nonEmpty, "corpus must contain planted duplicates")
+
+      val input = MemoryStream[VecEvent](spark)
+      val q = StreamSemanticDedup.semDupStream(spark, input.toDS(), cents,
+          horizonMs = 86400000L, watermark = "10 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("semdup").start()
+      def hits() = spark.table("semdup").as[SemDupHit].collect()
+
+      // feed in id order (the batch lowest-id-keeps order) across two batches
+      val (h1, h2) = vecs.splitAt(vecs.length / 2)
+      def ev(i: Int, id: Long, v: Array[Double]) =
+        VecEvent(id, new java.sql.Timestamp(100000L + i), v)
+      input.addData(h1.zipWithIndex.map { case ((id, v), i) => ev(i, id, v) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(h2.zipWithIndex.map { case ((id, v), i) =>
+        ev(h1.length + i, id, v) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+
+      val streamed = hits()
+      assert(streamed.map(_.vec_id).toSet == batchDropped,
+        s"streamed dropped set != batch complement: " +
+          s"extra=${streamed.map(_.vec_id).toSet.diff(batchDropped)} " +
+          s"missing=${batchDropped.diff(streamed.map(_.vec_id).toSet)}")
+      // every hit is tagged with the engine's cell and a lower-id in-cell witness
+      streamed.foreach { h =>
+        assert(engineCells(h.vec_id) == h.cell)
+        assert(h.dup_of < h.vec_id && engineCells(h.dup_of) == h.cell)
+      }
+      q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
