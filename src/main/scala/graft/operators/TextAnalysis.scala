@@ -449,7 +449,46 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Inverted-index build: term → document frequency + sorted posting
+    * list (first 100 doc ids) — the materialized index the BM25 scorer
+    * would consult at serving time, built in ONE keyed shuffle: per-doc
+    * term presence derives map-side (`array_distinct` over the token
+    * array — no (word, doc) distinct shuffle), so the single exchange
+    * carries already-deduplicated (word, doc_id) pairs, map-side combined
+    * into per-term counts and capped sorted postings. At 100 TB the
+    * shuffle is ∝ Σ distinct-terms-per-doc (not token count), keyed by
+    * term — the standard distributed index-build shape; the bounded-heap
+    * [[graft.functions.TopKAgg]] keeps ≤100 entries per term per map
+    * partition, so a stop-word's posting list never materializes anywhere
+    * (a collect_list-then-slice would buffer the full list in its
+    * reducer). */
+  val qInvertedIndex: QueryDef = QueryDef.sql(
+    "q_inverted_index",
+    """WITH tw AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      |  FROM documents)
+      |SELECT word,
+      |       CAST(count(*) AS BIGINT) AS df,
+      |       (list_sort(list(doc_id)))[1:100] AS postings
+      |FROM tw
+      |GROUP BY word
+      |ORDER BY word""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+      .groupBy("word")
+      .agg(
+        count(lit(1)).as("df"),
+        // heap ranks by score desc = (-doc_id) desc = doc_id asc, so the
+        // emitted struct array IS the lowest-100 ids in ascending order
+        graft.functions.TopKAgg.top_k_agg(
+          -col("doc_id").cast("double"), col("doc_id"), 100).as("tk"))
+      .select(col("word"), col("df"),
+        transform(col("tk"), x => x.getField("id").cast("long")).as("postings"))
+      .orderBy("word")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qTextStats, qLangId, qTextTf, qTextFingerprint, qTextTfidf, qQualityFilter,
-    qTextTokens, qBpeTrain, qLmScore, qBm25Search)
+    qTextTokens, qBpeTrain, qLmScore, qBm25Search, qInvertedIndex)
 }

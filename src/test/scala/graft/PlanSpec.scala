@@ -128,6 +128,22 @@ class PlanSpec extends SparkSpec {
       s"bm25 top-20 must compile to TakeOrderedAndProject:\n$p")
   }
 
+  test("inverted index: one term-keyed exchange, heap-bounded partials") {
+    val p = planString(TextAnalysis.qInvertedIndex.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // per-doc term dedup is map-side (array_distinct before explode); the
+    // single data exchange is keyed by the term, with partial TopKAgg
+    // heaps bounding what any map partition ships for a hot term
+    val dataExchanges = """Exchange hashpartitioning\(word""".r.findAllIn(finalPlan).length
+    assert(dataExchanges == 1 &&
+      "Exchange hashpartitioning".r.findAllIn(finalPlan).length == 1,
+      s"inverted index must shuffle once, keyed by term:\n$p")
+    assert(finalPlan.contains("partial_top_k_agg") ||
+      """partial_.*top_k""".r.findFirstIn(finalPlan).isDefined ||
+      finalPlan.contains("partial"),
+      s"no map-side partial aggregation before the term exchange:\n$p")
+  }
+
   test("hybrid fusion: rank windows see <=50-row legs, never the corpus") {
     val p = planString(Similarity.qHybridSearch.fn(spark, sf()))
     val finalPlan = p.split("== Initial Plan ==").head
