@@ -89,6 +89,26 @@ object Bpe {
     merges.result()
   }
 
+  /** Distributed BPE ENCODE: replay learned merges over a column of
+    * separator-joined symbol strings (`|c|h|a|r|s|`, the trainer's own
+    * representation) — one anchored `regexp_replace` per merge, folded
+    * into a single narrow projection. Identical regex semantics to the
+    * training loop's merge application, so encoding the training corpus
+    * reproduces the trainer's final symbol table exactly ([[train]]
+    * scaladoc: with self-pairs excluded, occurrences are disjoint and the
+    * single anchored left-to-right pass is canonical).
+    *
+    * At 100 TB the chain runs over the DISTINCT-word table (vocabulary-
+    * sized, not corpus-sized); per-document token counts then come from a
+    * broadcast join of tokens against the encoded vocabulary. */
+  def encodeColumn(sym: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(sym) { case (c, (a, b)) =>
+      regexp_replace(
+        c,
+        lit(java.util.regex.Pattern.quote(s"$Sep$a$Sep$b") + "(?=\\|)"),
+        lit(java.util.regex.Matcher.quoteReplacement(s"$Sep$a$b")))
+    }
+
   /** Apply learned merges to one word (BPE encode): start from characters,
     * replay each merge left-to-right non-overlapping — the sequential
     * mirror of the trainer's anchored regexp, used for parity tests and

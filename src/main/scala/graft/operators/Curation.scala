@@ -304,7 +304,61 @@ object Curation_ {
       .orderBy("dig")
   }
 
+  /** Per-domain frequency capping — the crawl-pipeline staple that stops
+    * a handful of giant hosts from dominating a training mix: keep at most
+    * K=5 documents per (source, lang) domain, preferring the longest
+    * (`n_chars` DESC, `doc_id` ASC on ties).
+    *
+    * Scale shape (the whole point of this operator at 100 TB):
+    *   - domain sizes come from one map-side-combined count, broadcast
+    *     back onto the corpus (domains ≪ documents);
+    *   - the LONG TAIL (domains already under the cap — the vast majority
+    *     of hosts in a real crawl) passes through with NO per-domain sort
+    *     or shuffle beyond the broadcast probe;
+    *   - only over-cap domains reach the top-K stage, and that stage is
+    *     the bounded heap aggregate ([[graft.functions.TopKAgg]]), so even
+    *     a single billion-document domain contributes ≤ K rows per map
+    *     partition to the exchange — never the single-reducer
+    *     `row_number()` sort the naive window formulation pays.
+    *
+    * The oracle replays the same keep-set with the window formulation
+    * (values identical by `TopKAgg`'s tie contract). */
+  val qDomainCap: QueryDef = QueryDef.sql(
+    "q_domain_cap",
+    """WITH g AS (
+      |  SELECT source, lang, count(*) AS cnt FROM documents GROUP BY source, lang
+      |),
+      |r AS (
+      |  SELECT d.doc_id, d.source, d.lang,
+      |         row_number() OVER (PARTITION BY d.source, d.lang
+      |                            ORDER BY d.n_chars DESC, d.doc_id) AS rk
+      |  FROM documents d JOIN g ON d.source = g.source AND d.lang = g.lang
+      |  WHERE g.cnt > 5
+      |)
+      |SELECT doc_id, source, lang FROM (
+      |  SELECT d.doc_id, d.source, d.lang FROM documents d
+      |  JOIN g ON d.source = g.source AND d.lang = g.lang
+      |  WHERE g.cnt <= 5
+      |  UNION ALL
+      |  SELECT doc_id, source, lang FROM r WHERE rk <= 5
+      |)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val g = docs.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+    val withCnt = docs.join(broadcast(g), Seq("source", "lang"))
+    val pass = withCnt.where(col("cnt") <= 5)
+      .select(col("doc_id"), col("source"), col("lang"))
+    val capped = withCnt.where(col("cnt") > 5)
+      .groupBy("source", "lang")
+      .agg(graft.functions.TopKAgg.top_k_agg(
+        col("n_chars").cast("double"), col("doc_id"), 5).as("tk"))
+      .select(col("source"), col("lang"), explode(col("tk")).as("x"))
+      .select(col("x.id").as("doc_id"), col("source"), col("lang"))
+    pass.union(capped).orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(qRepetition, qDocChunks, qDecontaminate, qHeavyHitters, qPiiScrub, qPack,
-      qMixture, qChunkDedup, qSpanDedup)
+      qMixture, qChunkDedup, qSpanDedup, qDomainCap)
 }

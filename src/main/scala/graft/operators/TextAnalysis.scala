@@ -299,6 +299,79 @@ object TextAnalysis {
       .toDF("step", "a", "b", "freq")
   }
 
+  /** BPE tokenizer APPLICATION — the other half of the `q_bpe_train`
+    * story: train the 8 merge rules, then ENCODE every document with them
+    * and report per-document word and subword-token counts. This is the
+    * shape a training-data pipeline actually ships: tokenize the corpus
+    * with the learned vocabulary to size shards and pack sequences.
+    *
+    * Distributed shape ([[graft.api.Bpe.encodeColumn]]): the merge chain
+    * runs once over the DISTINCT-word table (vocabulary-sized — 8 anchored
+    * `regexp_replace`es in one narrow projection), then the corpus tokens
+    * broadcast-join against the encoded vocabulary and one map-side-
+    * combined groupBy sums tokens per document. At 100 TB the corpus is
+    * scanned once for tokens; the regex chain never touches it. (On a
+    * vocabulary too large to broadcast the join falls back to shuffle —
+    * both sides key on the word.)
+    *
+    * Oracle: replays the same 8 training rounds (the `q_bpe_train` CTE
+    * chain — `w8` IS the encoded vocabulary; concatenating a row's symbols
+    * recovers its word), then the same join+sum. Single-letter words never
+    * merge, so they count 1 token via the LEFT JOIN's CASE (the training
+    * table excludes them for efficiency). */
+  val qBpeEncode: QueryDef = QueryDef.sql(
+    "q_bpe_encode", {
+      val ctes = (1 to 8).map(bpeRoundCte).mkString(",\n")
+      s"""WITH words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2 AND regexp_matches(w, '^[a-z]+$$')
+         |  GROUP BY w
+         |),
+         |w0 AS (
+         |  SELECT cnt, '~' || array_to_string(string_split(w, ''), '~') || '~' AS s FROM words
+         |),
+         |$ctes,
+         |enc AS (
+         |  SELECT replace(s, '~', '') AS w,
+         |         CAST(length(list_filter(string_split(s, '~'), x -> length(x) > 0)) AS BIGINT) AS n_sub
+         |  FROM w8
+         |),
+         |tok AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$')
+         |)
+         |SELECT tok.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(CASE WHEN length(tok.w) = 1 THEN 1 ELSE enc.n_sub END) AS BIGINT) AS n_tokens
+         |FROM tok LEFT JOIN enc ON tok.w = enc.w
+         |GROUP BY tok.doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.select(
+      array_join(
+        filter(split(col("text"), " "), w => w.rlike("^[a-z]+$")), " ").as("text"))
+    val merges = graft.api.Bpe.train(corpus, col("text"), nMerges = 8)
+      .map { case (a, b, _) => (a, b) }
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+    val vocab = tok.select("w").distinct()
+      .select(col("w"),
+        concat(lit("|"), array_join(split(col("w"), ""), "|"), lit("|")).as("s"))
+    val enc = vocab.select(col("w"),
+      size(filter(split(graft.api.Bpe.encodeColumn(col("s"), merges), "\\|"),
+        x => length(x) > 0)).cast("long").as("n_sub"))
+    tok.join(broadcast(enc), "w")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_sub")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram language-model scoring: per-document average negative log
     * likelihood under the corpus's own unigram distribution — the standard
     * first-pass "perplexity" quality signal for training-data curation
@@ -490,5 +563,5 @@ object TextAnalysis {
 
   val all: Seq[QueryDef] = Seq(
     qTextStats, qLangId, qTextTf, qTextFingerprint, qTextTfidf, qQualityFilter,
-    qTextTokens, qBpeTrain, qLmScore, qBm25Search, qInvertedIndex)
+    qTextTokens, qBpeTrain, qBpeEncode, qLmScore, qBm25Search, qInvertedIndex)
 }

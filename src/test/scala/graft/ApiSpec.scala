@@ -337,6 +337,32 @@ class ApiSpec extends SparkSpec {
     assert(segs.length < "lowest".length, s"learned merges failed to compress: $segs")
   }
 
+  test("Bpe.encodeColumn: distributed encode ≡ sequential segment for every word") {
+    import graft.api.Bpe
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = corpus.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val merges = Bpe.train(df, col("text"), nMerges = 8).map(m => (m._1, m._2))
+    // encode seen AND unseen words through the column chain
+    val words = (corpus.distinct ++ Seq("lowest", "newer", "wide", "a")).distinct
+    val enc = words.toDF("w")
+      .select(col("w"),
+        filter(
+          split(Bpe.encodeColumn(
+            concat(lit("|"), array_join(split(col("w"), ""), "|"), lit("|")), merges),
+            "\\|"),
+          x => length(x) > 0).as("syms"))
+      .collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Seq[String]]("syms").toList)
+      .toMap
+    words.foreach { w =>
+      assert(enc(w) == Bpe.segment(w, merges).toList,
+        s"column encode diverged from sequential segment on '$w': " +
+          s"${enc(w)} vs ${Bpe.segment(w, merges)}")
+      assert(enc(w).mkString == w, s"encode lost characters on '$w': ${enc(w)}")
+    }
+  }
+
   test("Sampling: deterministic decisions, per-stratum rates in binomial bounds") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

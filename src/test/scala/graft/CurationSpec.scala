@@ -206,6 +206,23 @@ class CurationSpec extends SparkSpec {
     assert(out(1L) < out(2L),
       s"boilerplate must score below rare text: $out")
   }
+
+  test("domain cap: over-cap domain keeps the 5 longest (ties → low id), tail passes through") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("domaincap").toString
+    // big domain: 8 docs, n_chars 10,20,...,70 plus a TIE at 70 (ids 107,108):
+    // keep-set by (n_chars DESC, doc_id ASC) = 107,108 (70), 106 (60), 105 (50), 104 (40)
+    val big = (1 to 7).map(i => (100L + i, s"doc $i", "en", "srcBig", i * 10L)) :+
+      ((108L, "doc 8", "en", "srcBig", 70L))
+    // tail domain: 3 docs, all kept untouched
+    val tail = (1 to 3).map(i => (200L + i, s"t $i", "de", "srcTail", 5L))
+    (big ++ tail).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = graft.operators.Curation_.qDomainCap.fn(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toList
+    assert(kept == List(104L, 105L, 106L, 107L, 108L, 201L, 202L, 203L),
+      s"unexpected keep-set: $kept")
+  }
 }
 
 /** Tiny documents table fixture for the LM-score semantics test. */
