@@ -916,4 +916,71 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming heavy hitters: snapshot equals the batch operator after every prefix") {
+    import graft.api.Curation
+    import graft.streaming.{StreamHeavyHitters, WordCount}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StatefulOps.useRocksDbStateStore(spark)
+    try {
+      import spark.implicits._
+      // corpus where the hitter set SHIFTS between prefixes: "hot" is over
+      // 1% throughout, "warm" (1 occurrence early) crosses the threshold
+      // only in batch 3, and a long tail of singletons keeps every total
+      // above 100 so singletons never qualify
+      val b1 = Seq("hot hot hot hot hot warm " + (1 to 200).map(i => s"t1x$i").mkString(" "))
+      val b2 = Seq("hot hot hot " + (1 to 150).map(i => s"t2x$i").mkString(" "))
+      val b3 = Seq("warm warm warm warm warm warm warm hot " + (1 to 100).map(i => s"t3x$i").mkString(" "))
+      val batches = Seq(b1, b2, b3)
+
+      val input = MemoryStream[DocEvent](spark)
+      val q = StreamHeavyHitters.countStream(spark, input.toDS())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("whh").start()
+
+      var fedDocs = Vector.empty[(Long, String)]
+      batches.zipWithIndex.foreach { case (texts, bi) =>
+        val docs = texts.zipWithIndex.map { case (t, i) =>
+          (bi * 100L + i, t)
+        }
+        fedDocs = fedDocs ++ docs
+        input.addData(docs.map { case (id, t) =>
+          DocEvent(id, new java.sql.Timestamp(1000L * (bi + 1)), t)
+        }.toIndexedSeq: _*)
+        q.processAllAvailable()
+
+        // prefix parity, bit-for-bit including the frac double
+        val streamed = StreamHeavyHitters.snapshot(spark.table("whh"), pct = 1)
+          .collect()
+          .map(r => (r.getAs[String]("word"), r.getAs[Long]("cnt"), r.getAs[Double]("frac")))
+          .toSet
+        val batch = Curation
+          .heavyHitters(fedDocs.toDF("doc_id", "text"), col("text"), pct = 1)
+          .collect()
+          .map(r => (r.getAs[String]("word"), r.getAs[Long]("cnt"), r.getAs[Double]("frac")))
+          .toSet
+        assert(streamed == batch,
+          s"prefix ${bi + 1}: streamed hitters diverge from batch: " +
+            s"extra=${streamed.diff(batch)} missing=${batch.diff(streamed)}")
+      }
+
+      // the shift actually happened: "warm" is a hitter only at the end
+      val finalWords = StreamHeavyHitters.snapshot(spark.table("whh"), pct = 1)
+        .collect().map(_.getAs[String]("word")).toSet
+      assert(finalWords.contains("warm") && finalWords.contains("hot"),
+        s"expected hot+warm in the final hitter set: $finalWords")
+
+      // update-mode emission volume: batch 3 touched ~45 words; the
+      // accumulated update table must stay far below corpus-vocabulary
+      // re-emission per batch (3 batches x touched words, not 3 x vocab)
+      val updates = spark.table("whh").as[WordCount].collect()
+      val vocab = fedDocs.flatMap(_._2.split(" ", -1)).distinct.size
+      assert(updates.length < 2 * vocab,
+        s"update volume ${updates.length} suggests full-vocab re-emission (vocab $vocab)")
+      q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
