@@ -79,7 +79,10 @@ object Bench {
         "q_crossmodal_dedup", "q_crossmodal_cluster", "q_span_dedup",
         // round-9b: the semantic-dedup Lloyd fit + within-cell pair join
         // compile large generated classes worth absorbing at the warm SF
-        "q_semantic_dedup")
+        "q_semantic_dedup",
+        // round-9c: encode replays the 8-round trainer (q_bpe_train's
+        // generated classes) plus its own fold-of-replaces projection
+        "q_bpe_encode")
       SparkEntry.defs.filter(q => heavy(q.name)).foreach { q =>
         try q.fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }

@@ -597,4 +597,29 @@ class PlanSpec extends SparkSpec {
     assert(p10.contains("TakeOrderedAndProject"),
       s"Q10 top-20 must be per-partition heaps, not a global sort:\n$p10")
   }
+
+  test("domain cap: counts broadcast back, over-cap side is the heap agg, no window") {
+    val p = planString(Curation_.qDomainCap.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // domain sizes probe the corpus via broadcast, never a shuffled join
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"domain-count probe must broadcast:\n$p")
+    // the capped branch is the bounded heap aggregate — a window sort over
+    // the full partition would be the single-reducer scale killer
+    assert(finalPlan.contains("top_k_agg"), s"TopKAgg missing:\n$p")
+    assert(!finalPlan.contains("RunningWindowFunction") &&
+      !finalPlan.contains("row_number"),
+      s"domain cap must not fall back to a window sort:\n$p")
+  }
+
+  test("bpe encode: merge chain stays on the vocabulary; tokens broadcast-join it") {
+    val p = planString(TextAnalysis.qBpeEncode.fn(spark, sf()))
+    val finalPlan = p.split("== Initial Plan ==").head
+    // encoded vocabulary joins the token stream via broadcast — the corpus
+    // is never reshuffled to meet the regex chain
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"token-vocabulary join must broadcast:\n$p")
+    assert(!finalPlan.contains("SortMergeJoin"),
+      s"corpus must not shuffle for the vocabulary probe:\n$p")
+  }
 }
