@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{Persisting, QueryDef, Tables}
 import graft.api.Curation
 import graft.functions.CrossHash._
 import org.apache.spark.sql.functions._
@@ -358,7 +358,111 @@ object Curation_ {
     pass.union(capped).orderBy("doc_id")
   }
 
+  /** End-to-end curation PIPELINE — the composed shape a real training-data
+    * run ships, as one query: quality gate → exact dedup → domain cap,
+    * with every document attributed to the FIRST stage that dropped it
+    * (`quality` | `dup` | `domain_cap` | `kept`). Demonstrates that the
+    * suite's stages compose: each stage consumes exactly the previous
+    * stage's survivors, so attrition is well-defined and replayable.
+    *
+    * Corpus = documents ∪ exact copies of every doc_id % 7 == 0 (the
+    * [[Corpora.dedupCorpus]] planting pattern) so the dedup stage has
+    * real work. Stage shapes are the individually-pinned ones: the
+    * quality predicate is per-row arithmetic ([[graft.api.TextProfile]]),
+    * dedup groups 16-byte digests (text leaves the row before the
+    * exchange), the cap reuses the `q_domain_cap` long-tail passthrough +
+    * bounded-heap split (K=3 over post-dedup survivors). Assembly joins
+    * are id-only frames. */
+  val qCuratePipeline: QueryDef = QueryDef.sql(
+    "q_curate_pipeline",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, lang, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text, lang, source FROM documents WHERE doc_id % 7 = 0
+       |),
+       |st AS (
+       |  SELECT doc_id,
+       |         (CAST(len(w) AS INTEGER) >= 20
+       |          AND CAST(len(list_filter(w, x -> list_contains(${TextAnalysis.stopListSql}, x))) AS DOUBLE) / len(w) >= 0.02
+       |          AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.4
+       |          AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.9) AS q_keep
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+       |),
+       |dk AS (
+       |  SELECT c.doc_id, c.source, c.lang, CAST(length(c.text) AS BIGINT) AS n_chars,
+       |         (c.doc_id = min(c.doc_id) OVER (PARTITION BY c.text)) AS d_keep
+       |  FROM corpus c JOIN st ON c.doc_id = st.doc_id
+       |  WHERE st.q_keep
+       |),
+       |surv AS (SELECT doc_id, source, lang, n_chars FROM dk WHERE d_keep),
+       |g AS (SELECT source, lang, count(*) AS cnt FROM surv GROUP BY source, lang),
+       |r AS (
+       |  SELECT s.doc_id,
+       |         row_number() OVER (PARTITION BY s.source, s.lang
+       |                            ORDER BY s.n_chars DESC, s.doc_id) AS rk
+       |  FROM surv s JOIN g ON s.source = g.source AND s.lang = g.lang
+       |  WHERE g.cnt > 3
+       |),
+       |capkeep AS (
+       |  SELECT s.doc_id FROM surv s JOIN g ON s.source = g.source AND s.lang = g.lang
+       |  WHERE g.cnt <= 3
+       |  UNION ALL
+       |  SELECT doc_id FROM r WHERE rk <= 3
+       |)
+       |SELECT c.doc_id,
+       |       CASE WHEN NOT st.q_keep THEN 'quality'
+       |            WHEN NOT dk.d_keep THEN 'dup'
+       |            WHEN k.doc_id IS NULL THEN 'domain_cap'
+       |            ELSE 'kept' END AS stage
+       |FROM corpus c
+       |JOIN st ON c.doc_id = st.doc_id
+       |LEFT JOIN dk ON c.doc_id = dk.doc_id
+       |LEFT JOIN capkeep k ON c.doc_id = k.doc_id
+       |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val copies = base.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"))
+    val corpus = base.unionAll(copies)
+    val st = graft.api.TextProfile
+      .stats(corpus, col("doc_id"), col("text"), TextAnalysis.Stopwords)
+      .select(col("id").as("doc_id"),
+        (col("n_tokens") >= 20 && col("stop_ratio") >= 0.02 &&
+          col("ttr") >= 0.4 && col("ttr") <= 0.9).as("q_keep"))
+    val qual = Persisting.maybe(corpus.join(st, "doc_id"))
+    val qk = qual.where(col("q_keep"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"), md5(col("text")).as("dig"))
+    val keeper = qk.groupBy("dig").agg(min(col("doc_id")).as("keep_id"))
+    val dtag = Persisting.maybe(qk.join(keeper, "dig")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        (col("doc_id") === col("keep_id")).as("d_keep")))
+    val surv = dtag.where(col("d_keep"))
+      .select("doc_id", "source", "lang", "n_chars")
+    val g = surv.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+    val withCnt = surv.join(broadcast(g), Seq("source", "lang"))
+    val capKeep = withCnt.where(col("cnt") <= 3).select("doc_id")
+      .unionAll(
+        withCnt.where(col("cnt") > 3)
+          .groupBy("source", "lang")
+          .agg(graft.functions.TopKAgg.top_k_agg(
+            col("n_chars").cast("double"), col("doc_id"), 3).as("tk"))
+          .select(explode(col("tk")).as("x"))
+          .select(col("x.id").as("doc_id")))
+      .withColumn("c_keep", lit(true))
+    qual.select(col("doc_id"), col("q_keep"))
+      .join(dtag.select(col("doc_id"), col("d_keep")), Seq("doc_id"), "left")
+      .join(capKeep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("q_keep"), "quality")
+          .when(!col("d_keep"), "dup")
+          .when(col("c_keep").isNull, "domain_cap")
+          .otherwise("kept").as("stage"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(qRepetition, qDocChunks, qDecontaminate, qHeavyHitters, qPiiScrub, qPack,
-      qMixture, qChunkDedup, qSpanDedup, qDomainCap)
+      qMixture, qChunkDedup, qSpanDedup, qDomainCap, qCuratePipeline)
 }

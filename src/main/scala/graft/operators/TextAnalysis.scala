@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
-  private val stopListSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private[operators] val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+  private[operators] val stopListSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Per-doc stats + quality score + stopword-based language guess. */
   val qTextStats: QueryDef = QueryDef.sql(

@@ -223,6 +223,39 @@ class CurationSpec extends SparkSpec {
     assert(kept == List(104L, 105L, 106L, 107L, 108L, 201L, 202L, 203L),
       s"unexpected keep-set: $kept")
   }
+
+  test("curate pipeline: first-dropping-stage attribution, stages compose on survivors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curatepipe").toString
+    // quality-passing text generator: 4 stopwords + n doubled unique words
+    // → n_tokens = 4+2n (≥20 for n≥8), ttr = (4+n)/(4+2n) ≈ 0.55, stop_r ok
+    def good(tag: String, n: Int) =
+      "the and of to " + (1 to n).map(i => s"${tag}w$i").mkString(" ") +
+        " " + (1 to n).map(i => s"${tag}w$i").mkString(" ")
+    val rows = Seq(
+      // srcA/en: five passing docs, lengths strictly increasing with id →
+      // cap (K=3 over survivors) drops ids 1,2
+      (1L, good("a1", 8), "en", "srcA"),
+      (2L, good("a2", 9), "en", "srcA"),
+      (3L, good("a3", 10), "en", "srcA"),
+      (4L, good("a4", 11), "en", "srcA"),
+      (5L, good("a5", 12), "en", "srcA"),
+      // id 7 (%7==0): passing → its +2000007 auto-copy must read 'dup'
+      (7L, good("b", 10), "en", "srcB"),
+      // id 14 (%7==0): failing → BOTH 14 and its copy read 'quality'
+      // (quality precedes dup in the attribution order)
+      (14L, "tiny doc", "en", "srcB"))
+    rows.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Curation_.qCuratePipeline.fn(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("stage")).toMap
+    val expected = Map(
+      1L -> "domain_cap", 2L -> "domain_cap", 3L -> "kept", 4L -> "kept",
+      5L -> "kept", 7L -> "kept", 14L -> "quality",
+      2000007L -> "dup", 2000014L -> "quality")
+    assert(out == expected, s"attribution diverged: $out")
+  }
 }
 
 /** Tiny documents table fixture for the LM-score semantics test. */
