@@ -983,4 +983,96 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming curate pipeline: attribution equals batch q_curate_pipeline after every prefix") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    StatefulOps.useRocksDbStateStore(spark)
+    try {
+      // quality-passing text: 4 stopwords + n doubled unique words
+      // (n_tokens = 4+2n, ttr ≈ 0.55, stop ratio fine; n_chars grows with n)
+      def good(tag: String, n: Int) =
+        "the and of to " + (1 to n).map(i => s"${tag}w$i").mkString(" ") +
+          " " + (1 to n).map(i => s"${tag}w$i").mkString(" ")
+      // (doc_id, text, lang, source) per micro-batch; doc 9 repeats doc 3's
+      // text ACROSS batches (cross-batch keeper state), doc 15 ties doc 7
+      // on n_chars (doc_id tie-break), srcA/en overflows the K=3 cap twice
+      val b1 = Seq(
+        (1L, good("a1", 8), "en", "srcA"),
+        (2L, good("a2", 9), "en", "srcA"),
+        (3L, good("a3", 10), "en", "srcA"),
+        (7L, good("b1", 10), "en", "srcB"))
+      val b2 = Seq(
+        (4L, good("a4", 11), "en", "srcA"),
+        (5L, good("a5", 12), "en", "srcA"),
+        (9L, good("a3", 10), "en", "srcA"),
+        (14L, "tiny doc", "en", "srcB"),
+        (15L, good("b9", 10), "en", "srcB"))
+      val b3 = Seq(
+        (6L, good("a6", 13), "en", "srcA"),
+        (8L, good("b7", 12), "en", "srcB"),
+        (16L, good("b8", 11), "en", "srcB"),
+        (21L, good("c1", 9), "fr", "srcB"))
+
+      val input = MemoryStream[CurateDocEvent](spark)
+      val q = StreamCuratePipeline.dropStream(spark, input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("curate_drops").start()
+
+      val dir = Files.createTempDirectory("curatestream").toString
+      var fedDocs = Vector.empty[(Long, String, String, String)]
+      var pos = 0L
+      Seq(b1, b2, b3).zipWithIndex.foreach { case (docs, bi) =>
+        fedDocs = fedDocs ++ docs
+        // feed = the batch query's own corpus: each %7==0 doc's +2000000
+        // copy follows its original, so first-seen ≡ min-doc_id keeper
+        val feed = docs.flatMap { case (id, t, l, s) =>
+          Seq((id, t, l, s)) ++
+            (if (id % 7 == 0) Seq((id + 2000000L, t, l, s)) else Nil)
+        }.map { case (id, t, l, s) =>
+          pos += 1
+          CurateDocEvent(id, new java.sql.Timestamp(1000L * pos), t, l, s)
+        }
+        input.addData(feed.toIndexedSeq: _*)
+        q.processAllAvailable()
+
+        val streamedDrops = spark.table("curate_drops").as[CurateDrop]
+          .collect().toSeq
+        // no doc may carry two verdicts (every drop is final by design)
+        assert(streamedDrops.map(_.doc_id).distinct.size == streamedDrops.size,
+          s"prefix ${bi + 1}: conflicting verdicts in $streamedDrops")
+        val corpus = fedDocs.flatMap { case (id, t, l, s) =>
+          Seq((id, t, l, s)) ++
+            (if (id % 7 == 0) Seq((id + 2000000L, t, l, s)) else Nil)
+        }
+        val streamed = StreamCuratePipeline.attribution(
+          spark, corpus.map(d => (d._1, d._2)), streamedDrops)
+
+        fedDocs.map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val batch = graft.operators.Curation_.qCuratePipeline.fn(spark, dir)
+          .collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("stage")).toMap
+        assert(streamed == batch,
+          s"prefix ${bi + 1}: attribution diverged\nstream=$streamed\nbatch=$batch")
+      }
+
+      // the interesting verdicts actually happened: cross-batch dup (9),
+      // copy-dup (2000007, 2000021), quality incl. copy (14, 2000014),
+      // monotone cap evictions (1,2,3 out as srcA/en grew) and the
+      // n_chars tie broken by doc_id (15 out, 7 kept)
+      val fin = spark.table("curate_drops").as[CurateDrop].collect()
+        .map(d => d.doc_id -> d.stage).toMap
+      assert(fin == Map(
+        9L -> "dup", 2000007L -> "dup", 2000021L -> "dup",
+        14L -> "quality", 2000014L -> "quality",
+        1L -> "domain_cap", 2L -> "domain_cap", 3L -> "domain_cap",
+        15L -> "domain_cap"),
+        s"unexpected final drop set: $fin")
+      q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
