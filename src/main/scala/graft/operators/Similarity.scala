@@ -244,6 +244,91 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Recall@10 of the IVF route against brute-force ground truth — the
+    * evaluation query an approximate index REQUIRES before anyone trusts
+    * it ("measure, don't guess" applied to the ANN stack itself). Both
+    * legs run with the identical deterministic tie-break (cos DESC, nid),
+    * so the top-10 SETS are exactly replayable and recall is an exact
+    * integer: hits = |brute ∩ ivf| per query, recall_bp = hits·1000.
+    *
+    * Scale shape: the brute leg is |Q|·N with the FIXED 10-query probe set
+    * broadcast — at 100 TB you run exactly this query over a sampled query
+    * set to calibrate nprobe, paying one corpus scan per calibration, while
+    * the ivf leg prices the production path (equi-join on probed cells).
+    * The intersection joins are on (qid, nid) pairs — model-sized frames,
+    * 10·10 rows each. */
+  val qAnnRecall: QueryDef = QueryDef.sql(
+    "q_ann_recall",
+    s"""WITH $normedCte,
+       |${kmeansCtes(nCells = 8, rounds = 2)},
+       |brute AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dotSql("q.v", "n.v")} / (q.nrm * n.nrm) DESC, n.vec_id) AS rnk
+       |    FROM (SELECT * FROM n WHERE vec_id < 10) q JOIN n ON n.vec_id <> q.vec_id)
+       |  WHERE rnk <= 10
+       |),
+       |cc AS (
+       |  SELECT n.vec_id, c.cell, ${dotSql("n.v", "c.v")} / (n.nrm * c.nrm) AS ccos
+       |  FROM n, cn2 c
+       |),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM cc)
+       |  WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM cc WHERE vec_id < 10)
+       |  WHERE rn <= 2
+       |),
+       |ivf AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT s.qid, s.nid,
+       |           row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.nid) AS rnk
+       |    FROM (
+       |      SELECT p.qid, a.vec_id AS nid, ${dotSql("q.v", "t.v")} / (q.nrm * t.nrm) AS cos
+       |      FROM probes p
+       |      JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |      JOIN n q ON q.vec_id = p.qid
+       |      JOIN n t ON t.vec_id = a.vec_id) s)
+       |  WHERE rnk <= 10
+       |),
+       |h AS (
+       |  SELECT b.qid, count(*) AS hits
+       |  FROM brute b JOIN ivf i ON i.qid = b.qid AND i.nid = b.nid
+       |  GROUP BY b.qid
+       |)
+       |SELECT CAST(q.vec_id AS BIGINT) AS qid,
+       |       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(10 AS BIGINT) AS k,
+       |       CAST(COALESCE(h.hits, 0) * 1000 AS BIGINT) AS recall_bp
+       |FROM (SELECT vec_id FROM n WHERE vec_id < 10) q
+       |LEFT JOIN h ON h.qid = q.vec_id
+       |ORDER BY qid""".stripMargin) { (s, d) =>
+    val n = normed(s, d)
+    val qs = n.where(col("id") < 10)
+    val brute = graft.api.VectorSearch.topK(n, qs, k = 10).select("qid", "nid")
+    val cents = graft.api.VectorSearch.ivfFitKMeans(n, nCells = 8, iters = 2)
+    val assigned = graft.api.VectorSearch.ivfAssign(n, cents)
+    val ivf = graft.api.VectorSearch
+      .ivfTopK(assigned, cents, qs, k = 10, nprobe = 2).select("qid", "nid")
+    val hits = brute.join(ivf, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    qs.select(col("id").cast("long").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
+        lit(10L).as("k"),
+        (coalesce(col("hits"), lit(0L)) * 1000).cast("long").as("recall_bp"))
+      .orderBy("qid")
+  }
+
   /** The k-means training step itself as an oracle-gated operator: the
     * model after two Lloyd rounds, materialized as the THIRD round's
     * assignment + per-cell sizes + per-dim means (lazily — the last
@@ -580,7 +665,7 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qKmeansFit, qEmbedCentroids,
-    qPqAnn, qIvfPqAnn, qSemanticDedup, qHybridSearch)
+    qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qAnnRecall, qKmeansFit,
+    qEmbedCentroids, qPqAnn, qIvfPqAnn, qSemanticDedup, qHybridSearch)
 }
 
