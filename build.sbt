@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tail-captures stdout and parses the FINAL line as bare
+// JSON. Round 9 printed the right total line but sbt wrapped it: the forked
+// JVM's stdout was routed through the logger (an "[info] " prefix) and sbt
+// appended "[success] Total time: ..." after it, so the driver's parse
+// stayed null. Forward forked output verbatim and drop the success line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

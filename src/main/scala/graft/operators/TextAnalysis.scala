@@ -534,7 +534,9 @@ object TextAnalysis {
     * [[graft.functions.TopKAgg]] keeps ≤100 entries per term per map
     * partition, so a stop-word's posting list never materializes anywhere
     * (a collect_list-then-slice would buffer the full list in its
-    * reducer). */
+    * reducer). The posting list is emitted comma-joined (a scalar string):
+    * the oracle comparator hashes column values and cannot order
+    * array-typed cells. */
   val qInvertedIndex: QueryDef = QueryDef.sql(
     "q_inverted_index",
     """WITH tw AS (
@@ -542,7 +544,7 @@ object TextAnalysis {
       |  FROM documents)
       |SELECT word,
       |       CAST(count(*) AS BIGINT) AS df,
-      |       (list_sort(list(doc_id)))[1:100] AS postings
+      |       array_to_string((list_sort(list(doc_id)))[1:100], ',') AS postings
       |FROM tw
       |GROUP BY word
       |ORDER BY word""".stripMargin) { (s, d) =>
@@ -557,7 +559,9 @@ object TextAnalysis {
         graft.functions.TopKAgg.top_k_agg(
           -col("doc_id").cast("double"), col("doc_id"), 100).as("tk"))
       .select(col("word"), col("df"),
-        transform(col("tk"), x => x.getField("id").cast("long")).as("postings"))
+        array_join(
+          transform(col("tk"), x => x.getField("id").cast("long").cast("string")),
+          ",").as("postings"))
       .orderBy("word")
   }
 
