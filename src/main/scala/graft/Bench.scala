@@ -89,10 +89,17 @@ object Bench {
       }
       spark.catalog.clearCache() // drop warm-SF persisted stages
     }
+    // per-table isolation: a loader broken by testdata drift must cost only
+    // the queries that read that table, never the whole artifact (round 10
+    // lost ALL numbers to one AnalysisException here)
     Tables.all.foreach { t =>
-      val df = if (t == "events") Tables.events(spark, sfDir)
-               else Tables.load(spark, sfDir, t)
-      df.write.format("noop").mode("overwrite").save()
+      try {
+        val df = if (t == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, t)
+        df.write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up of table $t failed: ${e.getMessage}")
+      }
     }
 
     import scala.jdk.CollectionConverters._

@@ -29,16 +29,26 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads via
-    * the nanos-as-long legacy conf; we read the raw nanos and rebuild a
-    * proper TimestampType column (truncation to micros matches DuckDB's
-    * ns→ms/µs truncation for positive epochs). Conf is set here, not in the
-    * session builder, so the loader works under any driver-created session. */
+  /** `events.ts` has shifted physical type across testdata generations:
+    * TIMESTAMP(NANOS) originally (Spark 4 reads it only via the
+    * nanos-as-long legacy conf), TIMESTAMP(MICROS) since the round-10
+    * regeneration (arrives as TIMESTAMP_NTZ — no isAdjustedToUTC flag).
+    * Dispatch on the loaded schema so every generation yields the same
+    * session-UTC `TimestampType` column the queries and DuckDB oracles
+    * assume; all sessions here run with spark.sql.session.timeZone=UTC, so
+    * the NTZ→timestamp cast preserves the wall-clock micros exactly. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: rebuild, truncating ns → µs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => // TimestampNTZType (or future drift): cast, keep UTC wall clock
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

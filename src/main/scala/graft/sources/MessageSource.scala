@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
 object MessageSource {
 
   /** Stream from a registered [[MsgBroker]] via the `graft-msgs` DSv2
-    * connector. Columns: `(value STRING, partition INT, seq LONG)`. */
+    * connector. Columns: `(value STRING, partition INT, seq LONG)`.
+    * `broker` may be a comma-separated topic list (the reference consumes
+    * 3 topics — `run_datastream_job.sh:17`); the fan-in adds a `topic`
+    * column after `value`. */
   def brokerStream(spark: SparkSession, broker: String,
       maxPerTrigger: Option[Long] = None): DataFrame = {
     val r = spark.readStream.format("graft-msgs").option("broker", broker)

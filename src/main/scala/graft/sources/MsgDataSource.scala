@@ -47,7 +47,8 @@ import scala.jdk.CollectionConverters._
   */
 class MsgDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-msgs"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = MsgDataSource.Schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MsgDataSource.schemaFor(MsgDataSource.topicsOf(options))
   override def getTable(
       schema: StructType, partitioning: Array[Transform], properties: util.Map[String, String]): Table =
     new MsgTable(new CaseInsensitiveStringMap(properties))
@@ -58,24 +59,46 @@ object MsgDataSource {
     StructField("value", StringType, nullable = false),
     StructField("partition", IntegerType, nullable = false),
     StructField("seq", LongType, nullable = false)))
+
+  /** Multi-topic fan-in schema (the reference job consumes THREE topics
+    * into one stream — `run_datastream_job.sh:17,25`): fan-in needs
+    * provenance, so the union carries a `topic` column. */
+  val MultiSchema: StructType = StructType(Seq(
+    StructField("value", StringType, nullable = false),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("seq", LongType, nullable = false)))
+
+  /** Global offset-key stride: key = topicIdx * TopicStride + partition.
+    * 2^20 partitions per topic is far above any real topic, and the
+    * encoding keeps every per-topic key stable as partitions grow. */
+  private[sources] val TopicStride = 1 << 20
+
+  private[sources] def topicsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val b = options.get("broker")
+    require(b != null, "graft-msgs requires .option(\"broker\", <registry name[,name...]>)")
+    val ts = b.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(ts.nonEmpty, s"graft-msgs: empty broker list '$b'")
+    require(ts.distinct.size == ts.size, s"graft-msgs: duplicate topics in '$b'")
+    ts
+  }
+
+  private[sources] def schemaFor(topics: Seq[String]): StructType =
+    if (topics.size > 1) MultiSchema else Schema
 }
 
 final class MsgTable(options: CaseInsensitiveStringMap) extends SupportsRead {
-  private val brokerName = {
-    val b = options.get("broker")
-    require(b != null, "graft-msgs requires .option(\"broker\", <registry name>)")
-    b
-  }
-  override def name(): String = s"graft-msgs($brokerName)"
-  override def schema(): StructType = MsgDataSource.Schema
+  private val topics = MsgDataSource.topicsOf(options)
+  override def name(): String = s"graft-msgs(${topics.mkString(",")})"
+  override def schema(): StructType = MsgDataSource.schemaFor(topics)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
     override def build(): Scan = new Scan {
-      override def readSchema(): StructType = MsgDataSource.Schema
+      override def readSchema(): StructType = MsgDataSource.schemaFor(topics)
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new MsgMicroBatchStream(
-          brokerName,
+          topics,
           ackRetries = options.getInt("ackRetries", 3),          // PulsarSource.java:38
           ackBackoffMs = options.getLong("ackBackoffMs", 1000L), // PulsarSource.java:39
           maxPerTrigger = Option(options.get("maxPerTrigger")).map(_.toLong))
@@ -103,16 +126,27 @@ object MsgOffset {
 }
 
 final class MsgMicroBatchStream(
-    brokerName: String,
+    topics: Seq[String],
     ackRetries: Int,
     ackBackoffMs: Long,
     maxPerTrigger: Option[Long])
   extends MicroBatchStream with SupportsAdmissionControl {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-  private def broker: MsgBroker = MsgBroker.get(brokerName)
+  private val emitTopic = topics.size > 1
+  private val Stride = MsgDataSource.TopicStride
 
-  override def initialOffset(): Offset = MsgOffset(broker.earliestOffsets)
+  /** Union the per-topic offset maps into one global key space. */
+  private def union(f: MsgBroker => Map[Int, Long]): Map[Int, Long] =
+    topics.zipWithIndex.flatMap { case (t, i) =>
+      val m = f(MsgBroker.get(t))
+      require(m.keys.forall(_ < Stride), s"topic $t exceeds $Stride partitions")
+      m.map { case (p, s) => (i * Stride + p) -> s }
+    }.toMap
+
+  private def topicOf(global: Int): String = topics(global / Stride)
+
+  override def initialOffset(): Offset = MsgOffset(union(_.earliestOffsets))
 
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
@@ -133,7 +167,7 @@ final class MsgMicroBatchStream(
     * partitions' backlogs shrink toward their (smaller) shares. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[MsgOffset].seqs
-    val ends = broker.endOffsets
+    val ends = union(_.endOffsets)
     val avail = ends.map { case (p, e) => p -> math.max(0L, e - from.getOrElse(p, 0L)) }
     val total = avail.values.sum
     val cap = limit match {
@@ -161,8 +195,9 @@ final class MsgMicroBatchStream(
     val s = start.asInstanceOf[MsgOffset].seqs
     val e = end.asInstanceOf[MsgOffset].seqs
     e.toSeq.sortBy(_._1).collect {
-      case (p, until) if until > s.getOrElse(p, 0L) =>
-        MsgInputPartition(brokerName, p, s.getOrElse(p, 0L), until): InputPartition
+      case (g, until) if until > s.getOrElse(g, 0L) =>
+        MsgInputPartition(topicOf(g), g % Stride, s.getOrElse(g, 0L), until,
+          emitTopic): InputPartition
     }.toArray
   }
 
@@ -179,18 +214,20 @@ final class MsgMicroBatchStream(
     * broker's ack timeout, preserving at-least-once. */
   override def commit(end: Offset): Unit = {
     val upTo = end.asInstanceOf[MsgOffset].seqs
-    upTo.toSeq.sortBy(_._1).foreach { case (p, seq) =>
+    upTo.toSeq.sortBy(_._1).foreach { case (g, seq) =>
+      val topic = topicOf(g)
+      val p = g % Stride
       var attempt = 0
       var done = false
       while (!done) {
-        try { broker.acknowledge(p, seq); done = true }
+        try { MsgBroker.get(topic).acknowledge(p, seq); done = true }
         catch {
           case e: AckFailedException if attempt < ackRetries =>
             attempt += 1
-            log.warn(s"ack $brokerName/$p up to $seq failed (attempt $attempt/$ackRetries): ${e.getMessage}")
+            log.warn(s"ack $topic/$p up to $seq failed (attempt $attempt/$ackRetries): ${e.getMessage}")
             Thread.sleep(ackBackoffMs)
           case e: AckFailedException =>
-            log.error(s"ack $brokerName/$p up to $seq gave up after $ackRetries retries; " +
+            log.error(s"ack $topic/$p up to $seq gave up after $ackRetries retries; " +
               s"messages stay retained for redelivery: ${e.getMessage}")
             done = true
         }
@@ -201,7 +238,8 @@ final class MsgMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-final case class MsgInputPartition(broker: String, p: Int, from: Long, until: Long)
+final case class MsgInputPartition(
+    broker: String, p: Int, from: Long, until: Long, emitTopic: Boolean = false)
   extends InputPartition
 
 final class MsgReaderFactory extends PartitionReaderFactory {
@@ -221,7 +259,11 @@ final class MsgPartitionReader(mp: MsgInputPartition) extends PartitionReader[In
     if (rows.hasNext) { current = rows.next(); true } else false
 
   override def get(): InternalRow =
-    new GenericInternalRow(Array[Any](UTF8String.fromString(current._2), mp.p, current._1))
+    if (mp.emitTopic)
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(current._2), UTF8String.fromString(mp.broker), mp.p, current._1))
+    else
+      new GenericInternalRow(Array[Any](UTF8String.fromString(current._2), mp.p, current._1))
 
   override def close(): Unit = ()
 }

@@ -232,7 +232,7 @@ class BrokerSourceSpec extends SparkSpec {
     // max(1, share)-per-partition scheme would take 6 rows for cap=4
     val b = MsgBroker.create("adm", numPartitions = 6)
     (0 until 30).foreach(i => b.publishTo(i % 6, mk("session", 1L + i, s"a$i\n")))
-    val stream = new MsgMicroBatchStream("adm", ackRetries = 0, ackBackoffMs = 0L,
+    val stream = new MsgMicroBatchStream(Seq("adm"), ackRetries = 0, ackBackoffMs = 0L,
       maxPerTrigger = Some(4L))
     val start = MsgOffset(b.earliestOffsets)
     val end = stream.latestOffset(start, ReadLimit.maxRows(4L))
@@ -250,5 +250,54 @@ class BrokerSourceSpec extends SparkSpec {
     val takes2 = end2.seqs.map { case (p, s) => s - deep.seqs(p) }
     assert(takes2.forall(_ >= 0L), s"overflow produced a negative take: $takes2")
     assert(takes2.sum <= cap, s"overflow broke the cap: $takes2")
+  }
+
+  test("multi-topic fan-in: 3 topics one stream, restart exactly-once, per-topic acks") {
+    // the reference job consumes three topics into one routed stream
+    // (run_datastream_job.sh:17,25); here the same fan-in rides the global
+    // offset space (topicIdx * 2^20 + partition) with a `topic` column
+    val names = Seq("mt1", "mt2", "mt3")
+    val brokers = names.map(n => MsgBroker.create(n, numPartitions = 2))
+    def wire(ti: Int, i: Int): String = mk("session", 1000000L + i, s"m${ti}_$i\n")
+    for ((b, ti) <- brokers.zipWithIndex; i <- 1 to 20) b.publish(wire(ti, i))
+
+    val dir = ckpt("multitopic")
+    val seen = new ConcurrentHashMap[Long, Seq[(String, String)]]
+    def start() = {
+      val df = spark.readStream.format("graft-msgs")
+        .option("broker", "mt1, mt2 ,mt3") // whitespace-tolerant list
+        .option("maxPerTrigger", "7")
+        .load()
+      assert(df.columns.toSeq == Seq("value", "topic", "partition", "seq"))
+      df.writeStream.option("checkpointLocation", dir)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          seen.put(id, b.select("topic", "value").collect().toSeq
+            .map(r => (r.getString(0), r.getString(1))))
+          ()
+        }.start()
+    }
+
+    val q1 = start()
+    var waited = 0
+    while (seen.size < 2 && waited < 300) { Thread.sleep(100); waited += 1 }
+    q1.stop()
+    assert(seen.values.asScala.flatten.size < 60, "first run stopped mid-stream")
+
+    val q2 = start()
+    q2.processAllAvailable()
+    brokers.foreach(_.publish(flushMsg)) // force the tail batch's ack
+    q2.processAllAvailable()
+    q2.stop()
+
+    val delivered = seen.values.asScala.flatten.toSeq.filterNot(_._2 == flushMsg)
+    assert(delivered.size == 60, "exactly-once across 3 topics: no loss, no dupes")
+    for ((n, ti) <- names.zipWithIndex) {
+      val vals = delivered.filter(_._1 == n).map(_._2).toSet
+      assert(vals == (1 to 20).map(i => wire(ti, i)).toSet,
+        s"topic $n complete and correctly attributed")
+    }
+    // commit routed each global partition's ack to its own broker; only the
+    // one-batch-lag sentinels can still be in flight
+    brokers.foreach(b => assert(b.retainedTotal <= 1, s"${b.name} not truncated"))
   }
 }
