@@ -41,6 +41,21 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("ts filter pushes into the events parquet scan through the loader cast") {
+    // the NTZ->timestamp cast must not block predicate pushdown: Catalyst
+    // rewrites `cast(ts) > lit` to an NTZ-side comparison, so the filter
+    // reaches the scan (PushedFilters) — strictly better than the old
+    // nanos-as-long rebuild, which never pushed. At 100 TB this is the
+    // difference between reading one time slice and reading the table.
+    import org.apache.spark.sql.functions.col
+    val q = Tables.events(spark, sfDirs.head)
+      .filter(col("ts") > java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+      .select("event_id", "ts")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,"),
+      s"ts predicate not pushed to parquet:\n${plan.take(2000)}")
+  }
+
   test("key columns keep the types the query inventory assumes") {
     val d = sfDirs.head
     def types(t: String): Map[String, DataType] =
