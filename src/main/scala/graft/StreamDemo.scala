@@ -85,6 +85,32 @@ object StreamDemo {
 
     println(s"[demo] bulk POSTs: ${posts.size}, lines delivered: ${posts.asScala.map(_.toLong).sum}")
     println(s"[demo] metric reports: ${metrics.asScala.toSeq.sorted.mkString(" | ")}")
+
+    // 3-topic broker fan-in (the reference's deployed topology,
+    // run_datastream_job.sh:17,25): split the same wire corpus across three
+    // in-process topics, consume them as ONE DSv2 stream with provenance,
+    // and parse/count per topic. The take() is demo-fixture publishing to
+    // an in-process broker, not a query pattern.
+    val topics = Seq("demo-t0", "demo-t1", "demo-t2")
+    val brokers = topics.map(t => sources.MsgBroker.create(t, numPartitions = 2))
+    val wire = operators.CodecQueries.rawMessages(spark, sfDir)
+      .select("value").limit(3000).collect().map(_.getString(0))
+    wire.zipWithIndex.foreach { case (m, i) => brokers(i % 3).publish(m) }
+    val perTopic = new java.util.concurrent.ConcurrentHashMap[String, Long]
+    val fanIn = MessageSource.brokerStream(spark, topics.mkString(","))
+    val fq = fanIn.writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("demo-ckpt-fanin").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.where(operators.MsgCodec.guard(col("value")))
+          .groupBy("topic").count().collect()
+          .foreach(r => perTopic.merge(r.getString(0), r.getLong(1), Long.box(_) + _))
+        ()
+      }.start()
+    fq.processAllAvailable()
+    fq.stop()
+    println(s"[demo] 3-topic fan-in parsed counts: " +
+      perTopic.asScala.toSeq.sorted.map { case (t, n) => s"$t=$n" }.mkString(", "))
     spark.stop()
   }
 }
