@@ -462,7 +462,40 @@ object Curation_ {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split (90/5/5) — the assignment every
+    * training run needs to be REPRODUCIBLE and engine-independent: bucket =
+    * 56-bit md5 of the doc id mod 100 ([[graft.functions.CrossHash]], the
+    * cross-engine hash the mixture/minhash ops already share), so the same
+    * document lands in the same split on any cluster, any partitioning,
+    * any engine that can compute md5. Output is the per-(split, lang)
+    * document and character census a mixture planner consumes.
+    *
+    * Scale shape: the bucket is per-row scan-stage arithmetic (codegen'd
+    * digest expression, no shuffle), and the census is one map-side-combined
+    * groupBy on ≤ 3×|langs| keys — bytes on the wire are partials, never
+    * documents. At 100 TB the split column costs a projection. */
+  val qTrainSplit: QueryDef = QueryDef.sql(
+    "q_train_split",
+    s"""WITH h AS (
+       |  SELECT lang, n_chars,
+       |         ${graft.functions.CrossHash.md5LongSql("CAST(doc_id AS VARCHAR)")} % 100 AS b
+       |  FROM documents
+       |)
+       |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+       |       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM h GROUP BY split, lang
+       |ORDER BY split, lang""".stripMargin) { (s, d) =>
+    val b = graft.functions.CrossHash.md5Long(col("doc_id").cast("string")) % 100
+    Tables.documents(s, d)
+      .select(
+        when(b < 90, "train").when(b < 95, "val").otherwise("test").as("split"),
+        col("lang"), col("n_chars"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split", "lang")
+  }
+
   val all: Seq[QueryDef] =
     Seq(qRepetition, qDocChunks, qDecontaminate, qHeavyHitters, qPiiScrub, qPack,
-      qMixture, qChunkDedup, qSpanDedup, qDomainCap, qCuratePipeline)
+      qMixture, qChunkDedup, qSpanDedup, qDomainCap, qCuratePipeline, qTrainSplit)
 }

@@ -276,6 +276,42 @@ object Temporal {
       .orderBy("purchase_id")
   }
 
+  /** Hopping (sliding) window aggregate: 1-hour windows every 15 minutes
+    * over the events stream — the batch face of the streaming
+    * `window(ts, len, slide)` aggregate (each event replicates into
+    * window/slide = 4 overlapping windows). Spark's `window()` generates
+    * the 4 window assignments in the scan-stage Expand; the only exchange
+    * is the map-side-combined (window, event_type) aggregate. The oracle
+    * replays the same assignment arithmetic: window starts are
+    * (floor(es/900) - j)·900 for j ∈ [0,4), which every event satisfies
+    * exactly ([start, start+3600) is left-closed).
+    *
+    * Scale: replication factor is the fixed window/slide ratio, partials
+    * are (window, type)-keyed — state ∝ windows in range, not rows. */
+  val qHopWindow: QueryDef = QueryDef.sql(
+    "q_hop_window",
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 1000000 AS es, event_type, value FROM events
+      |),
+      |h AS (SELECT es, event_type, value, unnest(range(0, 4)) AS j FROM e),
+      |w AS (SELECT make_timestamp((es // 900 - j) * 900 * 1000000) AS win_start,
+      |             event_type, value
+      |      FROM h)
+      |SELECT win_start, event_type, count(*) AS cnt,
+      |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_v
+      |FROM w GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+          .as("avg_v"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("avg_v"))
+      .orderBy("win_start", "event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qAsofJoin, qRangeJoin, qSessionize, qAsofForward, qAsofNearest)
+    qAsofJoin, qRangeJoin, qSessionize, qAsofForward, qAsofNearest, qHopWindow)
 }

@@ -256,6 +256,22 @@ class CurationSpec extends SparkSpec {
       2000007L -> "dup", 2000014L -> "quality")
     assert(out == expected, s"attribution diverged: $out")
   }
+
+  test("train split: partitions the corpus, ~90/5/5, and is rerun-stable") {
+    val census = operators.Curation_.qTrainSplit.fn(spark, sf()).collect()
+    val docs = Tables.documents(spark, sf())
+    val n = docs.count()
+    assert(census.map(_.getAs[Long]("n_docs")).sum == n,
+      "splits must partition the corpus exactly")
+    val bySplit = census.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"splits: ${bySplit.keySet}")
+    val trainFrac = bySplit("train").toDouble / n
+    assert(trainFrac > 0.80 && trainFrac < 0.97, s"train fraction $trainFrac off 0.9")
+    // deterministic: a rerun yields the identical census (hash-split, no rng)
+    val again = operators.Curation_.qTrainSplit.fn(spark, sf()).collect()
+    assert(census.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
 
 /** Tiny documents table fixture for the LM-score semantics test. */

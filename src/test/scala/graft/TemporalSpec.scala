@@ -110,4 +110,19 @@ class TemporalSpec extends SparkSpec {
       }
     }
   }
+
+  test("hop window: every event lands in exactly window/slide = 4 windows") {
+    val rows = Temporal.qHopWindow.fn(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val nEvents = Tables.events(spark, sf()).count()
+    val totalAssignments = rows.map(_.getAs[Long]("cnt")).sum
+    assert(totalAssignments == 4 * nEvents,
+      s"expected 4x replication, got $totalAssignments for $nEvents events")
+    // window starts sit on the 15-minute hop grid, and each window's events
+    // all fall inside [start, start + 1h)
+    rows.foreach { r =>
+      val startMs = r.getAs[java.sql.Timestamp]("win_start").getTime
+      assert(startMs % (15 * 60 * 1000L) == 0, s"off-grid window start $startMs")
+    }
+  }
 }
