@@ -1075,4 +1075,49 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("streaming hop window: closed windows equal the batch q_hop_window") {
+    // TENTH batch↔stream parity pair: the sliding-window aggregate replayed
+    // through the stream reproduces the oracle-gated batch rows exactly
+    // (incl. the decimal-summed avg double), because append mode finalizes
+    // each window once the watermark passes its end.
+    val batch = operators.Temporal.qHopWindow.fn(spark, sf()).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("win_start").getTime,
+        r.getAs[String]("event_type"), r.getAs[Long]("cnt"),
+        r.getAs[Double]("avg_v"))).toSet
+    assert(batch.nonEmpty, "degenerate: no batch windows at sf0.001")
+
+    val evts = Tables.events(spark, sf())
+      .select("ts", "event_type", "value").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value")))
+      .sortBy(_._1.getTime)
+    val maxTs = evts.map(_._1.getTime).max
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val q = StreamHopWindow.hopAgg(
+        input.toDF().toDF("ts", "event_type", "value"), watermark = "1 second")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hopstream").start()
+    // uneven chunks: windows must accumulate across micro-batches
+    evts.grouped(evts.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    // sentinel advances the watermark past every open window's end (+1h
+    // window + 1s delay), closing and emitting them; it joins no window
+    input.addData((new java.sql.Timestamp(maxTs + 2L * 3600 * 1000), "__wm__", 0.0))
+    q.processAllAvailable()
+    input.addData((new java.sql.Timestamp(maxTs + 3L * 3600 * 1000), "__wm__", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hopstream")
+      .where(col("event_type") =!= "__wm__").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("win_start").getTime,
+        r.getAs[String]("event_type"), r.getAs[Long]("cnt"),
+        r.getAs[Double]("avg_v"))).toSet
+    assert(streamed == batch,
+      s"stream/batch mismatch: only-stream=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
 }
