@@ -622,4 +622,25 @@ class PlanSpec extends SparkSpec {
     assert(!finalPlan.contains("SortMergeJoin"),
       s"corpus must not shuffle for the vocabulary probe:\n$p")
   }
+
+  test("hop window: Expand replication feeds a map-side-combined aggregate, no join") {
+    val p = planString(Temporal.qHopWindow.fn(spark, sf()))
+    // the 4x window assignment is the scan-stage Expand (window() codegen),
+    // never a range join against a generated window table
+    assert(p.contains("Expand"), s"window() should plan as Expand:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"hop agg must carry partials:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the hop-window plan:\n$p")
+  }
+
+  test("train split: per-row bucket arithmetic, one tiny-key aggregate, no shuffle of docs") {
+    val p = planString(Curation_.qTrainSplit.fn(spark, sf()))
+    // the split column is scan-stage arithmetic; only (split, lang) partials
+    // cross the exchange — no join, no window, text never leaves the scan
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"split census must be a bare aggregate:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregate:\n$p")
+    assert(!p.toLowerCase.contains("text#"),
+      s"document text must not flow past the scan:\n$p")
+  }
 }
