@@ -85,7 +85,7 @@ object Bench {
         "q_bpe_encode")
       SparkEntry.defs.filter(q => heavy(q.name)).foreach { q =>
         try q.fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () } // fatal (OOM etc.) must escape
       }
       spark.catalog.clearCache() // drop warm-SF persisted stages
     }
@@ -97,7 +97,7 @@ object Bench {
         val df = if (t == "events") Tables.events(spark, sfDir)
                  else Tables.load(spark, sfDir, t)
         df.write.format("noop").mode("overwrite").save()
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up of table $t failed: ${e.getMessage}")
       }
     }
@@ -150,7 +150,7 @@ object Bench {
         val t0 = System.nanoTime()
         current = q.name; started = t0
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         current = ""
@@ -219,6 +219,34 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     val total = results.map(_._2).sum
+    // The driver tail-captures stdout and truncates long runs (round 11 lost
+    // 52 of 140 per-query timings that way), so ALSO persist the full
+    // per-query map as a small file that gets committed with the round: the
+    // auditable record for cross-round regression tracking. Skipped for
+    // GRAFT_BENCH_ONLY focused runs — a partial map must never clobber the
+    // full-inventory one.
+    if (only.isEmpty) {
+      val path = sys.env.getOrElse("GRAFT_BENCH_JSON", "bench_per_query.json")
+      val body = results.map { case (k, v, mb, n, med) =>
+        s"""  "$k": {"sec": ${num(v, 4)}, "median": ${num(med, 4)}, "shuffle_mb": ${num(mb, 2)}, "attempts": $n}"""
+      }.mkString(",\n")
+      val doc = s"""{
+  "sf": "$sfDir",
+  "total_sec": ${num(total, 4)},
+  "n_queries": ${results.size},
+  "queries": {
+$body
+  }
+}
+"""
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[bench] per-query map written to $path")
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      }
+    }
     println(s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -287,7 +287,16 @@ object Temporal {
     * exactly ([start, start+3600) is left-closed).
     *
     * Scale: replication factor is the fixed window/slide ratio, partials
-    * are (window, type)-keyed — state ∝ windows in range, not rows. */
+    * are (window, type)-keyed — state ∝ windows in range, not rows.
+    *
+    * Oracle caveat: `es // 900` (DuckDB floor division) matches Spark's
+    * window alignment only for ts >= epoch — a negative epoch would need
+    * floor semantics on BOTH sides, and Spark's `window()` floors while
+    * `epoch_us // 1000000` on a negative value still floors in DuckDB, but
+    * the `- j` hop enumeration was only validated on positive epochs. The
+    * driver's events data is all post-2024; TemporalSpec pins a
+    * min(ts) >= epoch guard so a future testdata generation with pre-1970
+    * rows fails loudly instead of diverging silently. */
   val qHopWindow: QueryDef = QueryDef.sql(
     "q_hop_window",
     """WITH e AS (

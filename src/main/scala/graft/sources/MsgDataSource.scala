@@ -69,9 +69,9 @@ object MsgDataSource {
     StructField("partition", IntegerType, nullable = false),
     StructField("seq", LongType, nullable = false)))
 
-  /** Global offset-key stride: key = topicIdx * TopicStride + partition.
-    * 2^20 partitions per topic is far above any real topic, and the
-    * encoding keeps every per-topic key stable as partitions grow. */
+  /** Legacy (pre-topic-named offsets) global key stride:
+    * key = topicIdx * TopicStride + partition. Kept only to decode
+    * checkpoints written before offsets carried topic names. */
   private[sources] val TopicStride = 1 << 20
 
   private[sources] def topicsOf(options: CaseInsensitiveStringMap): Seq[String] = {
@@ -106,22 +106,66 @@ final class MsgTable(options: CaseInsensitiveStringMap) extends SupportsRead {
   }
 }
 
-/** Per-partition seq watermarks, JSON `{"0":12,"1":7}` (sorted keys). */
-final case class MsgOffset(seqs: Map[Int, Long]) extends Offset {
+/** Per-topic, per-partition seq watermarks. JSON keys are TOPIC NAMES —
+  * `{"t1":{"0":12,"1":7},"t2":{"0":3}}` (sorted keys at both levels) — so a
+  * checkpointed offset survives the configured topic list being reordered
+  * or extended, exactly like the reference connector's offsets, which
+  * embed topic names in each MessageId. (An index-keyed encoding would
+  * silently remap committed offsets to the wrong topics on reorder.) */
+final case class MsgOffset(topics: Map[String, Map[Int, Long]]) extends Offset {
+  /** Seq watermarks for one topic ({} if the topic is absent). */
+  def seqsOf(topic: String): Map[Int, Long] = topics.getOrElse(topic, Map.empty)
   override def json(): String =
-    seqs.toSeq.sortBy(_._1).map { case (p, s) => s""""$p":$s""" }.mkString("{", ",", "}")
+    topics.toSeq.sortBy(_._1).map { case (t, m) =>
+      val inner =
+        m.toSeq.sortBy(_._1).map { case (p, s) => s""""$p":$s""" }.mkString("{", ",", "}")
+      s""""$t":$inner"""
+    }.mkString("{", ",", "}")
 }
 
 object MsgOffset {
+  def single(topic: String, seqs: Map[Int, Long]): MsgOffset = MsgOffset(Map(topic -> seqs))
+
+  private def parseFlat(body: String): Map[Int, Long] =
+    if (body.trim.isEmpty) Map.empty[Int, Long]
+    else body.split(",").map { kv =>
+      val Array(k, v) = kv.split(":")
+      k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+    }.toMap
+
   def parse(json: String): MsgOffset = {
-    val body = json.trim.stripPrefix("{").stripSuffix("}").trim
-    val seqs =
-      if (body.isEmpty) Map.empty[Int, Long]
-      else body.split(",").map { kv =>
-        val Array(k, v) = kv.split(":")
-        k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
-      }.toMap
-    MsgOffset(seqs)
+    val s = json.trim
+    require(s.startsWith("{") && s.endsWith("}"), s"malformed offset: $json")
+    val body = s.substring(1, s.length - 1).trim
+    if (body.isEmpty) return MsgOffset(Map.empty)
+    val out = Map.newBuilder[String, Map[Int, Long]]
+    var i = 0
+    while (i < body.length) {
+      while (i < body.length && (body(i) == ',' || body(i).isWhitespace)) i += 1
+      if (i < body.length) {
+        require(body(i) == '"', s"malformed offset near index $i: $json")
+        val kEnd = body.indexOf('"', i + 1)
+        require(kEnd > i, s"unterminated topic name: $json")
+        val topic = body.substring(i + 1, kEnd)
+        val vStart = body.indexOf('{', kEnd)
+        val vEnd = body.indexOf('}', vStart)
+        require(vStart > kEnd && vEnd > vStart, s"malformed per-topic map for '$topic': $json")
+        out += topic -> parseFlat(body.substring(vStart + 1, vEnd))
+        i = vEnd + 1
+      }
+    }
+    MsgOffset(out.result())
+  }
+
+  /** Decode a pre-topic-named checkpoint (`{"<globalKey>":seq}` with
+    * globalKey = topicIdx * TopicStride + partition) against the CURRENT
+    * topic order — the only interpretation the legacy format permits. */
+  def parseLegacy(json: String, topics: Seq[String]): MsgOffset = {
+    val flat = parseFlat(json.trim.stripPrefix("{").stripSuffix("}"))
+    MsgOffset(flat.groupBy { case (g, _) => topics(g / MsgDataSource.TopicStride) }
+      .map { case (t, m) =>
+        t -> m.map { case (g, s) => (g % MsgDataSource.TopicStride) -> s }
+      })
   }
 }
 
@@ -134,19 +178,25 @@ final class MsgMicroBatchStream(
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val emitTopic = topics.size > 1
-  private val Stride = MsgDataSource.TopicStride
 
-  /** Union the per-topic offset maps into one global key space. */
-  private def union(f: MsgBroker => Map[Int, Long]): Map[Int, Long] =
-    topics.zipWithIndex.flatMap { case (t, i) =>
-      val m = f(MsgBroker.get(t))
-      require(m.keys.forall(_ < Stride), s"topic $t exceeds $Stride partitions")
-      m.map { case (p, s) => (i * Stride + p) -> s }
-    }.toMap
+  private def perTopic(f: MsgBroker => Map[Int, Long]): Map[String, Map[Int, Long]] =
+    topics.map(t => t -> f(MsgBroker.get(t))).toMap
 
-  private def topicOf(global: Int): String = topics(global / Stride)
+  /** Fail fast if a checkpointed offset references a topic that is no
+    * longer in the configured list: proceeding would orphan its committed
+    * positions (data loss on a later re-add). Topics present in the config
+    * but absent from the offset are fine — that is partition/topic growth,
+    * and they enter from their earliest offsets. */
+  private def validated(o: MsgOffset): Map[String, Map[Int, Long]] = {
+    val unknown = o.topics.keySet -- topics.toSet
+    require(unknown.isEmpty,
+      s"checkpointed offset references topic(s) ${unknown.mkString(", ")} not in the " +
+        s"configured list [${topics.mkString(", ")}]; refusing to restart — removing a " +
+        "topic from a running query's list would silently drop its committed positions")
+    o.topics
+  }
 
-  override def initialOffset(): Offset = MsgOffset(union(_.earliestOffsets))
+  override def initialOffset(): Offset = MsgOffset(perTopic(_.earliestOffsets))
 
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
@@ -166,10 +216,13 @@ final class MsgMicroBatchStream(
     * get 0 this trigger; they drain on subsequent triggers as earlier
     * partitions' backlogs shrink toward their (smaller) shares. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[MsgOffset].seqs
-    val ends = union(_.endOffsets)
-    val avail = ends.map { case (p, e) => p -> math.max(0L, e - from.getOrElse(p, 0L)) }
-    val total = avail.values.sum
+    val from = validated(start.asInstanceOf[MsgOffset])
+    val ends = perTopic(_.endOffsets)
+    // deterministic allocation order: configured topic order, partitions sorted
+    val keys: Seq[(String, Int)] = topics.flatMap(t => ends(t).keys.toSeq.sorted.map(t -> _))
+    def fromAt(t: String, p: Int): Long = from.getOrElse(t, Map.empty).getOrElse(p, 0L)
+    val avail = keys.map { case (t, p) => (t, p) -> math.max(0L, ends(t)(p) - fromAt(t, p)) }
+    val total = avail.map(_._2).sum
     val cap = limit match {
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
       case _ => Long.MaxValue
@@ -177,28 +230,40 @@ final class MsgMicroBatchStream(
     if (total <= cap) MsgOffset(ends)
     else {
       var remaining = math.max(0L, cap)
-      val takes = avail.toSeq.sortBy(_._1).map { case (p, a) =>
+      val takes = avail.map { case (k, a) =>
         val share = if (a == 0) 0L else math.max(1L, (BigInt(a) * cap / total).toLong)
         val take = math.min(math.min(share, a), remaining)
         remaining -= take
-        p -> take
+        k -> take
       }.toMap
-      MsgOffset(ends.map { case (p, _) =>
-        p -> (from.getOrElse(p, 0L) + takes(p))
+      MsgOffset(ends.map { case (t, em) =>
+        t -> em.map { case (p, _) => p -> (fromAt(t, p) + takes((t, p))) }
       })
     }
   }
 
-  override def deserializeOffset(json: String): Offset = MsgOffset.parse(json)
+  /** Topic-named format decodes directly; a flat (pre-topic-named) map is
+    * decoded against the CURRENT topic order — the legacy format's only
+    * possible interpretation — with a warning. */
+  override def deserializeOffset(json: String): Offset = {
+    val body = json.trim.stripPrefix("{").stripSuffix("}")
+    if (body.contains("{") || body.trim.isEmpty) MsgOffset.parse(json)
+    else {
+      log.warn(s"decoding legacy index-keyed offset $json against topic list " +
+        s"[${topics.mkString(", ")}]; the list order MUST match the run that wrote it")
+      MsgOffset.parseLegacy(json, topics)
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[MsgOffset].seqs
-    val e = end.asInstanceOf[MsgOffset].seqs
-    e.toSeq.sortBy(_._1).collect {
-      case (g, until) if until > s.getOrElse(g, 0L) =>
-        MsgInputPartition(topicOf(g), g % Stride, s.getOrElse(g, 0L), until,
-          emitTopic): InputPartition
-    }.toArray
+    val s = validated(start.asInstanceOf[MsgOffset])
+    val e = end.asInstanceOf[MsgOffset].topics
+    (for {
+      (t, em) <- e.toSeq.sortBy(_._1)
+      (p, until) <- em.toSeq.sortBy(_._1)
+      fromSeq = s.getOrElse(t, Map.empty).getOrElse(p, 0L)
+      if until > fromSeq
+    } yield MsgInputPartition(t, p, fromSeq, until, emitTopic): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new MsgReaderFactory
@@ -213,10 +278,8 @@ final class MsgMicroBatchStream(
     * retries fail the messages stay retained and redeliver after the
     * broker's ack timeout, preserving at-least-once. */
   override def commit(end: Offset): Unit = {
-    val upTo = end.asInstanceOf[MsgOffset].seqs
-    upTo.toSeq.sortBy(_._1).foreach { case (g, seq) =>
-      val topic = topicOf(g)
-      val p = g % Stride
+    val upTo = end.asInstanceOf[MsgOffset].topics
+    for ((topic, em) <- upTo.toSeq.sortBy(_._1); (p, seq) <- em.toSeq.sortBy(_._1)) {
       var attempt = 0
       var done = false
       while (!done) {

@@ -36,10 +36,50 @@ class BrokerSourceSpec extends SparkSpec {
     q.stop()
   }
 
-  test("offset json round-trips") {
-    val o = MsgOffset(Map(0 -> 12L, 3 -> 0L, 1 -> 7L))
+  test("offset json round-trips (topic-named, order-independent)") {
+    val o = MsgOffset(Map(
+      "tB" -> Map(0 -> 12L, 3 -> 0L, 1 -> 7L),
+      "tA" -> Map(2 -> 5L)))
     assert(MsgOffset.parse(o.json()) == o)
+    assert(o.json() == """{"tA":{"2":5},"tB":{"0":12,"1":7,"3":0}}""", "sorted, canonical")
     assert(MsgOffset.parse("{}") == MsgOffset(Map.empty))
+    assert(MsgOffset.parse("""{"t":{}}""") == MsgOffset(Map("t" -> Map.empty[Int, Long])))
+  }
+
+  test("checkpoint survives topic-list reorder; removal fails fast; legacy decodes") {
+    import graft.sources.{MsgInputPartition, MsgMicroBatchStream}
+    val a = MsgBroker.create("ord_a", numPartitions = 1)
+    val b = MsgBroker.create("ord_b", numPartitions = 1)
+    (1 to 4).foreach(i => a.publish(s"a$i"))
+    (1 to 4).foreach(i => b.publish(s"b$i"))
+    def stream(ts: Seq[String]) =
+      new MsgMicroBatchStream(ts, ackRetries = 0, ackBackoffMs = 0L, maxPerTrigger = None)
+
+    // a checkpoint written under (ord_a, ord_b)...
+    val ckptJson = MsgOffset(Map("ord_a" -> Map(0 -> 3L), "ord_b" -> Map(0 -> 1L))).json()
+    // ...restarted with the list REVERSED: offsets must follow the names
+    val rev = stream(Seq("ord_b", "ord_a"))
+    val start = rev.deserializeOffset(ckptJson).asInstanceOf[MsgOffset]
+    assert(start.seqsOf("ord_a") == Map(0 -> 3L) && start.seqsOf("ord_b") == Map(0 -> 1L))
+    val parts = rev.planInputPartitions(start,
+      rev.latestOffset(start, org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()))
+      .map(_.asInstanceOf[MsgInputPartition])
+    assert(parts.map(p => (p.broker, p.from, p.until)).toSet ==
+      Set(("ord_a", 3L, 4L), ("ord_b", 1L, 4L)),
+      "reordered restart resumes each topic from ITS committed position")
+
+    // a topic removed from the list: refuse to restart rather than drop it
+    val narrowed = stream(Seq("ord_a"))
+    val err = intercept[IllegalArgumentException] {
+      narrowed.latestOffset(narrowed.deserializeOffset(ckptJson),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    }
+    assert(err.getMessage.contains("ord_b"))
+
+    // legacy flat (index-keyed) checkpoint decodes against the current order
+    val legacy = stream(Seq("ord_a", "ord_b"))
+    val dec = legacy.deserializeOffset(s"""{"0":2,"${1 << 20}":1}""").asInstanceOf[MsgOffset]
+    assert(dec == MsgOffset(Map("ord_a" -> Map(0 -> 2L), "ord_b" -> Map(0 -> 1L))))
   }
 
   test("fan-out end-to-end; commit acks the broker (checkpoint-coupled)") {
@@ -234,28 +274,29 @@ class BrokerSourceSpec extends SparkSpec {
     (0 until 30).foreach(i => b.publishTo(i % 6, mk("session", 1L + i, s"a$i\n")))
     val stream = new MsgMicroBatchStream(Seq("adm"), ackRetries = 0, ackBackoffMs = 0L,
       maxPerTrigger = Some(4L))
-    val start = MsgOffset(b.earliestOffsets)
+    val start = MsgOffset.single("adm", b.earliestOffsets)
     val end = stream.latestOffset(start, ReadLimit.maxRows(4L))
       .asInstanceOf[MsgOffset]
-    val takes = end.seqs.map { case (p, s) => s - start.seqs(p) }
+    val takes = end.seqsOf("adm").map { case (p, s) => s - start.seqsOf("adm")(p) }
     assert(takes.forall(_ >= 0L), s"no negative take: $takes")
     assert(takes.sum == 4L, s"cap is a hard bound (and fully used): $takes")
 
     // overflow guard: a checkpointed start offset far behind the end (deep
     // backlog) times a large cap overflows Long in `avail * cap`; the
     // BigInt share must keep every take non-negative and within the cap
-    val deep = MsgOffset(Map(0 -> -(1L << 60), 1 -> 0L, 2 -> 0L, 3 -> 0L, 4 -> 0L, 5 -> 0L))
+    val deep = MsgOffset.single("adm",
+      Map(0 -> -(1L << 60), 1 -> 0L, 2 -> 0L, 3 -> 0L, 4 -> 0L, 5 -> 0L))
     val cap = 1L << 40
     val end2 = stream.latestOffset(deep, ReadLimit.maxRows(cap)).asInstanceOf[MsgOffset]
-    val takes2 = end2.seqs.map { case (p, s) => s - deep.seqs(p) }
+    val takes2 = end2.seqsOf("adm").map { case (p, s) => s - deep.seqsOf("adm")(p) }
     assert(takes2.forall(_ >= 0L), s"overflow produced a negative take: $takes2")
     assert(takes2.sum <= cap, s"overflow broke the cap: $takes2")
   }
 
   test("multi-topic fan-in: 3 topics one stream, restart exactly-once, per-topic acks") {
     // the reference job consumes three topics into one routed stream
-    // (run_datastream_job.sh:17,25); here the same fan-in rides the global
-    // offset space (topicIdx * 2^20 + partition) with a `topic` column
+    // (run_datastream_job.sh:17,25); here the same fan-in rides topic-named
+    // offsets ({"topic":{"partition":seq}}) with a `topic` column
     val names = Seq("mt1", "mt2", "mt3")
     val brokers = names.map(n => MsgBroker.create(n, numPartitions = 2))
     def wire(ti: Int, i: Int): String = mk("session", 1000000L + i, s"m${ti}_$i\n")

@@ -17,7 +17,13 @@ class TablesSpec extends SparkSpec {
     .map(d => s"/root/testdata/$d")
     .filter(d => new java.io.File(d).isDirectory)
 
+  // missing testdata must cancel loudly, not pass the for-loops vacuously
+  // while the .head tests crash with an opaque NoSuchElementException
+  private def requireTestdata(): Unit =
+    assume(sfDirs.nonEmpty, "no /root/testdata/sf* directories — drift guard cannot run")
+
   test("all tables load from every sf dir") {
+    requireTestdata()
     for (d <- sfDirs; t <- Tables.all) {
       val df =
         if (t == "events") Tables.events(spark, d)
@@ -28,6 +34,7 @@ class TablesSpec extends SparkSpec {
   }
 
   test("events loader yields session-UTC TimestampType ts at every sf") {
+    requireTestdata()
     for (d <- sfDirs) {
       val schema = Tables.events(spark, d).schema
       val byName = schema.fields.map(f => f.name -> f.dataType).toMap
@@ -47,6 +54,7 @@ class TablesSpec extends SparkSpec {
     // reaches the scan (PushedFilters) — strictly better than the old
     // nanos-as-long rebuild, which never pushed. At 100 TB this is the
     // difference between reading one time slice and reading the table.
+    requireTestdata()
     import org.apache.spark.sql.functions.col
     val q = Tables.events(spark, sfDirs.head)
       .filter(col("ts") > java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
@@ -57,6 +65,7 @@ class TablesSpec extends SparkSpec {
   }
 
   test("key columns keep the types the query inventory assumes") {
+    requireTestdata()
     val d = sfDirs.head
     def types(t: String): Map[String, DataType] =
       Tables.load(spark, d, t).schema.fields.map(f => f.name -> f.dataType).toMap

@@ -114,6 +114,13 @@ class TemporalSpec extends SparkSpec {
   test("hop window: every event lands in exactly window/slide = 4 windows") {
     val rows = Temporal.qHopWindow.fn(spark, sf()).collect()
     assert(rows.nonEmpty)
+    // the DuckDB oracle's floor-division hop enumeration was only validated
+    // on positive epochs (Temporal.scala q_hop_window caveat): fail loudly
+    // if a future testdata generation introduces pre-1970 timestamps
+    val minTs = Tables.events(spark, sf())
+      .agg(org.apache.spark.sql.functions.min("ts")).head.getTimestamp(0)
+    assert(minTs.getTime >= 0L,
+      s"events.ts has pre-epoch rows (min=$minTs); re-validate the hop-window oracle")
     val nEvents = Tables.events(spark, sf()).count()
     val totalAssignments = rows.map(_.getAs[Long]("cnt")).sum
     assert(totalAssignments == 4 * nEvents,
