@@ -1,0 +1,119 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus deduplication against a PERSISTED fingerprint index —
+  * the production 100 TB ingest shape: a continuously-fed pipeline dedups
+  * each new increment against everything already ingested WITHOUT ever
+  * rescanning the historical corpus. Only the fingerprint index (MinHash
+  * LSH band keys, ~3 small columns per document × bands) is stored and
+  * joined; the historical text never moves again.
+  *
+  * Index layout (mirrors `streaming.IncrementalAgg`'s versioned-state
+  * pattern, adapted to append-only data):
+  *
+  * {{{
+  *   root/seg00000/   parquet (id, band, bv)   — first ingested batch
+  *   root/seg00001/   parquet (id, band, bv)   — next batch, ...
+  *   root/_SEGMENTS   newline list of live segment dirs (atomic pointer)
+  * }}}
+  *
+  * [[ingest]] is write-then-point: the increment's bands land in a new
+  * segment directory FIRST, the returned decision frame reads only
+  * already-written parquet (stable under later appends — no lazy recompute
+  * hazard), and the `_SEGMENTS` pointer advances last via atomic rename.
+  * A crash between write and point leaves an orphan directory that is
+  * never read — readers see either the old or the new index, never a torn
+  * one. On a real deployment the segment list is a Delta/Iceberg table and
+  * `ingest` is one transaction.
+  *
+  * Semantics: an increment document is a duplicate iff it shares ≥1 LSH
+  * band bucket with ANY earlier document (earlier segment, or same segment
+  * with a smaller id). Dropped documents' fingerprints are still appended —
+  * future increments must dedup against the first-seen copy AND its
+  * near-copies — which makes the incremental decisions replayable as one
+  * whole-corpus batch query: `keep(b) ⟺ ¬∃ a < b sharing a bucket`
+  * (verified by the `q_incr_dedup` DuckDB oracle and the multi-step
+  * prefix-parity test in `MaintenanceSpec`).
+  *
+  * Scale: per-ingest cost is one bucket equi-join of the increment's bands
+  * against the index — ∝ |increment| + touched index buckets, never
+  * ∝ corpus. [[BucketCap]] flood-guards degenerate buckets the same way
+  * the batch path does (the census is over index ∪ increment at ingest
+  * time; a bucket crossing the cap mid-history is excluded from that
+  * ingest onward).
+  */
+object IncrementalDedup {
+
+  private def segFile(root: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root).resolve("_SEGMENTS")
+
+  /** Live segment directory names, in ingest order. */
+  def segments(root: String): Seq[String] = {
+    val p = segFile(root)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    else Seq.empty
+  }
+
+  /** The stored fingerprint index (id, band, bv), or None before any ingest. */
+  def index(spark: SparkSession, root: String): Option[DataFrame] = {
+    val segs = segments(root)
+    if (segs.isEmpty) None
+    else Some(spark.read.parquet(segs.map(sg => s"$root/$sg"): _*))
+  }
+
+  private def writeAtomic(p: java.nio.file.Path, content: String): Unit = {
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Ingest one increment: append its band keys `(id, band, bv)` (from
+    * [[TextDedup.minhashBands]]) as a new index segment and return the
+    * per-document decision frame
+    *
+    * {{{ (doc_id, n_prior BIGINT, keep BOOLEAN) }}}
+    *
+    * where `n_prior` counts distinct earlier documents sharing ≥1 band
+    * bucket and `keep ⟺ n_prior = 0`. The decision frame is lazy and
+    * entirely parquet-backed — evaluating it later (or never: an initial
+    * history bootstrap can ignore it and pay only the segment write) is
+    * safe regardless of subsequent ingests. */
+  def ingest(spark: SparkSession, root: String, incBands: DataFrame,
+      maxBucket: Int = 10000): DataFrame = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val prior = segments(root)
+    val segName = f"seg${prior.size}%05d"
+    incBands.select("id", "band", "bv").write.parquet(s"$root/$segName")
+
+    val inc = spark.read.parquet(s"$root/$segName")
+    val stored = if (prior.isEmpty) None
+                 else Some(spark.read.parquet(prior.map(sg => s"$root/$sg"): _*))
+    // one frame, tagged by origin, so the flood-guard census and both join
+    // sides share a single computed stage (same discipline as the batch path)
+    val all = stored match {
+      case Some(idx) => idx.withColumn("__new", lit(0)).unionByName(inc.withColumn("__new", lit(1)))
+      case None => inc.withColumn("__new", lit(1))
+    }
+    val capped = BucketCap.cap(all, Seq("band", "bv"), maxBucket)
+    val x = capped.as("x")
+    val y = capped.where(col("__new") === 1).as("y")
+    val hits = x.join(y,
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .groupBy(col("y.id").as("doc_id"))
+      .agg(count_distinct(col("x.id")).as("n_prior"))
+    val decisions = inc.select(col("id").as("doc_id")).distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        col("n_prior").isNull.as("keep"))
+
+    writeAtomic(segFile(root), (prior :+ segName).mkString("\n"))
+    decisions
+  }
+}

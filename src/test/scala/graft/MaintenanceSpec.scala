@@ -171,4 +171,50 @@ class MaintenanceSpec extends SparkSpec {
       .toSeq.sorted
     assert(p0 == Seq((1L, "x", 10, 2L)), s"got $p0")
   }
+
+  test("incr_dedup: every ingest's decisions equal the whole-prefix batch replay") {
+    import graft.api.{IncrementalDedup, TextDedup}
+    import graft.operators.Corpora
+    val root = java.nio.file.Files.createTempDirectory("incr-dedup-spec").toString
+    val hashes = Corpora.shingleHashes(spark, sf()).withColumnRenamed("doc_id", "id")
+    def bands(cond: org.apache.spark.sql.Column) = TextDedup.minhashBands(hashes.where(cond))
+
+    // batch replay over a prefix: keep(b) ⟺ no a < b sharing a band bucket
+    def replay(prefix: org.apache.spark.sql.Column, inc: org.apache.spark.sql.Column) = {
+      val cand = TextDedup.candidatePairs(bands(prefix))
+      bands(inc).select(col("id").as("doc_id")).distinct()
+        .join(cand.groupBy(col("b").as("doc_id")).agg(count(lit(1)).as("n_prior")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+          col("n_prior").isNull.as("keep"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
+
+    val hist = col("id") < 1000000L
+    val b1 = col("id") >= 1000000L && col("id") < 2000000L
+    val b2 = col("id") >= 2000000L
+
+    IncrementalDedup.ingest(spark, root, bands(hist)) // bootstrap, decisions unused
+    assert(IncrementalDedup.segments(root) == Seq("seg00000"))
+
+    // step 1: near-dup wave vs index only — must equal replay over hist ∪ b1
+    val d1 = IncrementalDedup.ingest(spark, root, bands(b1))
+    assert(rows(d1) == rows(replay(hist || b1, b1)), "step-1 decisions diverge from batch")
+    assert(rows(d1).exists(!_._3), "near-dup wave must drop at least one doc")
+
+    // step 2: exact-copy wave vs the grown index — equals replay over the union
+    val d2 = IncrementalDedup.ingest(spark, root, bands(b2))
+    assert(rows(d2) == rows(replay(hist || b1 || b2, b2)), "step-2 decisions diverge")
+    assert(rows(d2).forall(!_._3), "every exact copy must drop")
+    assert(IncrementalDedup.segments(root) == Seq("seg00000", "seg00001", "seg00002"))
+
+    // d1 was computed before step 2's append and is parquet-backed: re-reading
+    // it after the index grew must not change its decisions
+    assert(rows(d1) == rows(replay(hist || b1, b1)), "step-1 frame unstable after append")
+
+    // the index stores fingerprints only — 3 fixed-width-ish columns, no text
+    val idx = IncrementalDedup.index(spark, root).get
+    assert(idx.columns.toSeq == Seq("id", "band", "bv"))
+  }
 }
