@@ -556,6 +556,110 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Recall@10 of the IVF-PQ route against brute-force ground truth — the
+    * companion of [[qAnnRecall]] for the COMPRESSED path: [[qAnnRecall]]
+    * grades only the coarse quantizer (exact distances over probed cells);
+    * this grades the full production stack, where candidates come from the
+    * probed cells AND every distance is a 4-lookup ADC approximation. The
+    * two recall numbers bracket the loss budget: IVF recall - IVFPQ recall
+    * is the cost of 4 B/vector compression, the number that decides m/k
+    * sizing before anyone ships the index.
+    *
+    * Both legs use deterministic tie-breaks (brute: cos DESC, nid; ADC:
+    * d2 ASC, nid), so the top-10 sets replay exactly and recall is an
+    * exact integer (recall_bp = hits·1000). Scale shape matches
+    * [[qAnnRecall]]: the brute leg is the calibration scan you pay once
+    * per query-sample, the IVF-PQ leg prices the production path. */
+  val qAnnPqRecall: QueryDef = QueryDef.sql(
+    "q_annpq_recall",
+    s"""WITH $normedCte,
+       |${kmeansCtes(nCells = 8, rounds = 2)},
+       |${(0 until PqM).map(pqCtes).mkString(",\n")},
+       |brute AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dotSql("q.v", "n.v")} / (q.nrm * n.nrm) DESC, n.vec_id) AS rnk
+       |    FROM (SELECT * FROM n WHERE vec_id < 5) q JOIN n ON n.vec_id <> q.vec_id)
+       |  WHERE rnk <= 10
+       |),
+       |cc AS (
+       |  SELECT n.vec_id, c.cell, ${dotSql("n.v", "c.v")} / (n.nrm * c.nrm) AS ccos
+       |  FROM n, cn2 c
+       |),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM cc)
+       |  WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM cc WHERE vec_id < 5)
+       |  WHERE rn <= 2
+       |),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |),
+       |k AS (${(0 until PqM).map(s => s"SELECT vec_id, $s AS sub, cell FROM pq${s}code").mkString("\n  UNION ALL ")}),
+       |l AS (${(0 until PqM).map(s => s"SELECT qid, $s AS sub, cell, d2 FROM pq${s}lut").mkString("\n  UNION ALL ")}),
+       |sc AS (
+       |  SELECT c.qid, c.nid, sum(l.d2) AS d2
+       |  FROM cand c
+       |  JOIN k ON k.vec_id = c.nid
+       |  JOIN l ON l.qid = c.qid AND l.sub = k.sub AND l.cell = k.cell
+       |  GROUP BY c.qid, c.nid
+       |),
+       |ipq AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, nid) AS rnk
+       |    FROM sc)
+       |  WHERE rnk <= 10
+       |),
+       |h AS (
+       |  SELECT b.qid, count(*) AS hits
+       |  FROM brute b JOIN ipq i ON i.qid = b.qid AND i.nid = b.nid
+       |  GROUP BY b.qid
+       |)
+       |SELECT CAST(q.vec_id AS BIGINT) AS qid,
+       |       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(10 AS BIGINT) AS k,
+       |       CAST(COALESCE(h.hits, 0) * 1000 AS BIGINT) AS recall_bp
+       |FROM (SELECT vec_id FROM n WHERE vec_id < 5) q
+       |LEFT JOIN h ON h.qid = q.vec_id
+       |ORDER BY qid""".stripMargin) { (s, d) =>
+    import graft.api.{ProductQuant, VectorSearch}
+    val n = graft.Persisting.maybe(normed(s, d))
+    val qs = n.where(col("id") < 5)
+    val brute = VectorSearch.topK(n, qs, k = 10).select("qid", "nid")
+    val cents = VectorSearch.ivfFitKMeans(n, nCells = 8, iters = 2)
+    val assigned = VectorSearch.ivfAssign(n, cents)
+    val books = ProductQuant.fit(n, PqM, PqSub, PqK, PqRounds)
+    val codes = ProductQuant.encode(n, books, PqSub)
+    val probes = VectorSearch.ivfProbes(qs, cents, nprobe = 2)
+      .select(col("id").as("qid"), col("pcell"))
+    val cand = assigned
+      .join(broadcast(probes), col("cell") === col("pcell") && col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
+    val ipq = ProductQuant
+      .adcTopKCandidates(codes, ProductQuant.lut(qs, books, PqSub), cand, k = 10)
+      .select("qid", "nid")
+    val hits = brute.join(ipq, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    qs.select(col("id").cast("long").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
+        lit(10L).as("k"),
+        (coalesce(col("hits"), lit(0L)) * 1000).cast("long").as("recall_bp"))
+      .orderBy("qid")
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup via cluster-blocked
     * embedding similarity. Unlike [[qEmbedNeardup]]'s label blocking (needs
     * a curated key), the blocking key here is LEARNED: the corpus is
@@ -666,6 +770,6 @@ object Similarity {
 
   val all: Seq[QueryDef] = Seq(
     qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qAnnRecall, qKmeansFit,
-    qEmbedCentroids, qPqAnn, qIvfPqAnn, qSemanticDedup, qHybridSearch)
+    qEmbedCentroids, qPqAnn, qIvfPqAnn, qAnnPqRecall, qSemanticDedup, qHybridSearch)
 }
 
