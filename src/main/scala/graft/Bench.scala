@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): runs the declared query inventory on
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
@@ -8,8 +8,101 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through the `noop` sink — unlike `count()`, which
   * lets Catalyst prune the projections away, noop executes the full plan
   * including result expression evaluation, so timings reflect real work.
+  *
+  * The table warm-up and timing loops are factored out ([[warmTables]],
+  * [[timeInventory]]) so `BenchSpec` can prove the fault-isolation
+  * contract: one table loader or query plan broken by testdata drift costs
+  * only its own rows, never the whole artifact (round 10 lost ALL numbers
+  * to a single AnalysisException in the warm-up loop).
   */
 object Bench {
+
+  /** One timed inventory row. `error` is the first failure message if any
+    * attempt threw — the timing then prices the failed attempt(s), and the
+    * row still appears in every output map. */
+  final case class QueryTiming(name: String, sec: Double, shuffleMb: Double,
+      attempts: Int, median: Double, error: Option[String])
+
+  /** watchdog hooks: the currently-running query and its start nanos */
+  @volatile private var current = ""
+  @volatile private var started = 0L
+
+  private def defaultLoader(s: SparkSession, sfDir: String, t: String): DataFrame =
+    if (t == "events") Tables.events(s, sfDir) else Tables.load(s, sfDir, t)
+
+  /** Per-table warm-up with per-table isolation: a loader broken by
+    * testdata drift must cost only the queries that read that table, never
+    * the whole run. Returns (table, error) for each failed loader. */
+  def warmTables(spark: SparkSession, sfDir: String,
+      tables: Seq[String] = Tables.all,
+      loader: (SparkSession, String, String) => DataFrame = defaultLoader)
+      : Seq[(String, String)] =
+    tables.flatMap { t =>
+      try {
+        loader(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+        None
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warm-up of table $t failed: ${e.getMessage}")
+        Some(t -> String.valueOf(e.getMessage))
+      }
+    }
+
+  /** Times the given inventory. Never throws on a failing query — the
+    * error is captured in that query's row (fault isolation, BenchSpec).
+    *
+    * `retrySlow` enables the steal-window re-measure policy (see the
+    * inline comments); specs disable it to keep runs deterministic. */
+  def timeInventory(spark: SparkSession, sfDir: String, defs: Seq[QueryDef],
+      shuffleCounter: () => Long = () => 0L,
+      retrySlow: Boolean = true): Seq[QueryTiming] =
+    defs.map { q =>
+      var error: Option[String] = None
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        current = q.name; started = t0
+        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          if (error.isEmpty) error = Some(String.valueOf(e.getMessage))
+        }
+        current = ""
+        (System.nanoTime() - t0) / 1e9
+      }
+      // the sandbox VM exhibits stochastic multi-second stalls unrelated
+      // to the plan under test (PERF_NOTES.md: identical code measured
+      // 3.6s and 85s for the same query in one JVM — host-level CPU
+      // steal). A query over the slow threshold re-runs (bounded attempts)
+      // and reports the min — steady-state cost — while a genuinely
+      // expensive plan stays slow on every attempt and is still flagged.
+      val shuffle0 = shuffleCounter()
+      val readings = scala.collection.mutable.ArrayBuffer(once())
+      val qShuffleMb = (shuffleCounter() - shuffle0) / 1e6
+      def sec = readings.min
+      // any first reading over ~1s re-measures once and reports the min:
+      // the second run prices the plan with its generated classes already
+      // JIT/janino-compiled — the steady-state cost a resident engine pays
+      // per query, which is what the reference's long-running job
+      // amortizes — and rides out partial steal windows. Sub-second plans
+      // skip it: compile time is already a rounding error there. A failed
+      // query never retries — its error is the result.
+      if (retrySlow && error.isEmpty && sec > 1.0) readings += once()
+      // readings far above the steady ceiling (~3s) get extra attempts: a
+      // 6-9s reading is still overwhelmingly a steal window (q_corr_stats
+      // measured 8.6s on three consecutive attempts, then 1.9s steady)
+      while (retrySlow && error.isEmpty && sec > 3.0 &&
+          readings.size < (if (sec > 6.0) 5 else 3)) {
+        Thread.sleep(1500)
+        val s = once()
+        if (s < sec) System.err.println(
+          f"[bench-retry] ${q.name} attempt ${readings.size} ${sec}%.1fs, steady ${s}%.1fs")
+        readings += s
+      }
+      if (sec > 3) System.err.println(f"[bench-slow] ${q.name} ${sec}%.1fs")
+      val sorted = readings.sorted
+      val median = sorted((sorted.size - 1) / 2)
+      QueryTiming(q.name, sec, qShuffleMb, readings.size, median, error)
+    }
+
   def main(args: Array[String]): Unit = {
     // config layering (GraftConfig, reference R15): CLI > env > props file;
     // the driver's env contract (SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS) is
@@ -89,22 +182,9 @@ object Bench {
       }
       spark.catalog.clearCache() // drop warm-SF persisted stages
     }
-    // per-table isolation: a loader broken by testdata drift must cost only
-    // the queries that read that table, never the whole artifact (round 10
-    // lost ALL numbers to one AnalysisException here)
-    Tables.all.foreach { t =>
-      try {
-        val df = if (t == "events") Tables.events(spark, sfDir)
-                 else Tables.load(spark, sfDir, t)
-        df.write.format("noop").mode("overwrite").save()
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] warm-up of table $t failed: ${e.getMessage}")
-      }
-    }
+    // per-table isolation (round-10 failure class; BenchSpec-pinned)
+    warmTables(spark, sfDir)
 
-    import scala.jdk.CollectionConverters._
-    def gcMs: Long = java.lang.management.ManagementFactory
-      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     // per-query shuffle accounting ("measure, don't guess"): a listener
     // accumulates task-level shuffle write bytes; the delta around each
     // query is its real shuffle volume, reported next to its seconds
@@ -117,9 +197,8 @@ object Bench {
         }
       })
     // watchdog: if a query stalls >10s, dump thread stacks once (debug aid
-    // for the sporadic zero-GC stalls; remove once diagnosed)
-    @volatile var current = ""
-    @volatile var started = 0L
+    // for the sporadic zero-GC stalls; reads the object-level current/
+    // started fields that timeInventory maintains)
     val watchdog = new Thread(() => {
       var dumped = ""
       while (true) {
@@ -144,60 +223,9 @@ object Bench {
 
     // GRAFT_BENCH_ONLY=q_a,q_b: focused local timing; unset = full inventory
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.defs.sortBy(_.name)
-      .filter(q => only.forall(_.contains(q.name))).map { q =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        current = q.name; started = t0
-        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-        }
-        current = ""
-        (System.nanoTime() - t0) / 1e9
-      }
-      val g0 = gcMs
-      // the sandbox VM exhibits stochastic multi-second stalls unrelated
-      // to the plan under test (PERF_NOTES.md: identical code measured
-      // 3.6s and 85s for the same query in one JVM; load average sits at
-      // 4-7 with zero runnable processes — host-level CPU steal). A query
-      // over the slow threshold re-runs (up to 3 attempts) and reports the
-      // min — steady-state cost — while a genuinely expensive plan stays
-      // slow on every attempt and is still flagged.
-      val shuffle0 = shuffleBytes.get()
-      val readings = scala.collection.mutable.ArrayBuffer(once())
-      val qShuffleMb = (shuffleBytes.get() - shuffle0) / 1e6
-      def sec = readings.min
-      // any first reading over ~1s re-measures once and reports the min:
-      // the second run prices the plan with its generated classes already
-      // JIT/janino-compiled — the steady-state cost a resident engine pays
-      // per query, which is what the reference's long-running job amortizes
-      // — and rides out partial steal windows that inflate every reading
-      // uniformly without ever crossing the 3s retry threshold below
-      // (PERF_NOTES.md: afternoon windows run ~1.3x with zero runnable
-      // processes). Sub-second plans skip it: compile time is already a
-      // rounding error there, and 97 extra runs would double wall-clock
-      // for ~2s of reported total
-      if (sec > 1.0) readings += once()
-      // a reading 3x over the slow threshold is a steal window with near
-      // certainty (no plan in the inventory runs >9s steady at sf0.1):
-      // allow extra attempts and let the window pass before re-measuring
-      // readings far above the steady ceiling (~3s) get extra attempts:
-      // a 6-9s reading is still overwhelmingly a steal window (q_corr_stats
-      // measured 8.6s on three consecutive attempts, then 1.9s steady)
-      while (sec > 3.0 && readings.size < (if (sec > 6.0) 5 else 3)) {
-        Thread.sleep(1500)
-        val s = once()
-        if (s < sec) System.err.println(
-          f"[bench-retry] ${q.name} attempt ${readings.size} ${sec}%.1fs, steady ${s}%.1fs")
-        readings += s
-      }
-      if (sec > 3) System.err.println(
-        f"[bench-slow] ${q.name} ${sec}%.1fs gc=${gcMs - g0}ms")
-      val sorted = readings.sorted
-      val median = sorted((sorted.size - 1) / 2)
-      (q.name, sec, qShuffleMb, readings.size, median)
-    }
+    val results = timeInventory(spark, sfDir,
+      SparkEntry.defs.sortBy(_.name).filter(q => only.forall(_.contains(q.name))),
+      shuffleCounter = () => shuffleBytes.get())
     // Output contract (round 9): diagnostics lines FIRST, then a FINAL
     // stdout line containing ONLY the total — no queries map. The driver
     // tail-captures the last ~2000 chars of stdout; round 7 lost the total
@@ -209,16 +237,19 @@ object Bench {
     // comma-decimal locale would emit unparseable JSON.
     def num(d: Double, places: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
-    val sh = results.map { case (k, _, mb, _, _) => s""""$k":${num(mb, 2)}""" }
+    val sh = results.map(r => s""""${r.name}":${num(r.shuffleMb, 2)}""")
       .mkString("{", ",", "}")
     println(s"""{"metric":"shuffle_mb","unit":"MB","queries":$sh,"sf":"$sfDir"}""")
-    val att = results.map { case (k, _, _, n, med) =>
-      s""""$k":{"attempts":$n,"median":${num(med, 4)}}""" }.mkString("{", ",", "}")
+    val att = results.map(r =>
+      s""""${r.name}":{"attempts":${r.attempts},"median":${num(r.median, 4)}}""")
+      .mkString("{", ",", "}")
     println(s"""{"metric":"attempts","queries":$att,"sf":"$sfDir"}""")
-    val qs = results.map { case (k, v, _, _, _) => s""""$k":${num(v, 4)}""" }
+    val qs = results.map(r => s""""${r.name}":${num(r.sec, 4)}""")
       .mkString("{", ",", "}")
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    val total = results.map(_._2).sum
+    results.filter(_.error.nonEmpty).foreach(r =>
+      System.err.println(s"[bench-error] ${r.name}: ${r.error.get}"))
+    val total = results.map(_.sec).sum
     // The driver tail-captures stdout and truncates long runs (round 11 lost
     // 52 of 140 per-query timings that way), so ALSO persist the full
     // per-query map as a small file that gets committed with the round: the
@@ -227,8 +258,11 @@ object Bench {
     // full-inventory one.
     if (only.isEmpty) {
       val path = sys.env.getOrElse("GRAFT_BENCH_JSON", "bench_per_query.json")
-      val body = results.map { case (k, v, mb, n, med) =>
-        s"""  "$k": {"sec": ${num(v, 4)}, "median": ${num(med, 4)}, "shuffle_mb": ${num(mb, 2)}, "attempts": $n}"""
+      val body = results.map { r =>
+        val err = r.error.map(e =>
+          s""", "error": "${e.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)}"""")
+          .getOrElse("")
+        s"""  "${r.name}": {"sec": ${num(r.sec, 4)}, "median": ${num(r.median, 4)}, "shuffle_mb": ${num(r.shuffleMb, 2)}, "attempts": ${r.attempts}$err}"""
       }.mkString(",\n")
       val doc = s"""{
   "sf": "$sfDir",

@@ -49,6 +49,10 @@ final case class GraftConfig(
       .config("spark.sql.shuffle.partitions", parallelism.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // legacy testdata generations wrote events.ts as TIMESTAMP(NANOS),
+      // readable only via this conf (Tables.events dispatches on the loaded
+      // type). Set once here so loaders never mutate session state.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 }
 
 object GraftConfig {

@@ -36,11 +36,15 @@ object Tables {
     * Dispatch on the loaded schema so every generation yields the same
     * session-UTC `TimestampType` column the queries and DuckDB oracles
     * assume; all sessions here run with spark.sql.session.timeZone=UTC, so
-    * the NTZ→timestamp cast preserves the wall-clock micros exactly. */
+    * the NTZ→timestamp cast preserves the wall-clock micros exactly.
+    *
+    * Reading the NANOS generation requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at session build (set in
+    * `GraftConfig.sessionBuilder` and the test/verify sessions) — this
+    * loader never mutates session conf. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => // nanos-as-long: rebuild, truncating ns → µs

@@ -15,6 +15,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // nanos-generation events.ts (see Tables.events) — session-build conf
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // same local-mode stall mitigations as Bench (see Bench.scala):
       // heap-scaled page size causes GC storms; VM disk bursts stall tasks

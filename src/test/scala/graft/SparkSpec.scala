@@ -17,6 +17,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // nanos-generation events.ts (see Tables.events) — session-build conf
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bucketed-table tests (LayoutSpec) write managed tables; keep the
       // warehouse + metastore out of the repo working tree
       .config("spark.sql.warehouse.dir",

@@ -1120,4 +1120,90 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch mismatch: only-stream=${(streamed -- batch).take(3)} " +
         s"only-batch=${(batch -- streamed).take(3)}")
   }
+
+  test("hop window update mode: late data within the watermark revises exactly its windows; past it, dropped") {
+    // The R14-metric lateness face the append-mode parity pair can't show:
+    // update mode re-emits a (window, type) row each batch its aggregate
+    // changes, so an out-of-order event inside the watermark allowance must
+    // revise EXACTLY the 4 hop windows containing it, and an event whose
+    // windows are all past the watermark must revise nothing.
+    type R = (Long, String, Long, Double)
+    def rows(): Seq[R] = spark.table("hoplate").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("win_start").getTime,
+        r.getAs[String]("event_type"), r.getAs[Long]("cnt"),
+        r.getAs[Double]("avg_v"))).toSeq
+    // update-mode memory sink only appends; a batch's emission is the
+    // multiset difference against the previous snapshot
+    def delta(before: Seq[R], after: Seq[R]): Seq[R] = {
+      val b = scala.collection.mutable.Map.empty[R, Int].withDefaultValue(0)
+      before.foreach(r => b(r) += 1)
+      after.filter { r => if (b(r) > 0) { b(r) -= 1; false } else true }
+    }
+
+    val t0 = 500L * 3600 // exact hour, 15-min-aligned
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    def winMs(startSec: Long) = startSec * 1000
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val q = StreamHopWindow.hopAgg(
+        input.toDF().toDF("ts", "event_type", "value"), watermark = "30 seconds")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("hoplate").start()
+
+    // batch 1: two in-order clicks 20 min apart
+    input.addData((ts(t0), "click", 10.0), (ts(t0 + 1200), "click", 20.0))
+    q.processAllAvailable()
+    val s1 = rows()
+    assert(delta(Nil, s1).toSet == Set(
+      (winMs(t0 - 2700), "click", 1L, 10.0), // e1 only
+      (winMs(t0 - 1800), "click", 2L, 15.0), // e1 + e2
+      (winMs(t0 - 900), "click", 2L, 15.0),
+      (winMs(t0), "click", 2L, 15.0),
+      (winMs(t0 + 900), "click", 1L, 20.0)), // e2 only
+      s"batch-1 emission wrong: ${s1.sorted}")
+
+    // batch 2: OUT-OF-ORDER click 15 s behind the max event time — its 4
+    // windows are open (ends above the t0+1170 watermark), so all 4 revise
+    input.addData((ts(t0 + 1185), "click", 30.0))
+    q.processAllAvailable()
+    val s2 = rows()
+    assert(delta(s1, s2).toSet == Set(
+      (winMs(t0 - 1800), "click", 3L, 20.0),
+      (winMs(t0 - 900), "click", 3L, 20.0),
+      (winMs(t0), "click", 3L, 20.0),
+      (winMs(t0 + 900), "click", 2L, 25.0)),
+      s"late-within-delay revision wrong: ${delta(s1, s2).sorted}")
+    // the never-revised window keeps its original row and gains no new one
+    assert(s2.count(_._1 == winMs(t0 - 2700)) == 1)
+
+    // batch 3: sentinel 2.5 h ahead advances the watermark to t0+8970,
+    // closing every window that could contain the batch-2 region
+    input.addData((ts(t0 + 9000), "__wm__", 0.0))
+    q.processAllAvailable()
+    val s3 = rows()
+    assert(delta(s2, s3).forall(_._2 == "__wm__"),
+      s"sentinel batch must only emit its own windows: ${delta(s2, s3)}")
+
+    // batch 4: a click at t0+21min — newer than the batch-2 event, but ALL
+    // its windows ended by t0+4500 < watermark t0+8970 → dropped, zero rows
+    input.addData((ts(t0 + 1260), "click", 40.0))
+    q.processAllAvailable()
+    val s4 = rows()
+    assert(delta(s3, s4).isEmpty,
+      s"event past the watermark must revise nothing: ${delta(s3, s4)}")
+    q.stop()
+
+    // the emitted updates land on the batch truth for the click windows:
+    // per key the newest row is the max-cnt one (counts only grow), which
+    // sidesteps any memory-sink collect-order assumption
+    val finalState = s4.filter(_._2 == "click").groupBy(_._1)
+      .map { case (w, rs) => val r = rs.maxBy(_._3); w -> ((r._3, r._4)) }
+    assert(finalState == Map(
+      winMs(t0 - 2700) -> ((1L, 10.0)),
+      winMs(t0 - 1800) -> ((3L, 20.0)),
+      winMs(t0 - 900) -> ((3L, 20.0)),
+      winMs(t0) -> ((3L, 20.0)),
+      winMs(t0 + 900) -> ((2L, 25.0))),
+      s"replayed final state diverged: $finalState")
+  }
 }

@@ -64,6 +64,23 @@ class TablesSpec extends SparkSpec {
       s"ts predicate not pushed to parquet:\n${plan.take(2000)}")
   }
 
+  test("loaders are read-only w.r.t. session conf") {
+    // Tables.events used to set spark.sql.legacy.parquet.nanosAsLong on
+    // every call — a loader mutating session state. The conf now lives at
+    // session build (GraftConfig.sessionBuilder / SparkSpec); pin that
+    // loading every table leaves the session conf map bit-identical.
+    requireTestdata()
+    val before = spark.conf.getAll
+    for (t <- Tables.all) {
+      val df = if (t == "events") Tables.events(spark, sfDirs.head)
+               else Tables.load(spark, sfDirs.head, t)
+      df.limit(1).count()
+    }
+    val after = spark.conf.getAll
+    assert(after == before,
+      s"loaders mutated session conf: ${(after.toSet -- before.toSet).toMap.keys}")
+  }
+
   test("key columns keep the types the query inventory assumes") {
     requireTestdata()
     val d = sfDirs.head
