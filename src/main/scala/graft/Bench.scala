@@ -175,7 +175,11 @@ object Bench {
         "q_semantic_dedup",
         // round-9c: encode replays the 8-round trainer (q_bpe_train's
         // generated classes) plus its own fold-of-replaces projection
-        "q_bpe_encode")
+        "q_bpe_encode",
+        // round-12: annpq replays BOTH model fits (IVF + PQ) plus the ADC
+        // scoring join; incr-dedup compiles the banding pipeline twice
+        // (index build + increment probe)
+        "q_annpq_recall", "q_incr_dedup")
       SparkEntry.defs.filter(q => heavy(q.name)).foreach { q =>
         try q.fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case scala.util.control.NonFatal(_) => () } // fatal (OOM etc.) must escape

@@ -14,10 +14,19 @@ import org.apache.spark.sql.functions._
   * pattern, adapted to append-only data):
   *
   * {{{
-  *   root/seg00000/   parquet (id, band, bv)   — first ingested batch
-  *   root/seg00001/   parquet (id, band, bv)   — next batch, ...
-  *   root/_SEGMENTS   newline list of live segment dirs (atomic pointer)
+  *   root/seg00000/bkt=0/…/bkt=63/  parquet (id, band, bv) hash-bucketed
+  *   root/seg00001/bkt=…/           next batch, same bucketing, ...
+  *   root/_SEGMENTS                 newline list of live segments (atomic pointer)
   * }}}
+  *
+  * Segments are PARTITIONED by `bkt = pmod(hash(band, bv), IndexBuckets)`
+  * — every row of one (band, bv) bucket lands in one `bkt=` directory — so
+  * an ingest reads only the index directories whose bkt values its
+  * increment touches (directory-level partition pruning, pinned in
+  * `MaintenanceSpec`). At production scale with a large history and small
+  * increments that is the difference between reading touched buckets and
+  * rescanning the whole index; raise [[IndexBuckets]] with corpus size so
+  * a typical increment touches a minority of buckets.
   *
   * [[ingest]] is write-then-point: the increment's bands land in a new
   * segment directory FIRST, the returned decision frame reads only
@@ -46,6 +55,14 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
+  /** Hash-bucket partitions per segment. A deployment sizes this so one
+    * increment touches a minority of buckets (e.g. 4096 at 10^10 docs);
+    * the value is baked into the on-disk layout, so changing it requires
+    * an index rebuild. */
+  val IndexBuckets = 64
+
+  private def bktCol = pmod(hash(col("band"), col("bv")), lit(IndexBuckets))
+
   private def segFile(root: String): java.nio.file.Path =
     java.nio.file.Paths.get(root).resolve("_SEGMENTS")
 
@@ -57,11 +74,21 @@ object IncrementalDedup {
     else Seq.empty
   }
 
-  /** The stored fingerprint index (id, band, bv), or None before any ingest. */
-  def index(spark: SparkSession, root: String): Option[DataFrame] = {
+  /** The stored fingerprint index (id, band, bv), or None before any
+    * ingest. The physical `bkt` partition column is an internal layout
+    * detail and is projected away here. */
+  def index(spark: SparkSession, root: String): Option[DataFrame] =
+    rawIndex(spark, root).map(_.select("id", "band", "bv"))
+
+  /** Like [[index]] but keeps the `bkt` partition column for pruned reads.
+    * Each segment is its own partitioned table root, so segments load
+    * separately and union (one multi-root read would make partition
+    * discovery reject the conflicting directory structures); pruning
+    * predicates push through the Union into every segment's scan. */
+  private def rawIndex(spark: SparkSession, root: String): Option[DataFrame] = {
     val segs = segments(root)
     if (segs.isEmpty) None
-    else Some(spark.read.parquet(segs.map(sg => s"$root/$sg"): _*))
+    else Some(segs.map(sg => spark.read.parquet(s"$root/$sg")).reduce(_.unionByName(_)))
   }
 
   private def writeAtomic(p: java.nio.file.Path, content: String): Unit = {
@@ -88,11 +115,21 @@ object IncrementalDedup {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     val prior = segments(root)
     val segName = f"seg${prior.size}%05d"
-    incBands.select("id", "band", "bv").write.parquet(s"$root/$segName")
+    incBands.select("id", "band", "bv").withColumn("bkt", bktCol)
+      .write.partitionBy("bkt").parquet(s"$root/$segName")
 
     val inc = spark.read.parquet(s"$root/$segName")
+    // directory-level pruning: the index join only needs the bkt
+    // partitions this increment touches. The touched set is ≤ IndexBuckets
+    // values (model-sized collect), and bkt is a function of (band, bv),
+    // so untouched partitions cannot contain a matching bucket — neither
+    // for the join nor for the flood-guard census.
+    val touched = inc.select("bkt").distinct().collect()
+      .map(r => Integer.valueOf(r.getInt(0))).toSeq
     val stored = if (prior.isEmpty) None
-                 else Some(spark.read.parquet(prior.map(sg => s"$root/$sg"): _*))
+                 else Some(prior.map(sg => spark.read.parquet(s"$root/$sg"))
+                   .reduce(_.unionByName(_))
+                   .where(col("bkt").isin(touched: _*)))
     // one frame, tagged by origin, so the flood-guard census and both join
     // sides share a single computed stage (same discipline as the batch path)
     val all = stored match {

@@ -216,5 +216,12 @@ class MaintenanceSpec extends SparkSpec {
     // the index stores fingerprints only — 3 fixed-width-ish columns, no text
     val idx = IncrementalDedup.index(spark, root).get
     assert(idx.columns.toSeq == Seq("id", "band", "bv"))
+
+    // physical layout: segments are hash-bucketed by (band, bv) into bkt=
+    // partition dirs, the handle that lets an ingest prune the index read
+    // to touched buckets instead of rescanning history
+    val segDirs = new java.io.File(s"$root/seg00000").list().toSeq
+    assert(segDirs.exists(_.startsWith("bkt=")),
+      s"segment not hash-bucket partitioned: $segDirs")
   }
 }
