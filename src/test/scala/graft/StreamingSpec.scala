@@ -1206,4 +1206,58 @@ class StreamingSpec extends SparkSpec {
       winMs(t0 + 900) -> ((2L, 25.0))),
       s"replayed final state diverged: $finalState")
   }
+
+  test("stream-stream range join: replayed pairs reproduce the batch q_range_join") {
+    // ELEVENTH batch↔stream parity pair, and the first stream-stream join:
+    // the watermarked interval self-join emits (error, prior-activity)
+    // pairs in append mode; folding them to per-error counts reproduces
+    // the oracle-gated batch rows exactly.
+    val batch = operators.Temporal.qRangeJoin.fn(spark, sf()).collect()
+      .map(r => r.getAs[Long]("eid") -> r.getAs[Long]("n_prior")).toMap
+    assert(batch.nonEmpty, "degenerate: no range-join rows at sf0.001")
+
+    val evts: Array[(Long, java.sql.Timestamp, Long, String)] =
+      Tables.events(spark, sf())
+      .select("event_id", "ts", "user_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+      .sortBy(_._2.getTime)
+    val maxTs = evts.map(_._2.getTime).max
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)](spark)
+    val q = StreamRangeJoin.pairs(
+        input.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rangejoin").start()
+    // uneven chunks: pairs must match across micro-batch boundaries (an
+    // error in chunk 3 joining activity buffered since chunk 1)
+    evts.grouped(evts.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    // advance BOTH side watermarks past every buffered row's join bound:
+    // sentinels must pass the per-side type filters (doc'd caveat), so one
+    // 'error' and one 'click' on reserved negative user ids 2h ahead —
+    // far outside any real row's 1h window, and they can't pair with each
+    // other (distinct users)
+    input.addData(
+      (-1L, new java.sql.Timestamp(maxTs + 2L * 3600 * 1000), -1L, "error"),
+      (-2L, new java.sql.Timestamp(maxTs + 2L * 3600 * 1000), -2L, "click"))
+    q.processAllAvailable()
+    input.addData(
+      (-3L, new java.sql.Timestamp(maxTs + 3L * 3600 * 1000), -1L, "error"),
+      (-4L, new java.sql.Timestamp(maxTs + 3L * 3600 * 1000), -2L, "click"))
+    q.processAllAvailable()
+    q.stop()
+
+    val pairs = spark.table("rangejoin").collect()
+      .map(r => r.getAs[Long]("eid") -> r.getAs[Long]("aid"))
+      .filter(_._1 >= 0)
+    // append-mode join rows are final: no pair may be emitted twice
+    assert(pairs.length == pairs.distinct.length,
+      s"duplicate pairs emitted: ${pairs.diff(pairs.distinct).take(3)}")
+    val streamed = pairs.groupBy(_._1).map { case (e, ps) => e -> ps.length.toLong }
+    assert(streamed == batch,
+      s"stream/batch mismatch: only-stream=${(streamed.toSet -- batch.toSet).take(3)} " +
+        s"only-batch=${(batch.toSet -- streamed.toSet).take(3)}")
+  }
 }
