@@ -14,12 +14,16 @@ import org.apache.spark.sql.types.IntegerType
   *   --conf spark.sql.extensions=graft.GraftExtensions
   *
   * This is the (c)-tier integration point from SURVEY.md §7.0's preference
-  * order — used here only for function registration; no custom plans or
-  * strategies are needed for this engine's semantics (§4).
+  * order. No custom plans or strategies are needed for the engine's
+  * SEMANTICS (§4) — every operator's meaning is expressible in stock
+  * Catalyst; the one injected optimizer rule ([[graft.plans.MvRewrite]])
+  * is a pure OPTIMIZATION: it routes structurally-matching aggregates to
+  * maintained materialized-view state and never changes results.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(graft.plans.MvRewrite.apply)
     e.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

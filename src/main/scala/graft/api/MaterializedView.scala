@@ -1,0 +1,100 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+
+import graft.plans.MvRewrite
+
+/** Registry pairing an aggregate view DEFINITION (the query whose result
+  * the view always equals) with a READ function returning the maintained
+  * result — kept current by [[graft.streaming.IncrementalAgg]], a
+  * [[refresh]] call, or any external maintainer. [[MvRewrite]] consults
+  * this registry to route structurally-matching queries to the state.
+  *
+  * The registry is session-scoped (weak keys — a GC'd session drops its
+  * entries) because the rewrite rule itself is session-scoped state: the
+  * same JVM may host sessions with and without the rule.
+  */
+object MaterializedView {
+
+  /** `canonicalAgg`: the definition's topmost Aggregate node, fully
+    * optimized then canonicalized — the comparison key MvRewrite uses.
+    * `read()` must return the CURRENT view content with the definition's
+    * output schema (names/types, positional). */
+  final case class Mv(name: String, canonicalAgg: LogicalPlan,
+      read: () => DataFrame)
+
+  private val registry =
+    new java.util.WeakHashMap[SparkSession, Map[String, Mv]]()
+
+  def registered(spark: SparkSession): Seq[Mv] = registry.synchronized {
+    Option(registry.get(spark)).map(_.values.toSeq).getOrElse(Seq.empty)
+  }
+
+  /** Register `definition` under `name` (re-registration overwrites) and
+    * install [[MvRewrite]] into the session's experimental optimizer
+    * batch if absent. The definition is optimized ONCE here, by the same
+    * optimizer that will process user queries — which is what makes
+    * canonical-exact matching sound (both sides see identical rule
+    * effects: column pruning, constant folding, expression normalization).
+    *
+    * Returns false (and registers nothing) if the optimized definition
+    * contains no Aggregate — only aggregate views are rewritable. */
+  def register(spark: SparkSession, name: String, definition: DataFrame,
+      read: () => DataFrame): Boolean = {
+    val optimized = definition.queryExecution.optimizedPlan
+    optimized.collectFirst { case a: Aggregate => a } match {
+      case None => false
+      case Some(agg) =>
+        registry.synchronized {
+          val cur = Option(registry.get(spark)).getOrElse(Map.empty)
+          registry.put(spark, cur + (name -> Mv(name, agg.canonicalized, read)))
+        }
+        ensureRule(spark)
+        true
+    }
+  }
+
+  def unregister(spark: SparkSession, name: String): Unit =
+    registry.synchronized {
+      Option(registry.get(spark)).foreach(cur => registry.put(spark, cur - name))
+    }
+
+  private def ensureRule(spark: SparkSession): Unit =
+    spark.experimental.synchronized {
+      val cur = spark.experimental.extraOptimizations
+      if (!cur.exists(_.isInstanceOf[MvRewrite]))
+        spark.experimental.extraOptimizations = cur :+ MvRewrite(spark)
+    }
+
+  /** Full recompute of `definition` into `dir`, returning a reader of the
+    * stored result — the "CREATE MATERIALIZED VIEW ... REFRESH" face for
+    * when no incremental maintainer applies. Parquet round-trips the
+    * definition's exact schema, so the read-back passes MvRewrite's
+    * positional name/type gate.
+    *
+    * Writes are VERSIONED (v0/v1 alternation + `_CURRENT` pointer, the
+    * [[graft.streaming.IncrementalAgg]] pattern): a re-refresh while the
+    * view is registered would otherwise overwrite the very directory the
+    * rewritten definition plan is reading ("cannot overwrite a path that
+    * is also being read from"). The returned reader resolves the pointer
+    * per call, so it always serves the latest refresh. */
+  def refresh(spark: SparkSession, definition: DataFrame, dir: String)
+      : () => DataFrame = {
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(root)
+    val ptr = root.resolve("_CURRENT")
+    def current: Option[String] =
+      if (java.nio.file.Files.exists(ptr))
+        Some(java.nio.file.Files.readString(ptr).trim).filter(_.nonEmpty)
+      else None
+    val next = if (current.contains("v0")) "v1" else "v0"
+    definition.write.mode("overwrite").parquet(s"$dir/$next")
+    val tmp = ptr.resolveSibling("_CURRENT.tmp")
+    java.nio.file.Files.writeString(tmp, next)
+    java.nio.file.Files.move(tmp, ptr,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    () => spark.read.parquet(s"$dir/${current.getOrElse(next)}")
+  }
+}

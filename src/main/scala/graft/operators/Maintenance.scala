@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.api.MaterializedView
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,6 +72,59 @@ object Maintenance {
         col("m_cnt").as("cnt"),
         round(col("m_sum_qty").cast("double") / col("m_cnt"), 4).as("avg_qty"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Materialized-view query rewrite end-to-end: register an aggregate
+    * view over lineitem, refresh it to stored parquet, then run a
+    * structurally-matching query WITH a group-key filter — the optimizer
+    * ([[graft.plans.MvRewrite]]) must route it to the stored result with
+    * the filter compensated on top, never rescanning lineitem. The fn
+    * THROWS if the rewrite did not fire, so this oracle row gates the
+    * rewritten path: DuckDB recomputes the aggregate from scratch and the
+    * hash-compare proves the state-served answer identical.
+    *
+    * Scale rationale: this is the read path of IVM — at 100 TB the
+    * rewrite turns a cluster-wide scan into a model-sized state read;
+    * maintenance cost is o(delta) via [[graft.streaming.IncrementalAgg]]
+    * (whose state also serves as `read()` — pinned in MaintenanceSpec). */
+  val qMvRewrite: QueryDef = QueryDef.sql(
+    "q_mv_rewrite",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+      |       count(*) AS cnt,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_qty
+      |FROM lineitem
+      |WHERE l_returnflag <> 'N'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    // fresh instance per call: registration and query carry DIFFERENT
+    // expression ids, so the match below is genuinely canonical-structural
+    def defn: DataFrame = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(dsum(col("l_quantity")).cast("double"), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        round(dsum(col("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"))
+    val stateDir = s"${sys.props("java.io.tmpdir")}/graft-mv/" +
+      s"${java.lang.Integer.toHexString(d.hashCode)}/lineitem_qty"
+    // deregister before refreshing: the refresh must recompute from the
+    // base table, not route through a previous registration of itself
+    MaterializedView.unregister(s, s"mv_lineitem_qty@$d")
+    val read = MaterializedView.refresh(s, defn, stateDir)
+    MaterializedView.register(s, s"mv_lineitem_qty@$d", defn, read)
+    val q = defn.where(col("l_returnflag") =!= "N")
+      .orderBy("l_returnflag", "l_linestatus")
+    val usesState = q.queryExecution.optimizedPlan.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains("graft-mv"))
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!usesState) throw new IllegalStateException(
+      "q_mv_rewrite: MvRewrite did not fire — plan still scans lineitem")
+    q
   }
 
   /** SCD type-2 build: per-customer order-status history as effective-dated
@@ -362,5 +417,6 @@ object Maintenance {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qIncrAgg, qScd2, qMergeUpsert, qPitEnrich, qIncrJoin, qDqChecks)
+    qIncrAgg, qScd2, qMergeUpsert, qPitEnrich, qIncrJoin, qDqChecks,
+    qMvRewrite)
 }

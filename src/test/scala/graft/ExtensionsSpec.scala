@@ -53,6 +53,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(si == Seq(3L, 5L))
   }
 
+  test("mv rewrite rule active in an extensions-built session") {
+    import graft.api.MaterializedView
+    import org.apache.spark.sql.functions._
+    // the --conf spark.sql.extensions path: the injected optimizer rule
+    // (not the experimental-batch fallback) must route a matching query
+    val s: SparkSession = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .create()
+    val li = Tables.lineitem(s, sf())
+    def defn = li.groupBy("l_linestatus").agg(count(lit(1)).as("cnt"))
+    val dir = java.nio.file.Files.createTempDirectory("mv-ext").toString
+    val read = MaterializedView.refresh(s, defn, s"$dir/state")
+    // register WITHOUT ensureRule side effects mattering: the injected
+    // rule consults the same registry
+    assert(MaterializedView.register(s, "mv_ext", defn, read))
+    try {
+      val q = defn
+      val scans = q.queryExecution.optimizedPlan.exists {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains("mv-ext"))
+            case _ => false
+          }
+        case _ => false
+      }
+      assert(scans, "extensions-built session did not rewrite to mv state")
+      assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        read().collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    } finally MaterializedView.unregister(s, "mv_ext")
+  }
+
   test("sliding windows over the delay stream (batch analog)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

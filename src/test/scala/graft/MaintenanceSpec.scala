@@ -224,4 +224,107 @@ class MaintenanceSpec extends SparkSpec {
     assert(segDirs.exists(_.startsWith("bkt=")),
       s"segment not hash-bucket partitioned: $segDirs")
   }
+
+  /** Does the optimized plan read a parquet relation under `marker`? */
+  private def scansState(df: org.apache.spark.sql.DataFrame, marker: String): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains(marker))
+          case _ => false
+        }
+      case _ => false
+    }
+
+  test("mv rewrite: matching aggregates route to state; near-misses never do") {
+    import graft.api.MaterializedView
+    val li = Tables.lineitem(spark, sf())
+    def aggs = Seq(
+      round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).as("sum_qty"),
+      count(lit(1)).as("cnt"))
+    def defn = li.groupBy("l_returnflag", "l_linestatus").agg(aggs.head, aggs.tail: _*)
+    val dir = java.nio.file.Files.createTempDirectory("mv-exact").toString
+    val read = MaterializedView.refresh(spark, defn, s"$dir/state")
+    val expected = read().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(MaterializedView.register(spark, "mv_spec_exact", defn, read))
+    try {
+      // exact structural match (fresh expr ids) → state scan, same rows
+      val q1 = defn
+      assert(scansState(q1, "mv-exact"), "exact match did not rewrite")
+      assert(q1.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet == expected)
+
+      // group-key filter above the agg: Catalyst pushes it below; the
+      // rewrite must compensate it above the state scan
+      val q2 = defn.where(col("l_returnflag") === "A")
+      assert(scansState(q2, "mv-exact"), "key-filter query did not rewrite")
+      assert(q2.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet ==
+        expected.filter(_._1 == "A"))
+
+      // SOUNDNESS: a filter on a NON-key column also gets pushed below the
+      // aggregate — stripping it would make the tree match the definition,
+      // but the rewrite must refuse (the filter changes the aggregated set)
+      val q3 = li.where(col("l_quantity") > 25)
+        .groupBy("l_returnflag", "l_linestatus").agg(aggs.head, aggs.tail: _*)
+      assert(!scansState(q3, "mv-exact"), "UNSOUND: non-key filter rewritten")
+      // and a different grouping is simply not a match
+      val q4 = li.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+      assert(!scansState(q4, "mv-exact"), "different grouping rewritten")
+
+      // drift guard: a view whose read-back schema no longer matches the
+      // definition must NOT rewrite (queries stay correct via the base)
+      def defn2 = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(max(col("l_quantity")).as("max_qty"))
+      assert(MaterializedView.register(spark, "mv_spec_drift", defn2,
+        () => read().selectExpr("l_returnflag", "l_linestatus", "cnt as max_qty")))
+      val q5 = defn2
+      assert(!scansState(q5, "mv-exact"), "drifted schema rewritten")
+      assert(q5.collect().nonEmpty)
+    } finally {
+      MaterializedView.unregister(spark, "mv_spec_exact")
+      MaterializedView.unregister(spark, "mv_spec_drift")
+    }
+  }
+
+  test("mv rewrite: IncrementalAgg maintained state serves matching queries") {
+    import graft.api.MaterializedView
+    import graft.streaming.IncrementalAgg
+    val root = java.nio.file.Files.createTempDirectory("mv-incr").toString
+    val ev = Tables.events(spark, sf()).select(col("event_type"), col("value"))
+    // maintain the state in two increments — the IVM write path
+    IncrementalAgg.applyBatch(ev.where(crc32(col("event_type")) % 2 === 0),
+      batchId = 0L, root, col("event_type"), col("value"))
+    IncrementalAgg.applyBatch(ev.where(crc32(col("event_type")) % 2 === 1),
+      batchId = 1L, root, col("event_type"), col("value"))
+    // the definition whose result the maintained view equals — schema
+    // matches IncrementalAgg.view positionally: (grp, sum_v, cnt, avg_v)
+    def defn = Tables.events(spark, sf())
+      .groupBy(col("event_type").as("grp"))
+      .agg(
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_v"),
+        count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)), 4)
+          .as("avg_v"))
+    assert(MaterializedView.register(spark, "mv_spec_incr", defn,
+      () => IncrementalAgg.view(spark, root).get))
+    try {
+      val q = defn
+      assert(scansState(q, "mv-incr"), "query did not route to the IVM state")
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = IncrementalAgg.view(spark, root).get.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == batch, "state-served rows diverge from the maintained view")
+      assert(got.nonEmpty)
+      // end-to-end: unregistered, the same query recomputes from the base
+      // table — values must agree with what the state served
+      MaterializedView.unregister(spark, "mv_spec_incr")
+      val base = defn.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == base, "state-served rows diverge from the base recompute")
+    } finally MaterializedView.unregister(spark, "mv_spec_incr")
+  }
 }
