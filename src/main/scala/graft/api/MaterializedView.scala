@@ -18,11 +18,14 @@ import graft.plans.MvRewrite
 object MaterializedView {
 
   /** `canonicalAgg`: the definition's topmost Aggregate node, fully
-    * optimized then canonicalized — the comparison key MvRewrite uses.
-    * `read()` must return the CURRENT view content with the definition's
-    * output schema (names/types, positional). */
+    * optimized then canonicalized — the comparison key MvRewrite uses for
+    * exact matches. `defAgg` is the same node with its original
+    * attributes, which the roll-up path needs to relate definition
+    * columns to state columns. `read()` must return the CURRENT view
+    * content with the definition's output schema (names/types,
+    * positional). */
   final case class Mv(name: String, canonicalAgg: LogicalPlan,
-      read: () => DataFrame)
+      defAgg: Aggregate, read: () => DataFrame)
 
   private val registry =
     new java.util.WeakHashMap[SparkSession, Map[String, Mv]]()
@@ -48,7 +51,7 @@ object MaterializedView {
       case Some(agg) =>
         registry.synchronized {
           val cur = Option(registry.get(spark)).getOrElse(Map.empty)
-          registry.put(spark, cur + (name -> Mv(name, agg.canonicalized, read)))
+          registry.put(spark, cur + (name -> Mv(name, agg.canonicalized, agg, read)))
         }
         ensureRule(spark)
         true

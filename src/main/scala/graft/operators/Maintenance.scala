@@ -127,6 +127,74 @@ object Maintenance {
     q
   }
 
+  /** Roll-up face of the MV rewrite: the view stores RAW per-group
+    * partials (decimal sums + count — exactly [[graft.streaming
+    * .IncrementalAgg]]'s state shape) keyed by (returnflag, linestatus);
+    * the query groups by returnflag ONLY, with a filter on the OTHER view
+    * key. [[graft.plans.MvRewrite]] must derive it entirely from the
+    * partials: sum → sum-of-sums, count(*) → sum(cnt), derived avg via
+    * its re-mapped pieces, the filter compensated BELOW the re-aggregate
+    * (sound: view groups partition the rows). The fn throws unless the
+    * roll-up fired; DuckDB recomputes from the base rows.
+    *
+    * Scale rationale: one stored partial table serves every coarser
+    * grouping — the aggregation-pushdown story at 100 TB is O(|groups|)
+    * per query, not O(corpus), for the whole dimension lattice above the
+    * stored keys. */
+  val qMvRollup: QueryDef = QueryDef.sql(
+    "q_mv_rollup",
+    """SELECT l_returnflag,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+      |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_rev,
+      |       count(*) AS cnt,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_qty
+      |FROM lineitem
+      |WHERE l_linestatus = 'F'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    def partialsDef: DataFrame = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("p_sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("p_sum_rev"),
+        count(lit(1)).as("p_cnt"))
+    val stateDir = s"${sys.props("java.io.tmpdir")}/graft-mv/" +
+      s"${java.lang.Integer.toHexString(d.hashCode)}/lineitem_partials"
+    MaterializedView.unregister(s, s"mv_lineitem_partials@$d")
+    val read = MaterializedView.refresh(s, partialsDef, stateDir)
+    MaterializedView.register(s, s"mv_lineitem_partials@$d", partialsDef, read)
+    val q = Tables.lineitem(s, d)
+      .where(col("l_linestatus") === "F")
+      .groupBy("l_returnflag")
+      .agg(
+        round(dsum(col("l_quantity")).cast("double"), 2).as("sum_qty"),
+        round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("double"), 2).as("sum_rev"),
+        count(lit(1)).as("cnt"),
+        round(dsum(col("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"))
+      .orderBy("l_returnflag")
+    val plan = q.queryExecution.optimizedPlan
+    val usesState = plan.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains("graft-mv"))
+        case _ => false
+      }
+      case _ => false
+    }
+    val scansBase = plan.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains("lineitem.parquet"))
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!usesState || scansBase) throw new IllegalStateException(
+      "q_mv_rollup: roll-up did not fire — plan still scans lineitem")
+    q
+  }
+
   /** SCD type-2 build: per-customer order-status history as effective-dated
     * intervals. Change detection via `lag` (keep a row only when the status
     * differs from the previous one), interval close via `lead` over the
@@ -418,5 +486,5 @@ object Maintenance {
 
   val all: Seq[QueryDef] = Seq(
     qIncrAgg, qScd2, qMergeUpsert, qPitEnrich, qIncrJoin, qDqChecks,
-    qMvRewrite)
+    qMvRewrite, qMvRollup)
 }

@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BoundReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -52,7 +53,9 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         val candidate = agg.copy(child = stripped)
         mvs.find(_.canonicalAgg == candidate.canonicalized) match {
           case Some(mv) => rewrite(agg, conds, mv).getOrElse(agg)
-          case None => agg
+          case None =>
+            mvs.view.flatMap(mv => rollup(agg, conds, stripped, mv))
+              .headOption.getOrElse(agg)
         }
     }
   }
@@ -114,5 +117,150 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(guarded)
       }
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Roll-up rewrite: the user groups by a SUBSET of the view's keys (or
+  // none), and every output is derivable by RE-AGGREGATING the stored
+  // per-group partials: sum(x) → sum(view.sum_x), count(*) → sum(view
+  // .cnt), min/max(x) → min/max(view.minmax_x), group keys → view key
+  // columns. This is only sound because the view's groups PARTITION the
+  // source rows — any coarser grouping is a disjoint union of stored
+  // groups. Refused loudly-by-absence for anything outside that algebra:
+  // DISTINCT aggregates (not unionable from partials), FILTER clauses,
+  // avg/stddev as opaque functions (derived avg = sum/count re-maps fine
+  // because its pieces do), aggregates of expressions the view didn't
+  // store, filters on non-key columns. The final output-type gate also
+  // rejects derivations that widen a type (e.g. a bare re-summed DECIMAL
+  // gains precision; under a cast — the house style — it stays identical).
+  // ---------------------------------------------------------------------
+
+  /** Normalize `e` against `out` by replacing each attribute with its
+    * ordinal — comparable across plans whose children are canonically
+    * equal. None if `e` references anything outside `out`. */
+  private def normalize(e: Expression, out: Seq[Attribute]): Option[Expression] = {
+    val pos = out.map(_.exprId).zipWithIndex.toMap
+    var ok = true
+    val n = e.transform {
+      case a: AttributeReference => pos.get(a.exprId) match {
+        case Some(i) => BoundReference(i, a.dataType, nullable = true)
+        case None => ok = false; a
+      }
+    }
+    if (ok) Some(n.canonicalized) else None
+  }
+
+  private def isCountStar(c: Count): Boolean = c.children match {
+    case Seq(l: Literal) => l.value != null
+    case _ => false
+  }
+
+  /** The plan beneath any alias-free projections — column pruning sizes
+    * those differently per query (the user side keeps filter-only columns
+    * the definition never needed), so roll-up matching compares BASES and
+    * normalizes expressions against base outputs, where canonical
+    * equality makes positions correspond 1:1. */
+  private def baseOf(p: LogicalPlan): LogicalPlan = p match {
+    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      baseOf(pr.child)
+    case other => other
+  }
+
+  private def rollup(agg: Aggregate, conds: Seq[Expression],
+      stripped: LogicalPlan, mv: MaterializedView.Mv): Option[LogicalPlan] = {
+    val defAgg = mv.defAgg
+    // a definition with its own filters would make base comparison unsound
+    // (stripping user filters could "match" a differently-filtered view)
+    val (dConds, dStripped) = splitFilters(defAgg.child)
+    if (dConds.nonEmpty) return None
+    val ucBase = baseOf(stripped)
+    val dcBase = baseOf(dStripped)
+    if (ucBase.canonicalized != dcBase.canonicalized) return None
+    val readPlan = mv.read().queryExecution.analyzed
+    val defOut = defAgg.output
+    if (readPlan.output.length != defOut.length ||
+        !defOut.zip(readPlan.output).forall { case (o, n) =>
+          o.dataType == n.dataType && o.name.equalsIgnoreCase(n.name) })
+      return None // state schema drifted — same gate as the exact path
+
+    // catalog what the view stored, keyed by expressions normalized
+    // against each side's OWN base output (comparable: bases match)
+    val dcOut = dcBase.output
+    val ucOut = ucBase.output
+    def defCol(i: Int): Attribute = readPlan.output(i)
+    val keys = scala.collection.mutable.Map.empty[Expression, Int]
+    val sums = scala.collection.mutable.Map.empty[Expression, Int]
+    val mins = scala.collection.mutable.Map.empty[Expression, Int]
+    val maxs = scala.collection.mutable.Map.empty[Expression, Int]
+    var cnt: Option[Int] = None
+    defAgg.aggregateExpressions.zipWithIndex.foreach {
+      case (a: AttributeReference, i) =>
+        normalize(a, dcOut).foreach(keys(_) = i)
+      case (Alias(ae: AggregateExpression, _), i)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case s: Sum => normalize(s.child, dcOut).foreach(sums(_) = i)
+          case m: Min => normalize(m.child, dcOut).foreach(mins(_) = i)
+          case m: Max => normalize(m.child, dcOut).foreach(maxs(_) = i)
+          case c: Count if isCountStar(c) => cnt = Some(i)
+          case _ => ()
+        }
+      case (Alias(e, _), i) if !e.exists(_.isInstanceOf[AggregateExpression]) =>
+        normalize(e, dcOut).foreach(keys(_) = i) // complex/aliased group key
+      case _ => ()
+    }
+
+    // remap one user expression onto the state columns; None = underivable
+    def remap(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression if ae.isDistinct || ae.filter.isDefined =>
+        None
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case s: Sum => normalize(s.child, ucOut).flatMap(sums.get).map(i =>
+          ae.copy(aggregateFunction = s.copy(child = defCol(i)),
+            resultId = NamedExpression.newExprId))
+        case c: Count if isCountStar(c) => cnt.map(i =>
+          ae.copy(aggregateFunction = Sum(defCol(i)),
+            resultId = NamedExpression.newExprId))
+        case m: Min => normalize(m.child, ucOut).flatMap(mins.get).map(i =>
+          ae.copy(aggregateFunction = Min(defCol(i)),
+            resultId = NamedExpression.newExprId))
+        case m: Max => normalize(m.child, ucOut).flatMap(maxs.get).map(i =>
+          ae.copy(aggregateFunction = Max(defCol(i)),
+            resultId = NamedExpression.newExprId))
+        case _ => None
+      }
+      case a: AttributeReference =>
+        normalize(a, ucOut).flatMap(keys.get).map(defCol)
+      case other =>
+        val kids = other.children.map(remap)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+
+    val newGrouping = agg.groupingExpressions.map(remap)
+    val newAggs = agg.aggregateExpressions.map {
+      case al @ Alias(child, name) =>
+        remap(child).map(n => Alias(n, name)(exprId = al.exprId,
+          qualifier = al.qualifier))
+      case a: AttributeReference =>
+        remap(a).map(n => Alias(n, a.name)(exprId = a.exprId,
+          qualifier = a.qualifier))
+      case _ => None
+    }
+    val newConds = conds.map(remap) // key-only filters drop below the re-agg
+    if ((newGrouping ++ newAggs ++ newConds).exists(_.isEmpty)) return None
+
+    val source = newConds.map(_.get).reduceOption(And) match {
+      case Some(cond) => Filter(cond, readPlan)
+      case None => readPlan
+    }
+    val rolled = Aggregate(newGrouping.map(_.get),
+      newAggs.map(_.get.asInstanceOf[NamedExpression]), source)
+    // type gate: a derivation that widens any output type is refused
+    if (rolled.output.zip(agg.output).forall { case (n, o) =>
+        n.dataType == o.dataType }) {
+      logInfo(s"mv ${mv.name}: rolled up aggregate onto maintained partials")
+      Some(rolled)
+    } else None
   }
 }

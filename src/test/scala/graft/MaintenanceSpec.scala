@@ -289,6 +289,54 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("mv rollup: subset groupings re-aggregate stored partials; unsound shapes refused") {
+    import graft.api.MaterializedView
+    val li = Tables.lineitem(spark, sf())
+    def partials = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,6)")).as("p_sum_qty"),
+        min(col("l_quantity")).as("p_min_qty"),
+        max(col("l_quantity")).as("p_max_qty"),
+        count(lit(1)).as("p_cnt"))
+    // the query shapes under test, built fresh each call
+    def qSubset = li.groupBy("l_linestatus").agg(
+      round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).as("s"),
+      min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx"),
+      count(lit(1)).as("c"))
+    def qGlobal = li.agg(count(lit(1)).as("c"),
+      round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).as("s"))
+    def qFiltered = li.where(col("l_returnflag") === "A").groupBy("l_linestatus")
+      .agg(count(lit(1)).as("c"))
+    def qDistinct = li.groupBy("l_linestatus")
+      .agg(countDistinct(col("l_quantity")).as("c"))
+    def qUnstored = li.groupBy("l_linestatus")
+      .agg(round(sum(col("l_tax").cast("decimal(18,6)")).cast("double"), 2).as("s"))
+    def qAvgDirect = li.groupBy("l_linestatus").agg(avg(col("l_quantity")).as("a"))
+    def qNonKeyFilter = li.where(col("l_quantity") > 25).groupBy("l_linestatus")
+      .agg(count(lit(1)).as("c"))
+
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf(_)).mkString("|")
+    // ground truth BEFORE registration (everything scans the base table)
+    val truth = Seq(qSubset, qGlobal, qFiltered, qDistinct, qUnstored,
+      qAvgDirect, qNonKeyFilter).map(_.collect().map(key).toSet)
+
+    val dir = java.nio.file.Files.createTempDirectory("mv-rollup").toString
+    val read = MaterializedView.refresh(spark, partials, s"$dir/state")
+    assert(MaterializedView.register(spark, "mv_spec_rollup", partials, read))
+    try {
+      val rolled = Seq(qSubset, qGlobal, qFiltered)
+      val refused = Seq(qDistinct, qUnstored, qAvgDirect, qNonKeyFilter)
+      rolled.zip(truth.take(3)).zipWithIndex.foreach { case ((q, t), i) =>
+        assert(scansState(q, "mv-rollup"), s"rollup case $i did not fire")
+        assert(q.collect().map(key).toSet == t, s"rollup case $i wrong rows")
+      }
+      refused.zip(truth.drop(3)).zipWithIndex.foreach { case ((q, t), i) =>
+        assert(!scansState(q, "mv-rollup"), s"UNSOUND: refused case $i rewritten")
+        assert(q.collect().map(key).toSet == t, s"refused case $i wrong rows")
+      }
+    } finally MaterializedView.unregister(spark, "mv_spec_rollup")
+  }
+
   test("mv rewrite: IncrementalAgg maintained state serves matching queries") {
     import graft.api.MaterializedView
     import graft.streaming.IncrementalAgg
