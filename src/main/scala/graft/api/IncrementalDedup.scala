@@ -110,11 +110,22 @@ object IncrementalDedup {
     * entirely parquet-backed — evaluating it later (or never: an initial
     * history bootstrap can ignore it and pay only the segment write) is
     * safe regardless of subsequent ingests. */
+  /** Next unused segment name: one past the highest `seg*` directory ON
+    * DISK — not the live-list length, because [[compactIndex]] shrinks the
+    * list while orphan directories linger until [[vacuum]], and a name
+    * collision with an orphan would fail the ingest write. */
+  private def nextSegName(root: String): String = {
+    val existing = Option(new java.io.File(root).list())
+      .getOrElse(Array.empty[String]).filter(_.matches("seg\\d{5}"))
+    val next = if (existing.isEmpty) 0 else existing.map(_.drop(3).toInt).max + 1
+    f"seg$next%05d"
+  }
+
   def ingest(spark: SparkSession, root: String, incBands: DataFrame,
       maxBucket: Int = 10000): DataFrame = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     val prior = segments(root)
-    val segName = f"seg${prior.size}%05d"
+    val segName = nextSegName(root)
     // cluster by bkt before the partitioned write: without it every write
     // task emits one file PER bucket it holds (tasks × buckets files — ~2k
     // tiny files per segment at 32 shuffle partitions; measured 28s/query
@@ -159,5 +170,55 @@ object IncrementalDedup {
 
     writeAtomic(segFile(root), (prior :+ segName).mkString("\n"))
     decisions
+  }
+
+  /** Compact all live segments into ONE consolidated segment and point
+    * `_SEGMENTS` at it. Pure layout maintenance: the merged segment holds
+    * exactly the union of the live rows (same `bkt` values — `bkt` is a
+    * function of the data, so no re-hash), and every subsequent ingest
+    * decision is unchanged — `q_incr_dedup` runs a compact MID-SEQUENCE
+    * and still hash-matches the whole-corpus oracle.
+    *
+    * Why it matters at scale: without compaction an ingest-per-hour index
+    * accumulates one directory tree per ingest, and a pruned read costs
+    * O(#segments) file opens per touched bucket. Compacted, each `bkt=`
+    * directory holds ONE file again, so pruned-read cost returns to
+    * O(touched buckets) no matter how many ingests preceded. Same
+    * write-then-point discipline as [[ingest]]: readers see the old or the
+    * new list, never a torn one. Old directories become orphans — still
+    * readable by decision frames created BEFORE the compact — and are
+    * reclaimed later by [[vacuum]]; production maps this to a retention
+    * window (vacuum only segments older than the longest-running reader).
+    *
+    * Returns the new segment name, or None when ≤1 segment is live. */
+  def compactIndex(spark: SparkSession, root: String): Option[String] = {
+    val prior = segments(root)
+    if (prior.size <= 1) return None
+    val segName = nextSegName(root)
+    prior.map(sg => spark.read.parquet(s"$root/$sg")).reduce(_.unionByName(_))
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").parquet(s"$root/$segName")
+    writeAtomic(segFile(root), segName)
+    Some(segName)
+  }
+
+  /** Delete segment directories no longer referenced by `_SEGMENTS` (the
+    * orphans left by [[compactIndex]] or by a crash between segment write
+    * and pointer advance). Destroys data that lazy decision frames created
+    * before the compact may still reference — run it only after those are
+    * evaluated (production: after a retention window). Returns the deleted
+    * segment names. */
+  def vacuum(root: String): Seq[String] = {
+    val live = segments(root).toSet
+    val dir = java.nio.file.Paths.get(root)
+    val orphans = Option(dir.toFile.list()).getOrElse(Array.empty[String])
+      .filter(n => n.matches("seg\\d{5}") && !live.contains(n)).toSeq.sorted
+    orphans.foreach { n =>
+      val stream = java.nio.file.Files.walk(dir.resolve(n))
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally stream.close()
+    }
+    orphans
   }
 }

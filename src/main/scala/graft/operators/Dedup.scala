@@ -286,6 +286,11 @@ object Dedup {
     graft.api.IncrementalDedup.ingest(s, root, bands(col("id") < 1000000L))
     val d1 = graft.api.IncrementalDedup.ingest(s, root,
       bands(col("id") >= 1000000L && col("id") < 2000000L))
+    // compact mid-sequence: the second wave decides against the merged
+    // segment — layout maintenance must not change one decision, which
+    // this oracle row now gates. No vacuum here: d1 is lazy and still
+    // reads the pre-compact directories (see IncrementalDedup.vacuum).
+    graft.api.IncrementalDedup.compactIndex(s, root)
     val d2 = graft.api.IncrementalDedup.ingest(s, root, bands(col("id") >= 2000000L))
     d1.unionByName(d2).orderBy("doc_id")
   }

@@ -225,6 +225,59 @@ class MaintenanceSpec extends SparkSpec {
       s"segment not hash-bucket partitioned: $segDirs")
   }
 
+  test("incr_dedup lifecycle: compaction changes no decision, vacuum reclaims orphans") {
+    import graft.api.{IncrementalDedup, TextDedup}
+    import graft.operators.Corpora
+    val root = java.nio.file.Files.createTempDirectory("incr-dedup-compact").toString
+    val hashes = Corpora.shingleHashes(spark, sf()).withColumnRenamed("doc_id", "id")
+    def bands(cond: org.apache.spark.sql.Column) = TextDedup.minhashBands(hashes.where(cond))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
+    def idxRows() = IncrementalDedup.index(spark, root).get.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+
+    val hist = col("id") < 1000000L
+    val b1 = col("id") >= 1000000L && col("id") < 2000000L
+    val b2 = col("id") >= 2000000L
+
+    // control run with NO compaction, for decision parity
+    val ctrl = java.nio.file.Files.createTempDirectory("incr-dedup-ctrl").toString
+    IncrementalDedup.ingest(spark, ctrl, bands(hist))
+    IncrementalDedup.ingest(spark, ctrl, bands(b1)).collect()
+    val ctrlD2 = rows(IncrementalDedup.ingest(spark, ctrl, bands(b2)))
+
+    IncrementalDedup.ingest(spark, root, bands(hist))
+    val d1 = IncrementalDedup.ingest(spark, root, bands(b1))
+    val d1Rows = rows(d1) // force BEFORE compact: frames may be evaluated any time
+    val before = idxRows()
+
+    // compact: one live segment, same content, next name past the orphans
+    assert(IncrementalDedup.compactIndex(spark, root).contains("seg00002"))
+    assert(IncrementalDedup.segments(root) == Seq("seg00002"))
+    assert(idxRows() == before, "compaction changed the stored fingerprints")
+    // every bkt= dir of the compacted segment holds exactly one data file
+    val bktDirs = new java.io.File(s"$root/seg00002").listFiles()
+      .filter(_.getName.startsWith("bkt="))
+    assert(bktDirs.nonEmpty && bktDirs.forall(
+      _.listFiles().count(f => f.getName.endsWith(".parquet")) == 1),
+      "compacted segment must hold one file per bucket")
+
+    // pre-compact frame still readable (orphans intact), decisions stable
+    assert(rows(d1) == d1Rows, "pre-compact decision frame broke after compaction")
+    // post-compact ingest: name continues past orphans, decisions ≡ control
+    val d2 = IncrementalDedup.ingest(spark, root, bands(b2))
+    assert(IncrementalDedup.segments(root) == Seq("seg00002", "seg00003"))
+    assert(rows(d2) == ctrlD2, "post-compact decisions diverge from the uncompacted run")
+
+    // vacuum: orphans deleted, live segments and index content untouched
+    assert(IncrementalDedup.vacuum(root) == Seq("seg00000", "seg00001"))
+    assert(new java.io.File(root).list().count(_.startsWith("seg")) == 2)
+    val b2Bands = bands(b2).select("id", "band", "bv").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    assert(idxRows() == (before ++ b2Bands).sorted,
+      "post-vacuum index must be exactly pre-compact content + wave-2 bands")
+  }
+
   /** Does the optimized plan read a parquet relation under `marker`? */
   private def scansState(df: org.apache.spark.sql.DataFrame, marker: String): Boolean =
     df.queryExecution.optimizedPlan.exists {
