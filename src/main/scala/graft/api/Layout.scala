@@ -103,6 +103,21 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** [[writeBucketed]] with an explicit external location, for callers
+    * that manage their own state directory instead of the session
+    * warehouse (e.g. the oracle-gated `q_smb_join` transaction). */
+  def writeBucketedAt(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets $buckets")
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
   /** Hive-style partitioned layout (`outDir/col=value/...`): the
     * directory-level pruning primitive every date-partitioned 100 TB fact
     * table relies on — a query filtering on the partition column never

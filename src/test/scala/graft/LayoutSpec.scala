@@ -133,6 +133,28 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("q_smb_join: self-gate passes and result equals the plain join") {
+    val got = operators.LayoutOps.qSmbJoin.fn(spark, sf()).collect()
+    val exp = Tables.lineitem(spark, sf())
+      .join(Tables.orders(spark, sf()), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority").collect()
+    assert(got.toSeq == exp.toSeq, "bucket-routed join diverged from the plain join")
+  }
+
+  test("q_partition_prune: self-gate passes and rows equal the flat filter") {
+    val got = operators.LayoutOps.qPartitionPrune.fn(spark, sf()).collect()
+    val ev = Tables.events(spark, sf())
+    val minDay = ev.agg(min(to_date(date_trunc("day", col("ts"))))).first().getDate(0)
+    val exp = ev.where(to_date(date_trunc("day", col("ts"))) === lit(minDay))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .orderBy("event_id").collect()
+    assert(got.toSeq == exp.toSeq, "pruned read diverged from the flat filtered scan")
+  }
+
   test("partitioned layout: partition filter prunes directories, not just rows") {
     val dir = java.nio.file.Files.createTempDirectory("part-layout").toString + "/events"
     val ev = Tables.events(spark, sf())
