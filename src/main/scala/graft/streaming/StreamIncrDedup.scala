@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.api.{IncrementalDedup, TextDedup}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming face of the persisted-index incremental dedup — the twelfth
+  * batch↔stream parity pair: each micro-batch of arriving documents is
+  * fingerprinted to MinHash bands and ingested against the parquet band
+  * index via [[IncrementalDedup.ingest]]; per-document keep/drop
+  * decisions land in the sink directory, fingerprints append as a new
+  * index segment. StreamingSpec pins the decisions ≡ running the same
+  * waves through the batch `q_incr_dedup` path.
+  *
+  * This is the LAKEHOUSE continuous-dedup pattern — a durable parquet
+  * index that survives restarts and is shared with batch jobs —
+  * complementing [[StreamDedup]]'s state-store pattern (RocksDB
+  * fingerprints with an event-time horizon). Use the state store when
+  * the dedup horizon is bounded and latency is tight; use the persisted
+  * index when history is unbounded and batch + streaming ingest must
+  * agree on one fingerprint store.
+  *
+  * Exactly-once under replay: a crash re-invokes foreachBatch with the
+  * SAME batchId. The `_BATCHES` ledger (same atomic write-then-point
+  * discipline as the segment list) makes a completed batch's re-delivery
+  * a no-op. A crash INSIDE the window — segment pointer advanced, ledger
+  * not yet — re-ingests the batch, double-appending its fingerprints;
+  * that bloats the index (until [[IncrementalDedup.compactIndex]]) but
+  * provably changes NO decision: duplicate (id, band, bv) rows are
+  * invisible to the strict `x.id < y.id` match and the
+  * `count_distinct(x.id)` census. The spec pins both properties.
+  */
+object StreamIncrDedup {
+
+  private def ledgerFile(root: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root).resolve("_BATCHES")
+
+  /** Batch ids whose ingest completed (decisions written, segment live). */
+  def appliedBatches(root: String): Set[Long] = {
+    val p = ledgerFile(root)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).linesIterator
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+    else Set.empty
+  }
+
+  private def recordBatch(root: String, batchId: Long): Unit = {
+    val p = ledgerFile(root)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    val all = (appliedBatches(root) + batchId).toSeq.sorted
+    java.nio.file.Files.writeString(tmp, all.mkString("\n"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** One micro-batch transaction: fingerprint → ingest → write decisions
+    * (forcing their evaluation against the pre-append index) → ledger.
+    * Re-delivery of a recorded batchId is a no-op. Public so the spec can
+    * replay batch ids without driving a real restart. */
+  def ingestBatch(spark: SparkSession, root: String, outDir: String,
+      batch: Dataset[DocEvent], batchId: Long, maxBucket: Int = 10000): Unit = {
+    if (appliedBatches(root).contains(batchId)) return
+    val hashes = TextDedup.shingleHashes(batch.toDF(), col("doc_id"), col("text"), n = 3)
+    val decisions = IncrementalDedup.ingest(spark, root,
+      TextDedup.minhashBands(hashes), maxBucket)
+    decisions.withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(outDir)
+    recordBatch(root, batchId)
+  }
+
+  /** The continuous pipeline: documents in, decision parquet out, index
+    * maintained as a side effect. Checkpointed like any structured
+    * stream; on restart the ledger skips re-delivered batches. */
+  def run(spark: SparkSession, docs: Dataset[DocEvent], root: String,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[DocEvent], batchId: Long) =>
+        ingestBatch(batch.sparkSession, root, outDir, batch, batchId)
+      }
+      .start()
+}
