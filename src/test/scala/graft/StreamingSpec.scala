@@ -1261,6 +1261,40 @@ class StreamingSpec extends SparkSpec {
       "double-append changed a decision")
   }
 
+  test("streaming incremental dedup: restart from checkpoint continues, index and decisions complete") {
+    import graft.api.IncrementalDedup
+    val root = Files.createTempDirectory("sid-rst-idx").toString
+    val out = Files.createTempDirectory("sid-rst-out").toString + "/decisions"
+    val ckpt = Files.createTempDirectory("sid-rst-ckpt").toString
+
+    def doc(id: Long, text: String) = DocEvent(id, new java.sql.Timestamp(id * 1000), text)
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val input = MemoryStream[DocEvent](spark)
+    def start() = StreamIncrDedup.run(spark, input.toDS(), root, out, ckpt)
+
+    // run 1: two waves commit, then the query dies
+    val q1 = start()
+    input.addData(doc(1, t1), doc(2, "one two three four five six seven"))
+    q1.processAllAvailable()
+    input.addData(doc(10, t1)) // exact copy — must drop
+    q1.processAllAvailable()
+    q1.stop()
+
+    // run 2 from the same checkpoint: a new wave arrives, nothing replays
+    val q2 = start()
+    input.addData(doc(20, t1), doc(21, "eight nine ten eleven twelve thirteen fourteen"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(out).select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toSeq.sorted
+    // exactly one decision per document across both runs — no loss, no dupes
+    assert(got == Seq(1L -> true, 2L -> true, 10L -> false, 20L -> false, 21L -> true).sorted,
+      s"decisions after restart: $got")
+    assert(StreamIncrDedup.appliedBatches(root) == Set(0L, 1L, 2L))
+    assert(IncrementalDedup.segments(root).size == 3, "one segment per committed batch")
+  }
+
   test("stream-stream range join: replayed pairs reproduce the batch q_range_join") {
     // ELEVENTH batch↔stream parity pair, and the first stream-stream join:
     // the watermarked interval self-join emits (error, prior-activity)
