@@ -65,8 +65,13 @@ object SkewBench {
           mk().write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        val rows = mk().count()
-        (label, secs(1), rows)
+        // canonical digest of the aggregated rows (they are group-level,
+        // small): count-only comparison would miss a variant that
+        // duplicates/drops fact rows within existing groups
+        val digest = mk().collect()
+          .map(_.toSeq.map(String.valueOf(_)).mkString("|"))
+          .sorted.mkString("\n").hashCode
+        (label, secs(1), digest)
       } finally saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
@@ -87,8 +92,8 @@ object SkewBench {
         () => agg(graft.api.Skew.saltedJoin(fact, dim, "k", buckets = 16))))
 
     // identical results or the timings are meaningless
-    val counts = results.map(_._3).distinct
-    require(counts.size == 1, s"variant row counts diverge: $results")
+    val digests = results.map(_._3).distinct
+    require(digests.size == 1, s"variant result digests diverge: $results")
     results.foreach { case (l, s, _) =>
       println(f"""{"variant":"$l","median_sec":$s%.2f,"fact_rows":$nFact}""")
     }

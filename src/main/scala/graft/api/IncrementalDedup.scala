@@ -91,13 +91,8 @@ object IncrementalDedup {
     else Some(segs.map(sg => spark.read.parquet(s"$root/$sg")).reduce(_.unionByName(_)))
   }
 
-  private def writeAtomic(p: java.nio.file.Path, content: String): Unit = {
-    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    java.nio.file.Files.writeString(tmp, content)
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeAtomic(p: java.nio.file.Path, content: String): Unit =
+    AtomicFiles.writePointer(p, content)
 
   /** Ingest one increment: append its band keys `(id, band, bv)` (from
     * [[TextDedup.minhashBands]]) as a new index segment and return the
@@ -196,6 +191,11 @@ object IncrementalDedup {
     if (prior.size <= 1) return None
     val segName = nextSegName(root)
     prior.map(sg => spark.read.parquet(s"$root/$sg")).reduce(_.unionByName(_))
+      // drop exact row duplicates: a crash-window replay of a streaming
+      // ingest (StreamIncrDedup) can double-append a batch's fingerprints,
+      // which never changes a verdict but inflates the flood-guard's
+      // row-count census — compaction is where the true census is restored
+      .dropDuplicates("id", "band", "bv")
       .repartition(col("bkt"))
       .write.partitionBy("bkt").parquet(s"$root/$segName")
     writeAtomic(segFile(root), segName)

@@ -93,11 +93,7 @@ object MaterializedView {
       else None
     val next = if (current.contains("v0")) "v1" else "v0"
     definition.write.mode("overwrite").parquet(s"$dir/$next")
-    val tmp = ptr.resolveSibling("_CURRENT.tmp")
-    java.nio.file.Files.writeString(tmp, next)
-    java.nio.file.Files.move(tmp, ptr,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    AtomicFiles.writePointer(ptr, next)
     () => spark.read.parquet(s"$dir/${current.getOrElse(next)}")
   }
 }

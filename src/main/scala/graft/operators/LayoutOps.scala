@@ -80,7 +80,11 @@ object LayoutOps {
       |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     val tag = fingerprint(d, "orders", "lineitem")
     val (ordersT, liT) = (s"orders_smb_$tag", s"lineitem_smb_$tag")
-    if (!built.contains(tag)) {
+    // the catalog check covers a NEW SparkSession in the SAME process:
+    // `built` outlives the in-memory catalog the tables register in, so
+    // the fingerprint alone would skip the build and s.table() would fail
+    if (!built.contains(tag) ||
+        !s.catalog.tableExists(ordersT) || !s.catalog.tableExists(liT)) {
       Layout.writeBucketedAt(Tables.orders(s, d), ordersT,
         s"${stateRoot(d)}/orders_smb_$tag", "o_orderkey", buckets = 16)
       Layout.writeBucketedAt(Tables.lineitem(s, d), liT,

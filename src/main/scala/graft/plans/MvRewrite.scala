@@ -51,12 +51,14 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case agg: Aggregate =>
         val (conds, stripped) = splitFilters(agg.child)
         val candidate = agg.copy(child = stripped)
-        mvs.find(_.canonicalAgg == candidate.canonicalized) match {
-          case Some(mv) => rewrite(agg, conds, mv).getOrElse(agg)
-          case None =>
-            mvs.view.flatMap(mv => rollup(agg, conds, stripped, mv))
-              .headOption.getOrElse(agg)
-        }
+        // exact match first; if it is refused (schema drift, non-key
+        // filter), the roll-up path over ANY registered view still gets
+        // its chance — a drifted view A must not shadow a healthy view B
+        mvs.find(_.canonicalAgg == candidate.canonicalized)
+          .flatMap(mv => rewrite(agg, conds, mv))
+          .orElse(mvs.view.flatMap(mv => rollup(agg, conds, stripped, mv))
+            .headOption)
+          .getOrElse(agg)
     }
   }
 
@@ -218,9 +220,14 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case s: Sum => normalize(s.child, ucOut).flatMap(sums.get).map(i =>
           ae.copy(aggregateFunction = s.copy(child = defCol(i)),
             resultId = NamedExpression.newExprId))
+        // count(*) re-aggregates as sum(cnt), which is NULL (not 0) over
+        // zero matching state rows — a global aggregate whose key filter
+        // matches no stored group must still return 0, hence the coalesce
         case c: Count if isCountStar(c) => cnt.map(i =>
-          ae.copy(aggregateFunction = Sum(defCol(i)),
-            resultId = NamedExpression.newExprId))
+          org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+            ae.copy(aggregateFunction = Sum(defCol(i)),
+              resultId = NamedExpression.newExprId),
+            Literal(0L))))
         case m: Min => normalize(m.child, ucOut).flatMap(mins.get).map(i =>
           ae.copy(aggregateFunction = Min(defCol(i)),
             resultId = NamedExpression.newExprId))

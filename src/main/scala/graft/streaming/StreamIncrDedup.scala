@@ -24,12 +24,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Exactly-once under replay: a crash re-invokes foreachBatch with the
   * SAME batchId. The `_BATCHES` ledger (same atomic write-then-point
   * discipline as the segment list) makes a completed batch's re-delivery
-  * a no-op. A crash INSIDE the window — segment pointer advanced, ledger
-  * not yet — re-ingests the batch, double-appending its fingerprints;
-  * that bloats the index (until [[IncrementalDedup.compactIndex]]) but
-  * provably changes NO decision: duplicate (id, band, bv) rows are
-  * invisible to the strict `x.id < y.id` match and the
-  * `count_distinct(x.id)` census. The spec pins both properties.
+  * a no-op, and the decisions sink is batch-keyed-overwrite (below), so a
+  * replay can never duplicate sink rows either. A crash INSIDE the
+  * window — segment pointer advanced, ledger not yet — re-ingests the
+  * batch, double-appending its fingerprints. The duplicate (id, band, bv)
+  * rows are invisible to the strict `x.id < y.id` match and the
+  * `count_distinct(x.id)` prior-count, so verdicts on real candidates
+  * never change; the ONE observable effect is that the flood-guard census
+  * ([[graft.api.BucketCap]]) counts rows, not distinct ids, so a bucket
+  * within 2× of the cap can cross it early and be excluded — dedup
+  * becomes (conservatively) blinder on that bucket until
+  * [[IncrementalDedup.compactIndex]], which drops the duplicates,
+  * restores the true census. The spec pins the invariants.
   */
 object StreamIncrDedup {
 
@@ -45,28 +51,28 @@ object StreamIncrDedup {
     else Set.empty
   }
 
-  private def recordBatch(root: String, batchId: Long): Unit = {
-    val p = ledgerFile(root)
-    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    val all = (appliedBatches(root) + batchId).toSeq.sorted
-    java.nio.file.Files.writeString(tmp, all.mkString("\n"))
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def recordBatch(root: String, batchId: Long): Unit =
+    graft.api.AtomicFiles.writePointer(ledgerFile(root),
+      (appliedBatches(root) + batchId).toSeq.sorted.mkString("\n"))
 
   /** One micro-batch transaction: fingerprint → ingest → write decisions
     * (forcing their evaluation against the pre-append index) → ledger.
     * Re-delivery of a recorded batchId is a no-op. Public so the spec can
-    * replay batch ids without driving a real restart. */
+    * replay batch ids without driving a real restart.
+    *
+    * Decisions land in a batch-keyed subdirectory (`batch_id=<id>/`) with
+    * OVERWRITE mode — the StreamJoinView discipline: a replay that slipped
+    * past the ledger (crash after the decisions write, before the ledger
+    * record) overwrites exactly its own partition, so the sink can never
+    * hold two copies of a batch's rows. Readers get `batch_id` back as a
+    * partition column. */
   def ingestBatch(spark: SparkSession, root: String, outDir: String,
       batch: Dataset[DocEvent], batchId: Long, maxBucket: Int = 10000): Unit = {
     if (appliedBatches(root).contains(batchId)) return
     val hashes = TextDedup.shingleHashes(batch.toDF(), col("doc_id"), col("text"), n = 3)
     val decisions = IncrementalDedup.ingest(spark, root,
       TextDedup.minhashBands(hashes), maxBucket)
-    decisions.withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(outDir)
+    decisions.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     recordBatch(root, batchId)
   }
 

@@ -367,6 +367,10 @@ class MaintenanceSpec extends SparkSpec {
     def qAvgDirect = li.groupBy("l_linestatus").agg(avg(col("l_quantity")).as("a"))
     def qNonKeyFilter = li.where(col("l_quantity") > 25).groupBy("l_linestatus")
       .agg(count(lit(1)).as("c"))
+    // global count whose key filter matches NO stored group: sum(cnt) over
+    // zero state rows is NULL — the rewrite must coalesce it back to 0
+    def qEmptyGlobal = li.where(col("l_returnflag") === "Z")
+      .agg(count(lit(1)).as("c"))
 
     def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf(_)).mkString("|")
     // ground truth BEFORE registration (everything scans the base table)
@@ -387,7 +391,32 @@ class MaintenanceSpec extends SparkSpec {
         assert(!scansState(q, "mv-rollup"), s"UNSOUND: refused case $i rewritten")
         assert(q.collect().map(key).toSet == t, s"refused case $i wrong rows")
       }
+      assert(scansState(qEmptyGlobal, "mv-rollup"), "empty-global case did not fire")
+      assert(qEmptyGlobal.collect().toSeq.map(_.getLong(0)) == Seq(0L),
+        "count(*) over a key filter matching no stored group must be 0, not null")
     } finally MaterializedView.unregister(spark, "mv_spec_rollup")
+  }
+
+  test("mv registrations don't capture other inventory queries") {
+    import graft.operators
+    // the two oracle fns register their views into the shared session BY
+    // DESIGN (that is what an MV is: later matching queries should use
+    // it). The hazard is a FALSE match: another inventory query over
+    // lineitem aggregates silently served from state. Pin the refusals
+    // for the closest shapes in the inventory — same base table, same or
+    // subset group keys, aggregate-only outputs.
+    Maintenance.qMvRewrite.fn(spark, sf()).collect()
+    Maintenance.qMvRollup.fn(spark, sf()).collect()
+    val suspects = Seq(
+      operators.Tpch.qTpchQ1,        // groupBy (returnflag, linestatus), extra aggs
+      Maintenance.qIncrAgg,          // same keys, shipdate-filtered partials
+      operators.Analytic.qCorrStats, // global lineitem aggregate, product sums
+      operators.Analytic.qPercentiles,
+      operators.Profiling.qProfile)
+    suspects.foreach { q =>
+      assert(!scansState(q.fn(spark, sf()), "graft-mv"),
+        s"${q.name}: silently routed to MV state — unsound capture")
+    }
   }
 
   test("mv rewrite: IncrementalAgg maintained state serves matching queries") {
