@@ -397,6 +397,77 @@ class MaintenanceSpec extends SparkSpec {
     } finally MaterializedView.unregister(spark, "mv_spec_rollup")
   }
 
+  test("mv rewrite fuzz: registration never changes any aggregate's result") {
+    import graft.api.MaterializedView
+    import org.apache.spark.sql.{Column, DataFrame}
+    val li = Tables.lineitem(spark, sf())
+    def partials = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,6)")).as("p_sum_qty"),
+        min(col("l_quantity")).as("p_min_qty"),
+        max(col("l_quantity")).as("p_max_qty"),
+        count(lit(1)).as("p_cnt"))
+
+    // a small algebra of query shapes: every combination is either served
+    // from state (derivable) or refused — in BOTH cases the rows must be
+    // bit-identical to the unregistered run. This is the property that
+    // makes a silent plan rewriter shippable.
+    val keyChoices: Seq[Seq[String]] = Seq(
+      Seq(), Seq("l_returnflag"), Seq("l_linestatus"),
+      Seq("l_returnflag", "l_linestatus"), Seq("l_linenumber"))
+    def aggChoices: Seq[(String, Column)] = Seq(
+      "s_qty" -> round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double"), 2),
+      "c" -> count(lit(1)),
+      "mn" -> min(col("l_quantity")),
+      "mx" -> max(col("l_quantity")),
+      "s_tax" -> round(sum(col("l_tax").cast("decimal(18,6)")).cast("double"), 2),
+      "avg_q" -> round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 4),
+      "cd" -> count_distinct(col("l_quantity")))
+    def filterChoices: Seq[Option[Column]] = Seq(
+      None,
+      Some(col("l_returnflag") === "A"),
+      Some(col("l_returnflag") =!= "N"),
+      Some(col("l_quantity") > 25),
+      Some(col("l_linestatus") === "F" && col("l_returnflag") === "R"),
+      Some(col("l_returnflag") === "Z")) // matches nothing: empty-state path
+
+    final case class Shape(keys: Int, aggs: Seq[Int], filter: Int) {
+      def mk(): DataFrame = {
+        val base = filterChoices(filter).map(li.where).getOrElse(li)
+        val as = aggs.map(i => { val (n, c) = aggChoices(i); c.as(s"a$i$n") })
+        if (keyChoices(keys).isEmpty) base.agg(as.head, as.tail: _*)
+        else base.groupBy(keyChoices(keys).map(col): _*).agg(as.head, as.tail: _*)
+      }
+    }
+    val rng = new scala.util.Random(42)
+    val shapes = Seq.fill(60)(Shape(
+      rng.nextInt(keyChoices.size),
+      Seq.fill(1 + rng.nextInt(3))(rng.nextInt(aggChoices.size)).distinct,
+      rng.nextInt(filterChoices.size)))
+
+    // outcome = rows (order-independent) OR the failure class; the rewrite
+    // must preserve whichever the unregistered plan produces
+    def outcome(df: => DataFrame): Either[String, Set[String]] =
+      try Right(df.collect().map(_.toSeq.map(String.valueOf(_)).mkString("|")).toSet)
+      catch { case e: Throwable => Left(e.getClass.getName) }
+
+    val truth = shapes.map(s => outcome(s.mk()))
+    val dir = java.nio.file.Files.createTempDirectory("mv-fuzz").toString
+    val read = MaterializedView.refresh(spark, partials, s"$dir/state")
+    assert(MaterializedView.register(spark, "mv_fuzz", partials, read))
+    try {
+      var fired = 0
+      shapes.zip(truth).foreach { case (s, t) =>
+        val df = s.mk()
+        if (scansState(df, "mv-fuzz")) fired += 1
+        assert(outcome(df) == t, s"registration changed the result of $s")
+      }
+      assert(fired > 0, "fuzz vacuous: no shape was ever served from state")
+      info(s"$fired of ${shapes.size} fuzz shapes served from MV state, all identical")
+    } finally MaterializedView.unregister(spark, "mv_fuzz")
+  }
+
   test("mv registrations don't capture other inventory queries") {
     import graft.operators
     // the two oracle fns register their views into the shared session BY
