@@ -225,6 +225,44 @@ class MaintenanceSpec extends SparkSpec {
       s"segment not hash-bucket partitioned: $segDirs")
   }
 
+  test("incr_dedup: decisions are cut-point independent (random batchings ≡ batch replay)") {
+    import graft.api.{IncrementalDedup, TextDedup}
+    import graft.operators.Corpora
+    val hashes = Corpora.shingleHashes(spark, sf()).withColumnRenamed("doc_id", "id")
+    def bands(cond: org.apache.spark.sql.Column) = TextDedup.minhashBands(hashes.where(cond))
+    def replay(prefix: org.apache.spark.sql.Column, inc: org.apache.spark.sql.Column) = {
+      val cand = TextDedup.candidatePairs(bands(prefix))
+      bands(inc).select(col("id").as("doc_id")).distinct()
+        .join(cand.groupBy(col("b").as("doc_id")).agg(count(lit(1)).as("n_prior")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+          col("n_prior").isNull.as("keep"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
+
+    // the ingest match is id-ordered (x.id < y.id), so any batching that
+    // keeps waves id-contiguous must produce the same decisions as the
+    // whole-corpus replay — the invariant that lets a production pipeline
+    // choose ingest boundaries freely (hourly, daily, by size)
+    val ids = hashes.select("id").distinct().orderBy("id").collect().map(_.getLong(0))
+    val rng = new scala.util.Random(7)
+    for (k <- Seq(2, 5)) {
+      val cuts = (Seq(0, ids.length) ++ Seq.fill(k - 1)(rng.nextInt(ids.length)))
+        .distinct.sorted
+      val root = java.nio.file.Files.createTempDirectory(s"incr-cut$k").toString
+      cuts.sliding(2).foreach {
+        case Seq(a, b) if a < b =>
+          val upper = if (b == ids.length) lit(true) else col("id") < ids(b)
+          val wave = col("id") >= ids(a) && upper
+          val d = IncrementalDedup.ingest(spark, root, bands(wave))
+          assert(rows(d) == rows(replay(upper, wave)),
+            s"k=$k wave [${ids(a)}, ${if (b == ids.length) "end" else ids(b)}) diverged")
+        case _ =>
+      }
+    }
+  }
+
   test("incr_dedup lifecycle: compaction changes no decision, vacuum reclaims orphans") {
     import graft.api.{IncrementalDedup, TextDedup}
     import graft.operators.Corpora
