@@ -117,7 +117,7 @@ object IncrementalDedup {
   }
 
   def ingest(spark: SparkSession, root: String, incBands: DataFrame,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000, distinctCensus: Boolean = false): DataFrame = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     val prior = segments(root)
     val segName = nextSegName(root)
@@ -149,7 +149,17 @@ object IncrementalDedup {
       case Some(idx) => idx.withColumn("__new", lit(0)).unionByName(inc.withColumn("__new", lit(1)))
       case None => inc.withColumn("__new", lit(1))
     }
-    val capped = BucketCap.cap(all, Seq("band", "bv"), maxBucket)
+    // census mode: on a clean index the row census and the distinct-id
+    // census are identical (one row per (id, band) by construction), and
+    // the row census is cheaper (map-side count, no distinct exchange —
+    // measured ~2 s/query at sf0.1). A caller whose index MAY carry exact
+    // duplicate rows — the streaming ingest's crash-window replay
+    // (StreamIncrDedup) — opts into the distinct census so inflated row
+    // counts cannot tip a bucket over the cap; duplicates then cannot
+    // affect anything (strict id < match, distinct prior-count, distinct
+    // flood guard).
+    val capped = BucketCap.cap(all, Seq("band", "bv"), maxBucket,
+      distinctOn = if (distinctCensus) Some("id") else None)
     val x = capped.as("x")
     val y = capped.where(col("__new") === 1).as("y")
     val hits = x.join(y,

@@ -27,15 +27,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * a no-op, and the decisions sink is batch-keyed-overwrite (below), so a
   * replay can never duplicate sink rows either. A crash INSIDE the
   * window — segment pointer advanced, ledger not yet — re-ingests the
-  * batch, double-appending its fingerprints. The duplicate (id, band, bv)
-  * rows are invisible to the strict `x.id < y.id` match and the
-  * `count_distinct(x.id)` prior-count, so verdicts on real candidates
-  * never change; the ONE observable effect is that the flood-guard census
-  * ([[graft.api.BucketCap]]) counts rows, not distinct ids, so a bucket
-  * within 2× of the cap can cross it early and be excluded — dedup
-  * becomes (conservatively) blinder on that bucket until
-  * [[IncrementalDedup.compactIndex]], which drops the duplicates,
-  * restores the true census. The spec pins the invariants.
+  * batch, double-appending its fingerprints. That provably changes NO
+  * decision: duplicate (id, band, bv) rows are invisible to the strict
+  * `x.id < y.id` match, the `count_distinct(x.id)` prior-count, AND the
+  * flood-guard census (which counts distinct ids for exactly this
+  * reason — [[graft.api.BucketCap.oversized]] `distinctOn`). The only
+  * cost is index bloat, reclaimed by [[IncrementalDedup.compactIndex]]
+  * (which drops exact duplicate rows). The spec pins the invariants.
   */
 object StreamIncrDedup {
 
@@ -71,7 +69,7 @@ object StreamIncrDedup {
     if (appliedBatches(root).contains(batchId)) return
     val hashes = TextDedup.shingleHashes(batch.toDF(), col("doc_id"), col("text"), n = 3)
     val decisions = IncrementalDedup.ingest(spark, root,
-      TextDedup.minhashBands(hashes), maxBucket)
+      TextDedup.minhashBands(hashes), maxBucket, distinctCensus = true)
     decisions.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     recordBatch(root, batchId)
   }

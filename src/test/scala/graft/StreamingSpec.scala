@@ -1255,8 +1255,11 @@ class StreamingSpec extends SparkSpec {
     // crash-window double-append (pointer advanced, ledger lost): the
     // duplicate fingerprints are invisible to the strict x.id < y.id match
     // and the distinct census — decisions replay IDENTICAL, index merely
-    // bloats until compaction
-    val replayed = rows(IncrementalDedup.ingest(spark, root, bands(waves(2))))
+    // bloats until compaction. distinctCensus = true is the streaming
+    // ingest's own setting (StreamIncrDedup.ingestBatch) — the invariant
+    // being pinned is specifically the distinct-census one.
+    val replayed = rows(IncrementalDedup.ingest(spark, root, bands(waves(2)),
+      distinctCensus = true))
     assert(replayed == rows(spark.read.parquet(out).where(col("batch_id") === 2)),
       "double-append changed a decision")
   }
