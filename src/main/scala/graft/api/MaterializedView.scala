@@ -63,6 +63,12 @@ object MaterializedView {
       Option(registry.get(spark)).foreach(cur => registry.put(spark, cur - name))
     }
 
+  /** Drop every view registered in `spark` — the DROP ALL face. Tests and
+    * tools that need a known-empty registry (the session is shared; any
+    * previously-run workload may have left views behind) start here. */
+  def clear(spark: SparkSession): Unit =
+    registry.synchronized { registry.remove(spark); () }
+
   private def ensureRule(spark: SparkSession): Unit =
     spark.experimental.synchronized {
       val cur = spark.experimental.extraOptimizations

@@ -45,7 +45,16 @@ import graft.api.MaterializedView
 case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // candidate order is part of the rewrite's contract: registered() reads
+    // a Map (arbitrary iteration order past 4 entries), and several views
+    // can legitimately serve the same roll-up. Prefer the view with the
+    // FEWEST grouping keys — coarser partials ⇒ fewer stored groups ⇒ the
+    // cheapest state to re-aggregate (the only cost model available without
+    // stats) — name as the total-order tie-break. Any candidate yields the
+    // same ROWS (the soundness gates in rollup() don't depend on order);
+    // this pins WHICH state gets scanned, so plans are reproducible.
     val mvs = MaterializedView.registered(spark)
+      .sortBy(mv => (mv.defAgg.groupingExpressions.size, mv.name))
     if (mvs.isEmpty) plan
     else plan.transformDown {
       case agg: Aggregate =>

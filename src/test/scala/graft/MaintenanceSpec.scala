@@ -330,6 +330,8 @@ class MaintenanceSpec extends SparkSpec {
 
   test("mv rewrite: matching aggregates route to state; near-misses never do") {
     import graft.api.MaterializedView
+    MaterializedView.clear(spark) // shared session: earlier suites (PlanBudgetSpec
+    // runs the full inventory, incl. q_mv_*) may have left views registered
     val li = Tables.lineitem(spark, sf())
     def aggs = Seq(
       round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).as("sum_qty"),
@@ -382,6 +384,9 @@ class MaintenanceSpec extends SparkSpec {
 
   test("mv rollup: subset groupings re-aggregate stored partials; unsound shapes refused") {
     import graft.api.MaterializedView
+    MaterializedView.clear(spark) // else a leftover inventory MV (same lineitem
+    // partials shape, state under graft-mv/) legitimately serves the rollup
+    // cases and the which-state path assertions below turn ambiguous
     val li = Tables.lineitem(spark, sf())
     def partials = li.groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -435,9 +440,46 @@ class MaintenanceSpec extends SparkSpec {
     } finally MaterializedView.unregister(spark, "mv_spec_rollup")
   }
 
+  test("mv rollup: among several serving views the coarsest wins, registration-order independent") {
+    import graft.api.MaterializedView
+    MaterializedView.clear(spark)
+    val li = Tables.lineitem(spark, sf())
+    def fine = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("p_sum_qty"),
+        count(lit(1)).as("p_cnt"))
+    def coarse = li.groupBy("l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("p_sum_qty"),
+        count(lit(1)).as("p_cnt"))
+    // a global aggregate is derivable from EITHER view's partials; the
+    // rewrite must deterministically pick the coarser (smaller) state
+    def q = li.agg(
+      round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).as("s"),
+      count(lit(1)).as("c"))
+    val truth = q.collect().toSeq.map(_.toSeq)
+    val dirF = java.nio.file.Files.createTempDirectory("mv-det-fine").toString
+    val dirC = java.nio.file.Files.createTempDirectory("mv-det-coarse").toString
+    val readF = MaterializedView.refresh(spark, fine, s"$dirF/state")
+    val readC = MaterializedView.refresh(spark, coarse, s"$dirC/state")
+    val regs = Seq(
+      ("mv_det_fine", () => fine, readF), ("mv_det_coarse", () => coarse, readC))
+    try {
+      for (order <- Seq(regs, regs.reverse)) {
+        MaterializedView.clear(spark)
+        order.foreach { case (n, d, r) =>
+          assert(MaterializedView.register(spark, n, d(), r)) }
+        assert(scansState(q, "mv-det-coarse"),
+          s"order ${order.map(_._1)}: coarse view not chosen")
+        assert(!scansState(q, "mv-det-fine"),
+          s"order ${order.map(_._1)}: fine view chosen over coarse")
+        assert(q.collect().toSeq.map(_.toSeq) == truth, "rolled rows diverged")
+      }
+    } finally MaterializedView.clear(spark)
+  }
+
   test("mv rewrite fuzz: registration never changes any aggregate's result") {
     import graft.api.MaterializedView
     import org.apache.spark.sql.{Column, DataFrame}
+    MaterializedView.clear(spark) // baseline must be the no-views run
     val li = Tables.lineitem(spark, sf())
     def partials = li.groupBy("l_returnflag", "l_linestatus")
       .agg(
@@ -531,6 +573,7 @@ class MaintenanceSpec extends SparkSpec {
   test("mv rewrite: IncrementalAgg maintained state serves matching queries") {
     import graft.api.MaterializedView
     import graft.streaming.IncrementalAgg
+    MaterializedView.clear(spark)
     val root = java.nio.file.Files.createTempDirectory("mv-incr").toString
     val ev = Tables.events(spark, sf()).select(col("event_type"), col("value"))
     // maintain the state in two increments — the IVM write path
