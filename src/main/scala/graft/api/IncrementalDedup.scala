@@ -116,11 +116,29 @@ object IncrementalDedup {
     f"seg$next%05d"
   }
 
+  /** Allocate and atomically CLAIM the next segment directory. The layout
+    * protocol is single-writer; should a second writer race anyway (a
+    * misconfigured deployment, a duplicate scheduler firing the same
+    * ingest twice), both may compute the same name — the atomic
+    * createDirectory makes the loser fail loudly instead of the two
+    * interleaving files inside one segment. (A race where the loser scans
+    * AFTER the claim gets the next number and degrades to a consistent
+    * orphan: `_SEGMENTS` is an atomic rename, so one of the two appends
+    * wins wholesale and vacuum reclaims the other — never a torn index.
+    * True multi-writer ingest belongs in a transaction log; see the class
+    * doc.) The claimed directory already existing is why the Spark writes
+    * below use mode=overwrite. */
+  private def claimSeg(root: String): String = {
+    val name = nextSegName(root)
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(root).resolve(name))
+    name
+  }
+
   def ingest(spark: SparkSession, root: String, incBands: DataFrame,
       maxBucket: Int = 10000, distinctCensus: Boolean = false): DataFrame = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     val prior = segments(root)
-    val segName = nextSegName(root)
+    val segName = claimSeg(root)
     // cluster by bkt before the partitioned write: without it every write
     // task emits one file PER bucket it holds (tasks × buckets files — ~2k
     // tiny files per segment at 32 shuffle partitions; measured 28s/query
@@ -129,7 +147,7 @@ object IncrementalDedup {
     // file count scales with the bucket count, not the task count.
     incBands.select("id", "band", "bv").withColumn("bkt", bktCol)
       .repartition(col("bkt"))
-      .write.partitionBy("bkt").parquet(s"$root/$segName")
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$root/$segName")
 
     val inc = spark.read.parquet(s"$root/$segName")
     // directory-level pruning: the index join only needs the bkt
@@ -199,7 +217,7 @@ object IncrementalDedup {
   def compactIndex(spark: SparkSession, root: String): Option[String] = {
     val prior = segments(root)
     if (prior.size <= 1) return None
-    val segName = nextSegName(root)
+    val segName = claimSeg(root)
     prior.map(sg => spark.read.parquet(s"$root/$sg")).reduce(_.unionByName(_))
       // drop exact row duplicates: a crash-window replay of a streaming
       // ingest (StreamIncrDedup) can double-append a batch's fingerprints,
@@ -207,7 +225,7 @@ object IncrementalDedup {
       // row-count census — compaction is where the true census is restored
       .dropDuplicates("id", "band", "bv")
       .repartition(col("bkt"))
-      .write.partitionBy("bkt").parquet(s"$root/$segName")
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$root/$segName")
     writeAtomic(segFile(root), segName)
     Some(segName)
   }

@@ -316,6 +316,33 @@ class MaintenanceSpec extends SparkSpec {
       "post-vacuum index must be exactly pre-compact content + wave-2 bands")
   }
 
+  test("incr_dedup: crash-after-claim orphan is skipped, harmless, vacuumable") {
+    import graft.api.{IncrementalDedup, TextDedup}
+    import graft.operators.Corpora
+    val root = java.nio.file.Files.createTempDirectory("incr-dedup-claim").toString
+    val hashes = Corpora.shingleHashes(spark, sf()).withColumnRenamed("doc_id", "id")
+    def bands(cond: org.apache.spark.sql.Column) = TextDedup.minhashBands(hashes.where(cond))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
+
+    val hist = col("id") < 1500000L
+    val inc = col("id") >= 1500000L
+    val ctrl = java.nio.file.Files.createTempDirectory("incr-dedup-claim-ctl").toString
+    IncrementalDedup.ingest(spark, ctrl, bands(hist))
+    val want = rows(IncrementalDedup.ingest(spark, ctrl, bands(inc)))
+
+    IncrementalDedup.ingest(spark, root, bands(hist))
+    // a writer that claimed seg00001 and died before writing any file:
+    // never referenced by _SEGMENTS, so reads skip it; the next ingest's
+    // name allocation must move PAST it, not reuse or trip over it
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(root, "seg00001"))
+    assert(rows(IncrementalDedup.ingest(spark, root, bands(inc))) == want,
+      "empty claimed orphan changed ingest decisions")
+    assert(IncrementalDedup.segments(root) == Seq("seg00000", "seg00002"))
+    assert(IncrementalDedup.vacuum(root) == Seq("seg00001"),
+      "vacuum must reclaim the dead claim")
+  }
+
   /** Does the optimized plan read a parquet relation under `marker`? */
   private def scansState(df: org.apache.spark.sql.DataFrame, marker: String): Boolean =
     df.queryExecution.optimizedPlan.exists {
