@@ -636,4 +636,43 @@ class MaintenanceSpec extends SparkSpec {
       assert(got == base, "state-served rows diverge from the base recompute")
     } finally MaterializedView.unregister(spark, "mv_spec_incr")
   }
+
+  test("mv rollup: IncrementalAgg-maintained partials serve coarser queries — the full IVM loop") {
+    import graft.api.MaterializedView
+    import graft.streaming.IncrementalAgg
+    MaterializedView.clear(spark)
+    val root = java.nio.file.Files.createTempDirectory("mv-incr-roll").toString
+    val ev = Tables.events(spark, sf()).select(col("event_type"), col("value"))
+    IncrementalAgg.applyBatch(ev.where(crc32(col("event_type")) % 2 === 0),
+      batchId = 0L, root, col("event_type"), col("value"))
+    IncrementalAgg.applyBatch(ev.where(crc32(col("event_type")) % 2 === 1),
+      batchId = 1L, root, col("event_type"), col("value"))
+    // register the state's DEFINITION as raw partials (IncrementalAgg's
+    // stored shape), read back from the LIVE maintained state — merge
+    // depth widens the stored decimal, so the reader casts to the
+    // definition's schema (the positional name/type gate's contract)
+    def defn = Tables.events(spark, sf())
+      .groupBy(col("event_type").as("grp"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("p_sum"),
+        count(lit(1)).as("p_cnt"))
+    val defSchema = defn.schema
+    val read = () => IncrementalAgg.state(spark, root).get
+      .select(defSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    // queries COARSER than the maintained grouping: a global aggregate and
+    // a key-filtered global count — only the roll-up path can serve these
+    // (no exact match exists), completing write-incrementally/read-rolled-up
+    def qGlobal = Tables.events(spark, sf()).agg(
+      round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("s"),
+      count(lit(1)).as("c"))
+    def qFiltered = Tables.events(spark, sf())
+      .where(col("event_type") === "click").agg(count(lit(1)).as("c"))
+    val truth = Seq(qGlobal, qFiltered).map(_.collect().toSeq.map(_.toSeq))
+    assert(MaterializedView.register(spark, "mv_spec_incr_roll", defn, read))
+    try {
+      Seq(qGlobal, qFiltered).zip(truth).foreach { case (q, t) =>
+        assert(scansState(q, "mv-incr-roll"), "coarser query did not roll up onto IVM state")
+        assert(q.collect().toSeq.map(_.toSeq) == t, "rolled rows diverge from base recompute")
+      }
+    } finally MaterializedView.unregister(spark, "mv_spec_incr_roll")
+  }
 }
