@@ -768,8 +768,81 @@ object Similarity {
       .limit(20)
   }
 
+  /** Recall@5 of the sign-LSH route ([[qSimLsh]]) against brute-force
+    * ground truth — the third recall gauge, completing the set: every ANN
+    * route the engine ships (fixed-hyperplane LSH here, learned-IVF
+    * [[qAnnRecall]], compressed IVF-PQ [[qAnnPqRecall]]) now carries its
+    * own oracle-gated quality row. LSH recall − IVF recall is the price of
+    * the fixed non-learned partition; at 100 TB this is the number that
+    * decides nPlanes/band sizing (and whether to pay the k-means fit at
+    * all) before anyone ships the index. Same shape as the siblings: the
+    * brute leg is the once-per-calibration corpus scan over a sampled
+    * query set, the LSH leg prices the production path (one equi-join on
+    * the 8-bit signature), and deterministic tie-breaks (cos DESC, nid)
+    * make recall an exact integer — recall_bp = hits·2000 at k=5. */
+  val qLshRecall: QueryDef = QueryDef.sql(
+    "q_lsh_recall",
+    s"""WITH $normedCte,
+       |$planesCte,
+       |brute AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dotSql("q.v", "n.v")} / (q.nrm * n.nrm) DESC, n.vec_id) AS rnk
+       |    FROM (SELECT * FROM n WHERE vec_id < 10) q JOIN n ON n.vec_id <> q.vec_id)
+       |  WHERE rnk <= 5
+       |),
+       |sig AS (
+       |  SELECT n.vec_id,
+       |         sum(CASE WHEN ${dotSql("n.v", "hp.h")} > 0
+       |                  THEN CAST(1 AS BIGINT) << hp.p ELSE 0 END) AS sig
+       |  FROM n, hp GROUP BY n.vec_id
+       |),
+       |ns AS (SELECT n.*, sig.sig FROM n JOIN sig ON sig.vec_id = n.vec_id),
+       |lsh AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT s.qid, s.nid,
+       |           row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.nid) AS rnk
+       |    FROM (
+       |      SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |             ${dotSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos
+       |      FROM (SELECT * FROM ns WHERE vec_id < 10) q
+       |      JOIN ns c ON c.sig = q.sig AND c.vec_id <> q.vec_id) s)
+       |  WHERE rnk <= 5
+       |),
+       |h AS (
+       |  SELECT b.qid, count(*) AS hits
+       |  FROM brute b JOIN lsh l ON l.qid = b.qid AND l.nid = b.nid
+       |  GROUP BY b.qid
+       |)
+       |SELECT CAST(q.vec_id AS BIGINT) AS qid,
+       |       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |       CAST(5 AS BIGINT) AS k,
+       |       CAST(COALESCE(h.hits, 0) * 2000 AS BIGINT) AS recall_bp
+       |FROM (SELECT vec_id FROM n WHERE vec_id < 10) q
+       |LEFT JOIN h ON h.qid = q.vec_id
+       |ORDER BY qid""".stripMargin) { (s, d) =>
+    import graft.api.VectorSearch
+    val n = graft.Persisting.maybe(normed(s, d))
+    val qs = n.where(col("id") < 10)
+    val brute = VectorSearch.topK(n, qs, k = 5).select("qid", "nid")
+    val ns = VectorSearch.signLsh(n, nPlanes = 8, dim = 64)
+    val lsh = VectorSearch.annTopK(ns, ns.where(col("id") < 10), k = 5)
+      .select("qid", "nid")
+    val hits = brute.join(lsh, Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    qs.select(col("id").cast("long").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("hits"),
+        lit(5L).as("k"),
+        (coalesce(col("hits"), lit(0L)) * 2000).cast("long").as("recall_bp"))
+      .orderBy("qid")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qAnnRecall, qKmeansFit,
-    qEmbedCentroids, qPqAnn, qIvfPqAnn, qAnnPqRecall, qSemanticDedup, qHybridSearch)
+    qEmbedCentroids, qPqAnn, qIvfPqAnn, qAnnPqRecall, qLshRecall,
+    qSemanticDedup, qHybridSearch)
 }
 
