@@ -18,17 +18,41 @@ import graft.plans.MvRewrite
 object MaterializedView {
 
   /** `canonicalAgg`: the definition's topmost Aggregate node, fully
-    * optimized then canonicalized — the comparison key MvRewrite uses for
-    * exact matches. `defAgg` is the same node with its original
-    * attributes, which the roll-up path needs to relate definition
-    * columns to state columns. `read()` must return the CURRENT view
-    * content with the definition's output schema (names/types,
-    * positional). */
+    * optimized, with the filters between aggregate and source STRIPPED,
+    * then canonicalized — the comparison key MvRewrite uses for exact
+    * matches (filter sets are compared separately, which is what lets a
+    * filtered definition — "last 90 days" partials — match at all).
+    * `defAgg` is the unstripped node with its original attributes, which
+    * the matching paths need to relate definition columns, filters, and
+    * state columns. `read()` must return the CURRENT view content with
+    * the definition's output schema (names/types, positional). */
   final case class Mv(name: String, canonicalAgg: LogicalPlan,
       defAgg: Aggregate, read: () => DataFrame)
 
   private val registry =
     new java.util.WeakHashMap[SparkSession, Map[String, Mv]]()
+
+  // The rewrite must be inert while the registry's OWN machinery runs a
+  // definition: register() optimizes the definition to build its match
+  // key, and refresh() executes it to recompute state — if either passed
+  // through MvRewrite, a definition matching an existing registration
+  // would be served FROM the very state it is meant to (re)build: refresh
+  // would copy the stale version forward and register would store a
+  // canonical key over the state scan that can never match a user query.
+  // Thread-local because Catalyst optimizes on the calling thread.
+  private val bypassing = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+  private[graft] def isBypassing: Boolean = bypassing.get()
+
+  /** Run `body` with [[graft.plans.MvRewrite]] inert on this thread —
+    * queries planned inside read base tables even when a registered view
+    * could serve them. */
+  def bypass[A](body: => A): A = {
+    val prev = bypassing.get()
+    bypassing.set(true)
+    try body finally bypassing.set(prev)
+  }
 
   def registered(spark: SparkSession): Seq[Mv] = registry.synchronized {
     Option(registry.get(spark)).map(_.values.toSeq).getOrElse(Seq.empty)
@@ -45,13 +69,14 @@ object MaterializedView {
     * contains no Aggregate — only aggregate views are rewritable. */
   def register(spark: SparkSession, name: String, definition: DataFrame,
       read: () => DataFrame): Boolean = {
-    val optimized = definition.queryExecution.optimizedPlan
+    val optimized = bypass(definition.queryExecution.optimizedPlan)
     optimized.collectFirst { case a: Aggregate => a } match {
       case None => false
       case Some(agg) =>
         registry.synchronized {
           val cur = Option(registry.get(spark)).getOrElse(Map.empty)
-          registry.put(spark, cur + (name -> Mv(name, agg.canonicalized, agg, read)))
+          registry.put(spark,
+            cur + (name -> Mv(name, MvRewrite.stripCanonical(agg), agg, read)))
         }
         ensureRule(spark)
         true
@@ -87,7 +112,10 @@ object MaterializedView {
     * view is registered would otherwise overwrite the very directory the
     * rewritten definition plan is reading ("cannot overwrite a path that
     * is also being read from"). The returned reader resolves the pointer
-    * per call, so it always serves the latest refresh. */
+    * per call, so it always serves the latest refresh. The recompute runs
+    * under [[bypass]]: refreshing a view that is currently REGISTERED
+    * must re-aggregate the base table, not get itself rewritten to a scan
+    * of the stale version it is replacing. */
   def refresh(spark: SparkSession, definition: DataFrame, dir: String)
       : () => DataFrame = {
     val root = java.nio.file.Paths.get(dir)
@@ -98,7 +126,7 @@ object MaterializedView {
         Some(java.nio.file.Files.readString(ptr).trim).filter(_.nonEmpty)
       else None
     val next = if (current.contains("v0")) "v1" else "v0"
-    definition.write.mode("overwrite").parquet(s"$dir/$next")
+    bypass { definition.write.mode("overwrite").parquet(s"$dir/$next") }
     AtomicFiles.writePointer(ptr, next)
     () => spark.read.parquet(s"$dir/${current.getOrElse(next)}")
   }

@@ -18,17 +18,22 @@ import graft.api.MaterializedView
   * a single-executor lookup — the same rewrite Snowflake/BigQuery MVs
   * perform, absent from stock Spark.
   *
-  * Matching is CANONICAL-EXACT on the aggregate subtree, with one
-  * compensation: filters that Catalyst pushed below the aggregate (a
-  * `WHERE` on group keys always is) are stripped before comparison and
-  * re-applied — remapped onto the view's output columns — above the
-  * replacement scan. Canonical comparison (normalized expr ids, both
-  * sides fully optimized by the SAME optimizer before this batch runs)
-  * means false positives are structurally impossible; anything weaker
-  * than an exact match — extra aggregates, different rounding, a filter
-  * on a non-key column — is left untouched. Correct-but-narrow beats
-  * clever-but-wrong for a rewrite that silently changes what a query
-  * scans.
+  * Matching is CANONICAL-EXACT on the FILTER-STRIPPED aggregate subtree:
+  * filters between the aggregate and its source are stripped from both
+  * the query and the definition before comparison, then the two filter
+  * sets are reconciled — every definition filter must be matched
+  * (canonically) by a query filter, because the state only holds rows
+  * passing them (this is what makes a FILTERED view — "last 90 days"
+  * partials — servable at all); the query-side residual is re-applied,
+  * remapped onto the view's output columns, above the replacement scan
+  * (exact path) or below the re-aggregation (roll-up path), and must
+  * reference group keys only. Canonical comparison (normalized expr ids,
+  * both sides fully optimized by the SAME optimizer before this batch
+  * runs) means false positives are structurally impossible; anything
+  * weaker — extra aggregates, different rounding, a definition filter
+  * the query lacks, a residual on a non-key column — is left untouched.
+  * Correct-but-narrow beats clever-but-wrong for a rewrite that silently
+  * changes what a query scans.
   *
   * The replacement keeps the original output attribute ids (aliases
   * pinned to the old expr ids), so parents — sorts, projections, joins —
@@ -42,7 +47,46 @@ import graft.api.MaterializedView
   * (HayaKus/datastream-processing-demo R14); on Spark the Catalyst
   * extension point makes the routing declarative.
   */
+object MvRewrite {
+
+  /** Collect filter conditions between the aggregate and its source,
+    * looking through alias-free projections (column pruning inserts one
+    * below the aggregate; predicate pushdown may sit the filter above or
+    * below it). Stripping is only sound because every stripped condition
+    * is accounted for during matching — def-side conditions must be
+    * matched by user-side ones (the state already filtered those rows),
+    * and the user-side residual is re-applied above the replacement. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private[graft] def splitFilters(plan: LogicalPlan): (Seq[Expression], LogicalPlan) =
+    plan match {
+      case Filter(cond, child) =>
+        val (cs, p) = splitFilters(child)
+        // conjunct granularity: `cut AND key='A'` must reconcile against a
+        // definition whose own filter is just `cut`
+        (conjuncts(cond) ++ cs, p)
+      case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        val (cs, inner) = splitFilters(p.child)
+        (cs, p.copy(child = inner))
+      case other => (Seq.empty, other)
+    }
+
+  /** The canonical match key of a definition: its aggregate with the
+    * filters between aggregate and source stripped, canonicalized. Using
+    * the STRIPPED form on both sides is what lets a filtered definition
+    * ("last 90 days" partials) match at all — the filter sets are then
+    * compared separately. */
+  private[graft] def stripCanonical(agg: Aggregate): LogicalPlan = {
+    val (_, stripped) = splitFilters(agg.child)
+    agg.copy(child = stripped).canonicalized
+  }
+}
+
 case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+  import MvRewrite.splitFilters
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // candidate order is part of the rewrite's contract: registered() reads
@@ -55,41 +99,61 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // this pins WHICH state gets scanned, so plans are reproducible.
     val mvs = MaterializedView.registered(spark)
       .sortBy(mv => (mv.defAgg.groupingExpressions.size, mv.name))
-    if (mvs.isEmpty) plan
+    if (mvs.isEmpty || MaterializedView.isBypassing) plan
     else plan.transformDown {
-      case agg: Aggregate =>
+      // a NON-DETERMINISTIC stripped filter (rand() sampling and kin) can
+      // never be compensated: re-evaluated above the state scan it samples
+      // whole groups with their full stored aggregates instead of sampling
+      // source rows — and it vacuously passes the key-reference check
+      // (rand() references no columns). Refuse the aggregate outright.
+      case agg: Aggregate if splitFilters(agg.child)._1.forall(_.deterministic) =>
         val (conds, stripped) = splitFilters(agg.child)
         val candidate = agg.copy(child = stripped)
-        // exact match first; if it is refused (schema drift, non-key
-        // filter), the roll-up path over ANY registered view still gets
-        // its chance — a drifted view A must not shadow a healthy view B
+        // exact match first; if it is refused (schema drift, unmatched
+        // definition filter, non-key residual), the roll-up path over ANY
+        // registered view still gets its chance — a drifted view A must
+        // not shadow a healthy view B
         mvs.find(_.canonicalAgg == candidate.canonicalized)
-          .flatMap(mv => rewrite(agg, conds, mv))
+          .flatMap(mv => rewrite(agg, conds, stripped, mv))
           .orElse(mvs.view.flatMap(mv => rollup(agg, conds, stripped, mv))
             .headOption)
           .getOrElse(agg)
     }
   }
 
-  /** Collect filter conditions between the aggregate and its source,
-    * looking through alias-free projections (column pruning inserts one
-    * below the aggregate; predicate pushdown may sit the filter above or
-    * below it). Stripping is only sound because the conditions are
-    * re-applied above the replacement — and only attempted at all when
-    * the stripped tree matches a definition exactly. */
-  private def splitFilters(plan: LogicalPlan): (Seq[Expression], LogicalPlan) =
-    plan match {
-      case Filter(cond, child) =>
-        val (cs, p) = splitFilters(child)
-        (cond +: cs, p)
-      case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        val (cs, inner) = splitFilters(p.child)
-        (cs, p.copy(child = inner))
-      case other => (Seq.empty, other)
-    }
+  /** Split `userConds` against a definition's own stripped filters: every
+    * definition condition must be matched (canonically, normalized against
+    * the respective plan's output so expr ids don't matter) by a user
+    * condition — the state only holds rows passing them, so an unmatched
+    * one means the state is the WRONG subset and the rewrite must refuse.
+    * Returns the user-side residual (conditions the state did not already
+    * apply) to be compensated by the caller; None = refuse. */
+  private def residualConds(userConds: Seq[Expression], userOut: Seq[Attribute],
+      defConds: Seq[Expression], defOut: Seq[Attribute]): Option[Seq[Expression]] = {
+    if (defConds.isEmpty) return Some(userConds)
+    val dNorm = defConds.map(c => normalize(c, defOut))
+    val uNorm = userConds.map(c => normalize(c, userOut))
+    if (dNorm.exists(_.isEmpty) || uNorm.exists(_.isEmpty)) return None
+    val dSet = dNorm.flatten.toSet
+    val uSet = uNorm.flatten.toSet
+    if (!dSet.subsetOf(uSet)) None
+    else Some(userConds.zip(uNorm).collect {
+      case (c, Some(n)) if !dSet.contains(n) => c
+    })
+  }
 
-  private def rewrite(agg: Aggregate, conds: Seq[Expression],
-      mv: MaterializedView.Mv): Option[LogicalPlan] = {
+  private def rewrite(agg: Aggregate, userConds: Seq[Expression],
+      stripped: LogicalPlan, mv: MaterializedView.Mv): Option[LogicalPlan] = {
+    val (dConds, dStripped) = splitFilters(mv.defAgg.child)
+    // normalize against the BASES (conditions may reference columns the
+    // pruning Project above them dropped — a filter column is not
+    // necessarily an output column); the stripped trees are canonically
+    // equal (the match key), so the base outputs correspond positionally
+    val conds = residualConds(userConds, baseOf(stripped).output,
+      dConds, baseOf(dStripped).output) match {
+      case None => return None
+      case Some(r) => r
+    }
     val readPlan = mv.read().queryExecution.analyzed
     val out = agg.output
     if (readPlan.output.length != out.length ||
@@ -177,16 +241,21 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => other
   }
 
-  private def rollup(agg: Aggregate, conds: Seq[Expression],
+  private def rollup(agg: Aggregate, userConds: Seq[Expression],
       stripped: LogicalPlan, mv: MaterializedView.Mv): Option[LogicalPlan] = {
     val defAgg = mv.defAgg
-    // a definition with its own filters would make base comparison unsound
-    // (stripping user filters could "match" a differently-filtered view)
     val (dConds, dStripped) = splitFilters(defAgg.child)
-    if (dConds.nonEmpty) return None
     val ucBase = baseOf(stripped)
     val dcBase = baseOf(dStripped)
     if (ucBase.canonicalized != dcBase.canonicalized) return None
+    // a filtered definition serves iff the user query applies (at least)
+    // the same filters — the state holds exactly the rows passing them;
+    // only the user-side residual needs compensating below the re-agg
+    val conds = residualConds(userConds, ucBase.output,
+      dConds, dcBase.output) match {
+      case None => return None
+      case Some(r) => r
+    }
     val readPlan = mv.read().queryExecution.analyzed
     val defOut = defAgg.output
     if (readPlan.output.length != defOut.length ||

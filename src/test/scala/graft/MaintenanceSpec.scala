@@ -316,6 +316,27 @@ class MaintenanceSpec extends SparkSpec {
       "post-vacuum index must be exactly pre-compact content + wave-2 bands")
   }
 
+  test("incr_dedup: order is global strict id order — the documented non-monotone-id behavior") {
+    import graft.api.{IncrementalDedup, TextDedup}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("incr-dedup-ids").toString
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    def bands(rows: (Long, String)*) = TextDedup.minhashBands(
+      TextDedup.shingleHashes(rows.toSeq.toDF("id", "text"), col("id"), col("text"), n = 3))
+    def dec(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap // doc_id -> keep
+    // id=100 arrives first and keeps
+    assert(dec(IncrementalDedup.ingest(spark, root, bands(100L -> text))) == Map(100L -> true))
+    // a LATER increment with a SMALLER id: the id-order contract means its
+    // "prior" (nothing below id 50) was never seen — keeps too, by design
+    assert(dec(IncrementalDedup.ingest(spark, root, bands(50L -> text))) == Map(50L -> true),
+      "documented behavior changed: smaller-id late arrival must keep (first copy = lowest id)")
+    // a larger-id copy now has BOTH stored copies as priors — drops
+    val d3 = IncrementalDedup.ingest(spark, root, bands(200L -> text)).collect()
+    assert(d3.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((200L, 2L, false)), "larger-id copy must drop against both stored copies")
+  }
+
   test("incr_dedup: crash-after-claim orphan is skipped, harmless, vacuumable") {
     import graft.api.{IncrementalDedup, TextDedup}
     import graft.operators.Corpora
@@ -467,6 +488,65 @@ class MaintenanceSpec extends SparkSpec {
     } finally MaterializedView.unregister(spark, "mv_spec_rollup")
   }
 
+  test("mv rewrite: nondeterministic filters are never compensated") {
+    import graft.api.MaterializedView
+    MaterializedView.clear(spark)
+    val li = Tables.lineitem(spark, sf())
+    def defn = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+    val dir = java.nio.file.Files.createTempDirectory("mv-nondet").toString
+    val read = MaterializedView.refresh(spark, defn, s"$dir/state")
+    assert(MaterializedView.register(spark, "mv_spec_nondet", defn, read))
+    try {
+      // rand() has no column references, so it would pass the key-mappable
+      // check vacuously; re-applied above the state scan it would sample
+      // whole groups carrying their FULL stored counts. Must refuse.
+      val q = li.where(rand(7) < 0.5).groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+      assert(!scansState(q, "mv-nondet"),
+        "UNSOUND: nondeterministic filter compensated over state")
+      // deterministic key filters still route (the guard is precise)
+      val ok = li.where(col("l_returnflag") === "A")
+        .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("cnt"))
+      assert(scansState(ok, "mv-nondet"), "deterministic filter stopped routing")
+    } finally MaterializedView.unregister(spark, "mv_spec_nondet")
+  }
+
+  test("mv refresh of a REGISTERED view recomputes from base, never from its own stale state") {
+    import graft.api.MaterializedView
+    import spark.implicits._
+    MaterializedView.clear(spark)
+    val base = java.nio.file.Files.createTempDirectory("mv-refresh-base").toString
+    val dir = java.nio.file.Files.createTempDirectory("mv-refresh-state").toString
+    Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v").write
+      .mode("overwrite").parquet(base)
+    def defn = spark.read.parquet(base).groupBy("k")
+      .agg(sum(col("v").cast("decimal(18,6)")).as("s"), count(lit(1)).as("c"))
+    val read0 = MaterializedView.refresh(spark, defn, s"$dir/state")
+    assert(MaterializedView.register(spark, "mv_spec_refresh", defn, read0))
+    try {
+      // the base grows; a second refresh WITHOUT unregistering must
+      // re-aggregate the base — not get rewritten to a scan of the stale
+      // v0 it is replacing and copy it forward
+      Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L), ("c", 5L)).toDF("k", "v")
+        .write.mode("overwrite").parquet(base)
+      val read1 = MaterializedView.refresh(spark, defn, s"$dir/state")
+      val got = read1().collect()
+        .map(r => (r.getString(0), r.getDecimal(1).longValue(), r.getLong(2))).toSet
+      assert(got == Set(("a", 3L, 2L), ("b", 7L, 2L), ("c", 5L, 1L)),
+        s"refresh served stale state: $got")
+      // re-registration with the new reader must overwrite, not no-op:
+      // pre-fix the definition optimized THROUGH the rule, matched its own
+      // registration, lost its Aggregate, and register returned false
+      assert(MaterializedView.register(spark, "mv_spec_refresh", defn, read1),
+        "re-registration refused — definition was rewritten while building its match key")
+      val q = defn
+      assert(scansState(q, "mv-refresh-state"), "query did not route after re-registration")
+      assert(q.collect().map(r =>
+        (r.getString(0), r.getDecimal(1).longValue(), r.getLong(2))).toSet == got)
+    } finally MaterializedView.unregister(spark, "mv_spec_refresh")
+  }
+
   test("mv rollup: among several serving views the coarsest wins, registration-order independent") {
     import graft.api.MaterializedView
     MaterializedView.clear(spark)
@@ -503,6 +583,52 @@ class MaintenanceSpec extends SparkSpec {
     } finally MaterializedView.clear(spark)
   }
 
+  test("mv rewrite: a FILTERED definition serves queries that cover its cut, refuses the rest") {
+    import graft.api.MaterializedView
+    MaterializedView.clear(spark)
+    val li = Tables.lineitem(spark, sf())
+    val cut = col("l_shipdate") < lit(java.sql.Date.valueOf("1997-01-01"))
+    def defn = li.where(cut).groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).as("s"),
+        count(lit(1)).as("c"))
+    val dir = java.nio.file.Files.createTempDirectory("mv-cut").toString
+    val read = MaterializedView.refresh(spark, defn, s"$dir/state")
+    // ground truths BEFORE registration
+    def qExact = defn
+    def qResidual = li.where(cut && col("l_returnflag") === "A")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).as("s"),
+        count(lit(1)).as("c"))
+    def qRollup = li.where(cut).agg(count(lit(1)).as("c"))
+    def qNoCut = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).as("s"),
+        count(lit(1)).as("c"))
+    def qOtherCut = li.where(col("l_shipdate") < lit(java.sql.Date.valueOf("1998-01-01")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).as("s"),
+        count(lit(1)).as("c"))
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf(_)).mkString("|")
+    val truths = Seq(qExact, qResidual, qRollup, qNoCut, qOtherCut)
+      .map(_.collect().map(key).toSet)
+    assert(MaterializedView.register(spark, "mv_spec_cut", defn, read))
+    try {
+      // covered: identical cut (exact), cut + key residual (exact with
+      // compensation), cut + coarser grouping (roll-up)
+      Seq(qExact, qResidual, qRollup).zip(truths.take(3)).zipWithIndex.foreach {
+        case ((q, t), i) =>
+          assert(scansState(q, "mv-cut"), s"covered case $i did not route")
+          assert(q.collect().map(key).toSet == t, s"covered case $i wrong rows")
+      }
+      // NOT covered: no cut at all (state is missing rows), a DIFFERENT
+      // cut (state is the wrong subset) — both must scan the base table
+      Seq(qNoCut, qOtherCut).zip(truths.drop(3)).zipWithIndex.foreach {
+        case ((q, t), i) =>
+          assert(!scansState(q, "mv-cut"), s"UNSOUND: uncovered case $i rewritten")
+          assert(q.collect().map(key).toSet == t, s"uncovered case $i wrong rows")
+      }
+    } finally MaterializedView.unregister(spark, "mv_spec_cut")
+  }
+
   test("mv rewrite fuzz: registration never changes any aggregate's result") {
     import graft.api.MaterializedView
     import org.apache.spark.sql.{Column, DataFrame}
@@ -531,13 +657,18 @@ class MaintenanceSpec extends SparkSpec {
       "avg_q" -> round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double") /
         count(lit(1)), 4),
       "cd" -> count_distinct(col("l_quantity")))
+    // the filtered definition's own cut — shapes drawing it (alone or with
+    // a key residual) are the ones a filtered view may legitimately serve
+    val defCut = col("l_shipdate") < lit(java.sql.Date.valueOf("1997-01-01"))
     def filterChoices: Seq[Option[Column]] = Seq(
       None,
       Some(col("l_returnflag") === "A"),
       Some(col("l_returnflag") =!= "N"),
       Some(col("l_quantity") > 25),
       Some(col("l_linestatus") === "F" && col("l_returnflag") === "R"),
-      Some(col("l_returnflag") === "Z")) // matches nothing: empty-state path
+      Some(col("l_returnflag") === "Z"), // matches nothing: empty-state path
+      Some(defCut),
+      Some(defCut && col("l_returnflag") === "A"))
 
     final case class Shape(keys: Int, aggs: Seq[Int], filter: Int) {
       def mk(): DataFrame = {
@@ -560,19 +691,35 @@ class MaintenanceSpec extends SparkSpec {
       catch { case e: Throwable => Left(e.getClass.getName) }
 
     val truth = shapes.map(s => outcome(s.mk()))
-    val dir = java.nio.file.Files.createTempDirectory("mv-fuzz").toString
-    val read = MaterializedView.refresh(spark, partials, s"$dir/state")
-    assert(MaterializedView.register(spark, "mv_fuzz", partials, read))
-    try {
-      var fired = 0
-      shapes.zip(truth).foreach { case (s, t) =>
-        val df = s.mk()
-        if (scansState(df, "mv-fuzz")) fired += 1
-        assert(outcome(df) == t, s"registration changed the result of $s")
-      }
-      assert(fired > 0, "fuzz vacuous: no shape was ever served from state")
-      info(s"$fired of ${shapes.size} fuzz shapes served from MV state, all identical")
-    } finally MaterializedView.unregister(spark, "mv_fuzz")
+    // two passes: an unfiltered definition, then a FILTERED one ("last
+    // 90 days"-style partials) — a filtered view may only serve shapes
+    // whose own filters cover the definition's cut, and in both passes
+    // every shape's rows must equal the unregistered run bit-for-bit
+    def partialsFiltered = li.where(defCut).groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,6)")).as("p_sum_qty"),
+        min(col("l_quantity")).as("p_min_qty"),
+        max(col("l_quantity")).as("p_max_qty"),
+        count(lit(1)).as("p_cnt"))
+    val passes = Seq(
+      ("mv_fuzz", () => partials, "unfiltered"),
+      ("mv_fuzz_filtered", () => partialsFiltered, "filtered"))
+    for ((mvName, defn, tag) <- passes) {
+      MaterializedView.clear(spark)
+      val dir = java.nio.file.Files.createTempDirectory(s"mv-fuzz-$tag").toString
+      val read = MaterializedView.refresh(spark, defn(), s"$dir/state")
+      assert(MaterializedView.register(spark, mvName, defn(), read))
+      try {
+        var fired = 0
+        shapes.zip(truth).foreach { case (s, t) =>
+          val df = s.mk()
+          if (scansState(df, s"mv-fuzz-$tag")) fired += 1
+          assert(outcome(df) == t, s"[$tag] registration changed the result of $s")
+        }
+        assert(fired > 0, s"[$tag] fuzz vacuous: no shape was ever served from state")
+        info(s"[$tag] $fired of ${shapes.size} fuzz shapes served from MV state, all identical")
+      } finally MaterializedView.unregister(spark, mvName)
+    }
   }
 
   test("mv registrations don't capture other inventory queries") {
