@@ -38,13 +38,26 @@ import org.apache.spark.sql.functions._
   * `ingest` is one transaction.
   *
   * Semantics: an increment document is a duplicate iff it shares ≥1 LSH
-  * band bucket with ANY earlier document (earlier segment, or same segment
-  * with a smaller id). Dropped documents' fingerprints are still appended —
-  * future increments must dedup against the first-seen copy AND its
-  * near-copies — which makes the incremental decisions replayable as one
-  * whole-corpus batch query: `keep(b) ⟺ ¬∃ a < b sharing a bucket`
-  * (verified by the `q_incr_dedup` DuckDB oracle and the multi-step
-  * prefix-parity test in `MaintenanceSpec`).
+  * band bucket with any SMALLER-ID document already present (prior
+  * segments or the same increment) — the order is GLOBAL STRICT ID order,
+  * `keep(b) ⟺ ¬∃ a < b sharing a bucket`, NOT segment arrival order.
+  * That choice is what makes the pipeline replayable and idempotent: the
+  * incremental decisions equal one whole-corpus batch query over the
+  * union (the `q_incr_dedup` DuckDB oracle and the prefix-parity /
+  * cut-point-independence tests in `MaintenanceSpec`), and a crash-window
+  * double-append of the same ids provably changes no verdict
+  * (`StreamingSpec`). The CONTRACT that makes id order meaningful:
+  * callers assign ids monotonically with ingest order (ingest-time
+  * sequence, snowflake-style ids — what a production feed does anyway).
+  * A caller violating it (say content-hash ids) still gets the exact
+  * replayable semantics above, but "first copy" then means LOWEST ID, not
+  * first-arrived: a later increment carrying a smaller id than its
+  * already-kept near-copy keeps TOO (its prior was never seen when the
+  * larger id decided) — dedup against ids not yet ingested is impossible
+  * without retro-revoking earlier decisions, which nothing downstream of
+  * an already-emitted keep can do. Dropped documents' fingerprints are
+  * still appended — future increments must dedup against the first-seen
+  * copy AND its near-copies.
   *
   * Scale: per-ingest cost is one bucket equi-join of the increment's bands
   * against the index — ∝ |increment| + touched index buckets, never
@@ -104,7 +117,17 @@ object IncrementalDedup {
     * bucket and `keep ⟺ n_prior = 0`. The decision frame is lazy and
     * entirely parquet-backed — evaluating it later (or never: an initial
     * history bootstrap can ignore it and pay only the segment write) is
-    * safe regardless of subsequent ingests. */
+    * safe regardless of subsequent ingests.
+    *
+    * Coverage contract: decisions cover exactly the document ids PRESENT
+    * in `incBands`. A document yielding no fingerprints (shorter than the
+    * shingle width) never appears here and trivially keeps — it has
+    * nothing to collide on. Callers that own the full document set
+    * compensate with a left join defaulting to (n_prior=0, keep=true)
+    * ([[graft.streaming.StreamIncrDedup.ingestBatch]] and the
+    * `q_incr_dedup` oracle row both do). An increment with zero bands is
+    * legal: it writes an empty (orphaned, vacuumable) segment, returns an
+    * empty frame, and leaves the index untouched. */
   /** Next unused segment name: one past the highest `seg*` directory ON
     * DISK — not the live-list length, because [[compactIndex]] shrinks the
     * list while orphan directories linger until [[vacuum]], and a name
@@ -145,11 +168,17 @@ object IncrementalDedup {
     // at sf0.1, all committer/footer overhead). Clustered, a segment is
     // ≤ IndexBuckets files — the layout a 1000-executor ingest wants too:
     // file count scales with the bucket count, not the task count.
-    incBands.select("id", "band", "bv").withColumn("bkt", bktCol)
-      .repartition(col("bkt"))
+    val incProjected = incBands.select("id", "band", "bv").withColumn("bkt", bktCol)
+    incProjected.repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$root/$segName")
 
-    val inc = spark.read.parquet(s"$root/$segName")
+    // explicit schema: an increment can legitimately carry ZERO bands (a
+    // micro-batch of documents all shorter than the shingle width writes
+    // an empty segment) and schema inference over an empty directory
+    // throws — which in the streaming path would crash BEFORE the batch
+    // ledger records, a permanent replay-crash loop on realistic input
+    val segSchema = incProjected.schema
+    val inc = spark.read.schema(segSchema).parquet(s"$root/$segName")
     // directory-level pruning: the index join only needs the bkt
     // partitions this increment touches. The touched set is ≤ IndexBuckets
     // values (model-sized collect), and bkt is a function of (band, bv),
@@ -158,7 +187,7 @@ object IncrementalDedup {
     val touched = inc.select("bkt").distinct().collect()
       .map(r => Integer.valueOf(r.getInt(0))).toSeq
     val stored = if (prior.isEmpty) None
-                 else Some(prior.map(sg => spark.read.parquet(s"$root/$sg"))
+                 else Some(prior.map(sg => spark.read.schema(segSchema).parquet(s"$root/$sg"))
                    .reduce(_.unionByName(_))
                    .where(col("bkt").isin(touched: _*)))
     // one frame, tagged by origin, so the flood-guard census and both join
@@ -191,7 +220,11 @@ object IncrementalDedup {
         coalesce(col("n_prior"), lit(0L)).as("n_prior"),
         col("n_prior").isNull.as("keep"))
 
-    writeAtomic(segFile(root), (prior :+ segName).mkString("\n"))
+    // an empty segment carries no information: leave it OFF the live list
+    // (the claimed directory becomes a vacuumable orphan) so index readers
+    // never meet a file-less directory
+    if (touched.nonEmpty)
+      writeAtomic(segFile(root), (prior :+ segName).mkString("\n"))
     decisions
   }
 

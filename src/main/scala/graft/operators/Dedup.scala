@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.functions.CrossHash._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite (SURVEY.md §2.B north-star rows): exact, MinHash+LSH
@@ -281,17 +282,29 @@ object Dedup {
     val hashes = Corpora.shingleHashes(s, d).withColumnRenamed("doc_id", "id")
     def bands(cond: org.apache.spark.sql.Column) =
       graft.api.TextDedup.minhashBands(hashes.where(cond))
+    // ingest's decisions cover only fingerprint-bearing docs (its coverage
+    // contract); the oracle emits a row for EVERY corpus doc of the wave —
+    // a doc shorter than the shingle width trivially keeps. Compensate
+    // from the corpus, which owns the document set.
+    def full(dec: DataFrame, cond: org.apache.spark.sql.Column): DataFrame =
+      Corpora.dedupCorpus(s, d).where(cond).select(col("doc_id")).distinct()
+        .join(dec, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+          coalesce(col("keep"), lit(true)).as("keep"))
     // bootstrap: history fingerprints only — the returned decision frame is
     // ignored and therefore never computed; only the segment write runs
     graft.api.IncrementalDedup.ingest(s, root, bands(col("id") < 1000000L))
-    val d1 = graft.api.IncrementalDedup.ingest(s, root,
-      bands(col("id") >= 1000000L && col("id") < 2000000L))
+    val w1 = col("doc_id") >= 1000000L && col("doc_id") < 2000000L
+    val d1 = full(graft.api.IncrementalDedup.ingest(s, root,
+      bands(col("id") >= 1000000L && col("id") < 2000000L)), w1)
     // compact mid-sequence: the second wave decides against the merged
     // segment — layout maintenance must not change one decision, which
     // this oracle row now gates. No vacuum here: d1 is lazy and still
     // reads the pre-compact directories (see IncrementalDedup.vacuum).
     graft.api.IncrementalDedup.compactIndex(s, root)
-    val d2 = graft.api.IncrementalDedup.ingest(s, root, bands(col("id") >= 2000000L))
+    val d2 = full(graft.api.IncrementalDedup.ingest(s, root,
+      bands(col("id") >= 2000000L)), col("doc_id") >= 2000000L)
     d1.unionByName(d2).orderBy("doc_id")
   }
 

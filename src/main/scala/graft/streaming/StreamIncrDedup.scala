@@ -70,7 +70,17 @@ object StreamIncrDedup {
     val hashes = TextDedup.shingleHashes(batch.toDF(), col("doc_id"), col("text"), n = 3)
     val decisions = IncrementalDedup.ingest(spark, root,
       TextDedup.minhashBands(hashes), maxBucket, distinctCensus = true)
-    decisions.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // ingest's decisions cover only documents that produced fingerprints
+    // (its coverage contract); a document shorter than the shingle width
+    // has nothing to collide on and trivially keeps. The sink must carry
+    // a verdict for EVERY document of the batch, so compensate here —
+    // this layer owns the document set.
+    val full = batch.toDF().select(col("doc_id")).distinct()
+      .join(decisions, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+    full.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     recordBatch(root, batchId)
   }
 

@@ -1220,29 +1220,47 @@ class StreamingSpec extends SparkSpec {
     val t3 = "unrelated third document with its own words entirely separate tokens"
     val waves = Seq(
       Seq(doc(1, t1), doc(2, t2), doc(3, t3)),
-      Seq(doc(10, t1), doc(11, "fresh new content nothing shared here at all whatsoever")),
-      Seq(doc(20, t2)))
+      // wave 2 mixes in a document SHORTER than the shingle width (no
+      // fingerprints) and wave 4 is ALL short docs (a zero-band segment):
+      // both used to kill the query — schema inference over the empty
+      // segment dir threw before the ledger recorded, a permanent
+      // replay-crash loop — and short docs got no sink verdict at all
+      Seq(doc(10, t1), doc(11, "fresh new content nothing shared here at all whatsoever"),
+        doc(12, "too short")),
+      Seq(doc(20, t2)),
+      Seq(doc(30, "tiny"), doc(31, "two words")))
 
     val input = MemoryStream[DocEvent](spark)
     val q = StreamIncrDedup.run(spark, input.toDS(), root, out, ckpt)
     waves.foreach { w => input.addData(w: _*); q.processAllAvailable() }
     q.stop()
-    assert(StreamIncrDedup.appliedBatches(root) == Set(0L, 1L, 2L))
+    assert(StreamIncrDedup.appliedBatches(root) == Set(0L, 1L, 2L, 3L))
 
-    // batch control: the same waves through IncrementalDedup.ingest directly
+    // batch control: the same waves through IncrementalDedup.ingest plus
+    // the same doc-set compensation ingestBatch applies (short docs keep)
     def bands(w: Seq[DocEvent]) = TextDedup.minhashBands(
       TextDedup.shingleHashes(w.toDF(), col("doc_id"), col("text"), n = 3))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "n_prior", "keep").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
-    val want = waves.flatMap(w => rows(IncrementalDedup.ingest(spark, ctrl, bands(w))))
+    def ctrlBatch(w: Seq[DocEvent]) = w.toDF().select(col("doc_id")).distinct()
+      .join(IncrementalDedup.ingest(spark, ctrl, bands(w)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+    val want = waves.flatMap(w => rows(ctrlBatch(w)))
 
     val got = rows(spark.read.parquet(out))
     assert(got == want.sorted, s"streaming decisions diverge from batch: $got vs $want")
-    // semantic spot checks: exact copies drop, fresh content keeps
+    // semantic spot checks: exact copies drop, fresh content keeps, and
+    // every short (fingerprint-less) document carries an explicit keep
     val byId = got.map(r => r._1 -> r._3).toMap
     assert(byId(10L) == false && byId(20L) == false, "exact copies must drop")
     assert(byId(3L) && byId(11L), "fresh documents must keep")
+    assert(byId(12L) && byId(30L) && byId(31L),
+      "fingerprint-less documents must get explicit keep=true verdicts")
+    // the all-short wave's empty segment never joins the live list
+    assert(IncrementalDedup.segments(root).size == 3,
+      s"zero-band segment leaked into the live list: ${IncrementalDedup.segments(root)}")
 
     // ledger idempotence: re-delivering a completed batch appends nothing
     val segsBefore = IncrementalDedup.segments(root)
