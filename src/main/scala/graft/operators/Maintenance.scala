@@ -107,9 +107,10 @@ object Maintenance {
         round(dsum(col("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"))
     val stateDir = s"${sys.props("java.io.tmpdir")}/graft-mv/" +
       s"${java.lang.Integer.toHexString(d.hashCode)}/lineitem_qty"
-    // deregister before refreshing: the refresh must recompute from the
-    // base table, not route through a previous registration of itself
-    MaterializedView.unregister(s, s"mv_lineitem_qty@$d")
+    // NO unregister first — refresh() and register() run under the rewrite
+    // bypass, so a re-run of this fn in a session that already registered
+    // the view recomputes from the base table and overwrites the entry;
+    // the oracle row thereby gates the bypass behavior itself
     val read = MaterializedView.refresh(s, defn, stateDir)
     MaterializedView.register(s, s"mv_lineitem_qty@$d", defn, read)
     val q = defn.where(col("l_returnflag") =!= "N")
@@ -160,7 +161,7 @@ object Maintenance {
         count(lit(1)).as("p_cnt"))
     val stateDir = s"${sys.props("java.io.tmpdir")}/graft-mv/" +
       s"${java.lang.Integer.toHexString(d.hashCode)}/lineitem_partials"
-    MaterializedView.unregister(s, s"mv_lineitem_partials@$d")
+    // no unregister first — see qMvRewrite: refresh/register self-bypass
     val read = MaterializedView.refresh(s, partialsDef, stateDir)
     MaterializedView.register(s, s"mv_lineitem_partials@$d", partialsDef, read)
     val q = Tables.lineitem(s, d)
