@@ -119,6 +119,23 @@ object LayoutOps {
     * min/max work. The day is derived from the data (min ts), never from
     * the wall clock, so the row is deterministic across generations. The
     * one-row `first()` for that day is model-sized driver traffic. */
+  /** Day-partitioned rewrite of `events`, built once per source
+    * fingerprint and shared by the pruning rows below. The recurring cost
+    * those rows price is the pruned READ; the partitioned rewrite is the
+    * one-time layout build (a testdata regeneration moves the fingerprint
+    * and rebuilds). */
+  private def eventsByDay(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = s"${stateRoot(d)}/events_by_day"
+    val tag = fingerprint(d, "events") + "@events_by_day"
+    if (!built.contains(tag) || !new java.io.File(dir).isDirectory) {
+      Layout.writePartitioned(
+        Tables.events(s, d)
+          .withColumn("day", to_date(date_trunc("day", col("ts")))), dir, "day")
+      built.add(tag)
+    }
+    dir
+  }
+
   val qPartitionPrune: QueryDef = QueryDef.sql(
     "q_partition_prune",
     """SELECT event_id, user_id, event_type, value,
@@ -127,18 +144,8 @@ object LayoutOps {
       |WHERE CAST(date_trunc('day', ts) AS DATE) =
       |      (SELECT CAST(min(date_trunc('day', ts)) AS DATE) FROM events)
       |ORDER BY event_id""".stripMargin) { (s, d) =>
-    val dir = s"${stateRoot(d)}/events_by_day"
+    val dir = eventsByDay(s, d)
     val ev = Tables.events(s, d)
-    // write-once per source fingerprint, like the bucketed-join layout
-    // above: the recurring cost this row prices is the pruned READ; the
-    // partitioned rewrite is the one-time layout build (a testdata
-    // regeneration moves the fingerprint and rebuilds)
-    val tag = fingerprint(d, "events") + "@events_by_day"
-    if (!built.contains(tag) || !new java.io.File(dir).isDirectory) {
-      Layout.writePartitioned(
-        ev.withColumn("day", to_date(date_trunc("day", col("ts")))), dir, "day")
-      built.add(tag)
-    }
     val minDay = ev.agg(min(to_date(date_trunc("day", col("ts"))))).first().getDate(0)
     val pruned = s.read.parquet(dir)
       .where(col("day") === lit(minDay))
@@ -151,5 +158,64 @@ object LayoutOps {
     pruned
   }
 
-  val all: Seq[QueryDef] = Seq(qZorder, qSmbJoin, qPartitionPrune)
+  /** Dynamic partition pruning end-to-end: the star-schema shape a static
+    * filter can't prune. The fact side is the day-partitioned `events`
+    * rewrite; the dimension is a calendar frame (distinct days) filtered
+    * on an ATTRIBUTE (`dayofmonth(day) % 5`), so no literal day predicate
+    * ever touches the fact scan — the only way the fact read can skip
+    * directories is Spark's `PartitionPruning` rule turning the dim-side
+    * filter into a runtime `DynamicPruningSubquery` on the partition
+    * column. The fn THROWS unless that subquery is present in the
+    * optimized plan, and DuckDB replays the same join over the flat
+    * parquet — so the hash-compare proves the runtime-pruned read
+    * identical to the unpruned one.
+    *
+    * Scale rationale (100 TB): a fact-dim join "events × selected days"
+    * is THE dominant warehouse access path, and the selected days are
+    * usually known only at runtime (dim filter, not a literal). Static
+    * pruning reads all 1000 days to join 6; DPP lists the dim first
+    * (model-sized), then scans only matching directories — scan cost
+    * tracks the dim selectivity, not table size. The mod-5 selector is
+    * derived from the data's own min day, never the wall clock. */
+  val qDppJoin: QueryDef = QueryDef.sql(
+    "q_dpp_join",
+    """WITH days AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+      |),
+      |sel AS (
+      |  SELECT day FROM days
+      |  WHERE extract(day FROM day) % 5 =
+      |        (SELECT extract(day FROM CAST(min(date_trunc('day', ts)) AS DATE)) % 5
+      |         FROM events)
+      |)
+      |SELECT e.day, count(*) AS cnt,
+      |       round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
+      |FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value FROM events) e
+      |JOIN sel ON sel.day = e.day
+      |GROUP BY e.day
+      |ORDER BY e.day""".stripMargin) { (s, d) =>
+    val dir = eventsByDay(s, d)
+    val ev = Tables.events(s, d)
+    // the mod-5 anchor is one date off a min() aggregate — model-sized
+    val minDom = ev.agg(min(to_date(date_trunc("day", col("ts"))))).first()
+      .getDate(0).toLocalDate.getDayOfMonth % 5
+    val dim = ev.select(to_date(date_trunc("day", col("ts"))).as("day")).distinct()
+      .where(dayofmonth(col("day")) % 5 === lit(minDom))
+    val out = s.read.parquet(dir)
+      .join(broadcast(dim), Seq("day"))
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))
+      .orderBy("day")
+    val hasDpp = out.queryExecution.optimizedPlan.exists(p => p.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery => true
+      case _ => false
+    }))
+    if (!hasDpp) throw new IllegalStateException(
+      "q_dpp_join: expected a DynamicPruningSubquery on the partitioned fact scan")
+    out
+  }
+
+  val all: Seq[QueryDef] = Seq(qZorder, qSmbJoin, qPartitionPrune, qDppJoin)
 }

@@ -46,6 +46,44 @@ class JoinAccelSpec extends SparkSpec {
     assert(scanIdx >= 0, s"no parquet scan near the bloom filter:\n$plan")
   }
 
+  test("Spark's own runtime bloom filter (InjectRuntimeFilter) fires on the shuffle join") {
+    // the idiomatic production path when nobody hand-builds the bloom:
+    // Spark's InjectRuntimeFilter plants a BloomFilterAggregate on the
+    // selectively-filtered creation side and a might_contain predicate on
+    // the application side, pre-exchange — the same shuffle reduction
+    // JoinAccel.bloomPruned does manually. Test SFs sit far below the
+    // 10 GB application-side default, so lower the thresholds to show the
+    // rule the shape a 100 TB fact presents; broadcast is disabled because
+    // the rule (correctly) skips joins whose fact side never shuffles.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = Tables.lineitem(spark, sf())
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val opt = joined.queryExecution.optimizedPlan.toString()
+      assert(opt.contains("might_contain"),
+        s"InjectRuntimeFilter did not fire on the fact side:\n$opt")
+      // semantics-preserving: same result as the un-accelerated join
+      val got = joined.orderBy("l_returnflag").collect()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val exp = Tables.lineitem(spark, sf())
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag").collect()
+      assert(got.toSeq == exp.toSeq, "runtime filter changed the join result")
+    } finally prev.foreach { case (k, ov) =>
+      ov match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("empty dimension prunes everything") {
     val none = dim.filter(lit(false))
     val pruned = JoinAccel.bloomPruned(none, Tables.lineitem(spark, sf()))

@@ -155,6 +155,30 @@ class LayoutSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq, "pruned read diverged from the flat filtered scan")
   }
 
+  test("q_dpp_join: self-gate passes, result equals the flat join, DPP in the executed plan") {
+    val df = operators.LayoutOps.qDppJoin.fn(spark, sf())
+    val got = df.collect()
+    val ev = Tables.events(spark, sf())
+    val minDom = ev.agg(min(to_date(date_trunc("day", col("ts"))))).first()
+      .getDate(0).toLocalDate.getDayOfMonth % 5
+    val exp = ev
+      .select(to_date(date_trunc("day", col("ts"))).as("day"), col("value"))
+      .where(dayofmonth(col("day")) % 5 === lit(minDom))
+      .groupBy("day")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))
+      .orderBy("day").collect()
+    assert(got.toSeq == exp.toSeq, "runtime-pruned join diverged from the flat join")
+    // the selector keeps a strict subset of days — pruning has something to skip
+    val allDays = ev.select(to_date(date_trunc("day", col("ts"))).as("day")).distinct().count()
+    assert(got.length > 0 && got.length < allDays,
+      s"mod-5 day selector degenerate: ${got.length} of $allDays days")
+    // and the fact scan carries the runtime pruning subquery in the final plan
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("dynamicpruningexpression"),
+      s"fact scan carries no runtime partition-pruning subquery:\n$p")
+  }
+
   test("partitioned layout: partition filter prunes directories, not just rows") {
     val dir = java.nio.file.Files.createTempDirectory("part-layout").toString + "/events"
     val ev = Tables.events(spark, sf())
