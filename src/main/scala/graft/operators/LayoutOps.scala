@@ -107,23 +107,11 @@ object LayoutOps {
     out
   }
 
-  /** Partition pruning end-to-end: write `events` Hive-partitioned by day
-    * (`day=2024-01-01/...`), then read back one day. The fn THROWS unless
-    * the scan's partition listing selected EXACTLY ONE directory — so
-    * this oracle row gates directory-level pruning: DuckDB filters the
-    * flat parquet and the hash-compare proves the pruned read identical.
-    *
-    * Scale rationale (100 TB): date-partitioning is the first-order scan
-    * reducer on any fact stream — a one-day query against a 3-year table
-    * must list and read 1/1000th of the directories, BEFORE any footer or
-    * min/max work. The day is derived from the data (min ts), never from
-    * the wall clock, so the row is deterministic across generations. The
-    * one-row `first()` for that day is model-sized driver traffic. */
-  /** Day-partitioned rewrite of `events`, built once per source
-    * fingerprint and shared by the pruning rows below. The recurring cost
-    * those rows price is the pruned READ; the partitioned rewrite is the
-    * one-time layout build (a testdata regeneration moves the fingerprint
-    * and rebuilds). */
+  /** Day-partitioned (`day=2024-01-01/...`) rewrite of `events`, built
+    * once per source fingerprint and shared by both pruning rows below:
+    * the recurring cost they price is the pruned READ; the partitioned
+    * rewrite is the one-time layout build (a testdata regeneration moves
+    * the fingerprint and rebuilds). */
   private def eventsByDay(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val dir = s"${stateRoot(d)}/events_by_day"
     val tag = fingerprint(d, "events") + "@events_by_day"
@@ -136,6 +124,18 @@ object LayoutOps {
     dir
   }
 
+  /** Static partition pruning end-to-end: read ONE day back from the
+    * day-partitioned `events` rewrite. The fn THROWS unless the scan's
+    * partition listing selected EXACTLY ONE directory — so this oracle
+    * row gates directory-level pruning: DuckDB filters the flat parquet
+    * and the hash-compare proves the pruned read identical.
+    *
+    * Scale rationale (100 TB): date-partitioning is the first-order scan
+    * reducer on any fact stream — a one-day query against a 3-year table
+    * must list and read 1/1000th of the directories, BEFORE any footer or
+    * min/max work. The day is derived from the data (min ts), never from
+    * the wall clock, so the row is deterministic across generations. The
+    * one-row `first()` for that day is model-sized driver traffic. */
   val qPartitionPrune: QueryDef = QueryDef.sql(
     "q_partition_prune",
     """SELECT event_id, user_id, event_type, value,
