@@ -83,6 +83,38 @@ object MvRewrite {
     val (_, stripped) = splitFilters(agg.child)
     agg.copy(child = stripped).canonicalized
   }
+
+  /** Decompose `plan` into (base, filter conjuncts expressed over base
+    * attributes, substitution fn rewriting plan-output-level expressions
+    * to base-level ones) by walking down through Filters and
+    * DETERMINISTIC Projects, inlining each project's aliases into
+    * everything collected above it. The optimizer's
+    * `PullOutGroupingExpressions` materializes complex group keys as
+    * `_groupingexpression` columns in a COMPUTING Project below the
+    * aggregate — roll-up matching must see through it or every
+    * complex-key view refuses. None on a nondeterministic projection:
+    * inlining one would re-evaluate it per consumer. */
+  private[graft] def decompose(plan: LogicalPlan)
+      : Option[(LogicalPlan, Seq[Expression], Expression => Expression)] =
+    plan match {
+      case Filter(cond, child) =>
+        decompose(child).map { case (b, cs, sub) =>
+          (b, conjuncts(cond).map(sub) ++ cs, sub)
+        }
+      case pr: Project if pr.projectList.forall(_.deterministic) =>
+        decompose(pr.child).map { case (b, cs, subChild) =>
+          val m: Map[Long, Expression] = pr.projectList.map {
+            case a @ Alias(e, _) => a.exprId.id -> e
+            case ne => ne.exprId.id -> (ne.toAttribute: Expression)
+          }.toMap
+          val sub: Expression => Expression = e => subChild(e.transformUp {
+            case ar: AttributeReference if m.contains(ar.exprId.id) =>
+              m(ar.exprId.id)
+          })
+          (b, cs, sub)
+        }
+      case other => Some((other, Seq.empty, identity[Expression] _))
+    }
 }
 
 case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -115,7 +147,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // not shadow a healthy view B
         mvs.find(_.canonicalAgg == candidate.canonicalized)
           .flatMap(mv => rewrite(agg, conds, stripped, mv))
-          .orElse(mvs.view.flatMap(mv => rollup(agg, conds, stripped, mv))
+          .orElse(mvs.view.flatMap(mv => rollup(agg, mv))
             .headOption)
           .getOrElse(agg)
     }
@@ -241,17 +273,26 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => other
   }
 
-  private def rollup(agg: Aggregate, userConds: Seq[Expression],
-      stripped: LogicalPlan, mv: MaterializedView.Mv): Option[LogicalPlan] = {
+  private def rollup(agg: Aggregate,
+      mv: MaterializedView.Mv): Option[LogicalPlan] = {
     val defAgg = mv.defAgg
-    val (dConds, dStripped) = splitFilters(defAgg.child)
-    val ucBase = baseOf(stripped)
-    val dcBase = baseOf(dStripped)
+    // decompose both children down to their bases, inlining deterministic
+    // projections (see MvRewrite.decompose — complex group keys live in a
+    // computing `_groupingexpression` Project the plain filter-strip
+    // cannot see through) and collecting filter conjuncts over base attrs
+    val (ucBase, uConds, uSub) = MvRewrite.decompose(agg.child) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val (dcBase, dConds, dSub) = MvRewrite.decompose(defAgg.child) match {
+      case Some(t) => t
+      case None => return None
+    }
     if (ucBase.canonicalized != dcBase.canonicalized) return None
     // a filtered definition serves iff the user query applies (at least)
     // the same filters — the state holds exactly the rows passing them;
     // only the user-side residual needs compensating below the re-agg
-    val conds = residualConds(userConds, ucBase.output,
+    val conds = residualConds(uConds, ucBase.output,
       dConds, dcBase.output) match {
       case None => return None
       case Some(r) => r
@@ -264,9 +305,14 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       return None // state schema drifted — same gate as the exact path
 
     // catalog what the view stored, keyed by expressions normalized
-    // against each side's OWN base output (comparable: bases match)
+    // against each side's OWN base output (comparable: bases match).
+    // Aggregate-level expressions reference their child's output — e.g.
+    // a pulled-out `_groupingexpression` column — so substitute down to
+    // base level first, then ordinal-bind.
     val dcOut = dcBase.output
     val ucOut = ucBase.output
+    def dnorm(e: Expression): Option[Expression] = normalize(dSub(e), dcOut)
+    def unorm(e: Expression): Option[Expression] = normalize(uSub(e), ucOut)
     def defCol(i: Int): Attribute = readPlan.output(i)
     val keys = scala.collection.mutable.Map.empty[Expression, Int]
     val sums = scala.collection.mutable.Map.empty[Expression, Int]
@@ -275,27 +321,34 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     var cnt: Option[Int] = None
     defAgg.aggregateExpressions.zipWithIndex.foreach {
       case (a: AttributeReference, i) =>
-        normalize(a, dcOut).foreach(keys(_) = i)
+        dnorm(a).foreach(keys(_) = i)
       case (Alias(ae: AggregateExpression, _), i)
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
-          case s: Sum => normalize(s.child, dcOut).foreach(sums(_) = i)
-          case m: Min => normalize(m.child, dcOut).foreach(mins(_) = i)
-          case m: Max => normalize(m.child, dcOut).foreach(maxs(_) = i)
+          case s: Sum => dnorm(s.child).foreach(sums(_) = i)
+          case m: Min => dnorm(m.child).foreach(mins(_) = i)
+          case m: Max => dnorm(m.child).foreach(maxs(_) = i)
           case c: Count if isCountStar(c) => cnt = Some(i)
           case _ => ()
         }
       case (Alias(e, _), i) if !e.exists(_.isInstanceOf[AggregateExpression]) =>
-        normalize(e, dcOut).foreach(keys(_) = i) // complex/aliased group key
+        dnorm(e).foreach(keys(_) = i) // complex/aliased group key
       case _ => ()
     }
 
     // remap one user expression onto the state columns; None = underivable
     def remap(e: Expression): Option[Expression] = e match {
+      // a nondeterministic expression must never re-evaluate over state
+      // rows (GROUP BY rand() means one group per SOURCE row, not per
+      // stored group). The analyzer's PullOutNondeterministic already
+      // blocks these structurally — the pulled-out Project fails the base
+      // equality gate — but that is an invariant of somebody else's code;
+      // refuse locally too so a future analyzer change cannot open it.
+      case _ if !e.deterministic => None
       case ae: AggregateExpression if ae.isDistinct || ae.filter.isDefined =>
         None
       case ae: AggregateExpression => ae.aggregateFunction match {
-        case s: Sum => normalize(s.child, ucOut).flatMap(sums.get).map(i =>
+        case s: Sum => unorm(s.child).flatMap(sums.get).map(i =>
           ae.copy(aggregateFunction = s.copy(child = defCol(i)),
             resultId = NamedExpression.newExprId))
         // count(*) re-aggregates as sum(cnt), which is NULL (not 0) over
@@ -306,20 +359,26 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             ae.copy(aggregateFunction = Sum(defCol(i)),
               resultId = NamedExpression.newExprId),
             Literal(0L))))
-        case m: Min => normalize(m.child, ucOut).flatMap(mins.get).map(i =>
+        case m: Min => unorm(m.child).flatMap(mins.get).map(i =>
           ae.copy(aggregateFunction = Min(defCol(i)),
             resultId = NamedExpression.newExprId))
-        case m: Max => normalize(m.child, ucOut).flatMap(maxs.get).map(i =>
+        case m: Max => unorm(m.child).flatMap(maxs.get).map(i =>
           ae.copy(aggregateFunction = Max(defCol(i)),
             resultId = NamedExpression.newExprId))
         case _ => None
       }
       case a: AttributeReference =>
-        normalize(a, ucOut).flatMap(keys.get).map(defCol)
+        unorm(a).flatMap(keys.get).map(defCol)
       case other =>
-        val kids = other.children.map(remap)
-        if (kids.exists(_.isEmpty)) None
-        else Some(other.withNewChildren(kids.map(_.get)))
+        // a COMPLEX group key the view stored (e.g. concat(a, b)) matches
+        // as a WHOLE before recursing into pieces the state never kept —
+        // keys holds only aggregate-free definition expressions, so an
+        // aggregate-bearing `other` can never false-positive here
+        unorm(other).flatMap(keys.get).map(defCol).orElse {
+          val kids = other.children.map(remap)
+          if (kids.exists(_.isEmpty)) None
+          else Some(other.withNewChildren(kids.map(_.get)))
+        }
     }
 
     val newGrouping = agg.groupingExpressions.map(remap)

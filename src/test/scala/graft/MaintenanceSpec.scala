@@ -509,7 +509,40 @@ class MaintenanceSpec extends SparkSpec {
       val ok = li.where(col("l_returnflag") === "A")
         .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("cnt"))
       assert(scansState(ok, "mv-nondet"), "deterministic filter stopped routing")
+      // GROUP BY rand(): one group per SOURCE row, not per stored group —
+      // rolling it onto state would change cardinality. Two fences block
+      // it (PullOutNondeterministic's Project fails base equality, and
+      // remap refuses nondeterministic expressions outright); pin the
+      // behavior, not the mechanism.
+      val qRand = li.groupBy(rand(7)).agg(count(lit(1)).as("cnt"))
+      assert(!scansState(qRand, "mv-nondet"),
+        "UNSOUND: nondeterministic grouping rolled onto state")
     } finally MaterializedView.unregister(spark, "mv_spec_nondet")
+  }
+
+  test("mv rollup: a complex group key stored by the view serves as a whole") {
+    import graft.api.MaterializedView
+    MaterializedView.clear(spark)
+    val li = Tables.lineitem(spark, sf())
+    // the view groups by a computed key (concat) plus a finer column; a
+    // user query grouping by the computed key ALONE must roll up by
+    // matching the whole expression against the stored key column — its
+    // pieces (l_returnflag, l_linestatus) are not state columns
+    def partials = li.groupBy(
+        concat(col("l_returnflag"), col("l_linestatus")).as("rf_ls"),
+        col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+    def q = li.groupBy(concat(col("l_returnflag"), col("l_linestatus")).as("rf_ls"))
+      .agg(count(lit(1)).as("cnt"))
+    val truth = q.collect().map(_.toSeq.map(String.valueOf(_))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("mv-complexkey").toString
+    val read = MaterializedView.refresh(spark, partials, s"$dir/state")
+    assert(MaterializedView.register(spark, "mv_spec_complexkey", partials, read))
+    try {
+      assert(scansState(q, "mv-complexkey"), "complex-key rollup did not fire")
+      assert(q.collect().map(_.toSeq.map(String.valueOf(_))).toSet == truth,
+        "complex-key rollup changed the result")
+    } finally MaterializedView.unregister(spark, "mv_spec_complexkey")
   }
 
   test("mv refresh of a REGISTERED view recomputes from base, never from its own stale state") {
@@ -645,9 +678,14 @@ class MaintenanceSpec extends SparkSpec {
     // from state (derivable) or refused — in BOTH cases the rows must be
     // bit-identical to the unregistered run. This is the property that
     // makes a silent plan rewriter shippable.
-    val keyChoices: Seq[Seq[String]] = Seq(
-      Seq(), Seq("l_returnflag"), Seq("l_linestatus"),
-      Seq("l_returnflag", "l_linestatus"), Seq("l_linenumber"))
+    val keyChoices: Seq[Seq[Column]] = Seq(
+      Seq(), Seq(col("l_returnflag")), Seq(col("l_linestatus")),
+      Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linenumber")),
+      // a computed key: derivable from a view storing BOTH pieces as keys
+      // (grouping state rows by a function of the stored keys is the same
+      // coarser partition as grouping source rows by it), and from a view
+      // storing the concat itself (whole-expression match)
+      Seq(concat(col("l_returnflag"), col("l_linestatus")).as("rf_ls")))
     def aggChoices: Seq[(String, Column)] = Seq(
       "s_qty" -> round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double"), 2),
       "c" -> count(lit(1)),
@@ -675,7 +713,7 @@ class MaintenanceSpec extends SparkSpec {
         val base = filterChoices(filter).map(li.where).getOrElse(li)
         val as = aggs.map(i => { val (n, c) = aggChoices(i); c.as(s"a$i$n") })
         if (keyChoices(keys).isEmpty) base.agg(as.head, as.tail: _*)
-        else base.groupBy(keyChoices(keys).map(col): _*).agg(as.head, as.tail: _*)
+        else base.groupBy(keyChoices(keys): _*).agg(as.head, as.tail: _*)
       }
     }
     val rng = new scala.util.Random(42)
@@ -701,9 +739,21 @@ class MaintenanceSpec extends SparkSpec {
         min(col("l_quantity")).as("p_min_qty"),
         max(col("l_quantity")).as("p_max_qty"),
         count(lit(1)).as("p_cnt"))
+    // a COMPLEX-key definition: the stored key is a computed expression,
+    // exercising decompose's alias inlining through the optimizer's
+    // pulled-out `_groupingexpression` projection
+    def partialsComplex = li.groupBy(
+        concat(col("l_returnflag"), col("l_linestatus")).as("rf_ls"),
+        col("l_linenumber"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,6)")).as("p_sum_qty"),
+        min(col("l_quantity")).as("p_min_qty"),
+        max(col("l_quantity")).as("p_max_qty"),
+        count(lit(1)).as("p_cnt"))
     val passes = Seq(
       ("mv_fuzz", () => partials, "unfiltered"),
-      ("mv_fuzz_filtered", () => partialsFiltered, "filtered"))
+      ("mv_fuzz_filtered", () => partialsFiltered, "filtered"),
+      ("mv_fuzz_complex", () => partialsComplex, "complex"))
     for ((mvName, defn, tag) <- passes) {
       MaterializedView.clear(spark)
       val dir = java.nio.file.Files.createTempDirectory(s"mv-fuzz-$tag").toString
