@@ -633,6 +633,66 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs in the hop-window plan:\n$p")
   }
 
+  test("CBO: ANALYZE column stats shrink a filtered-dim estimate and flip the join to broadcast") {
+    import org.apache.spark.sql.functions._
+    // the statistics-driven planning lever a 100 TB warehouse runs on:
+    // without column stats a Filter's size estimate is its child's file
+    // size, so a selective dim filter still looks exchange-worthy; after
+    // ANALYZE ... FOR COLUMNS the equality predicate estimates rows/ndv
+    // and the SAME join flips from shuffle to broadcast. Pin the estimate
+    // shrink and the strategy flip with the threshold placed strictly
+    // between the two estimates — no magic byte constants, robust to
+    // testdata regeneration.
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    spark.sql("DROP TABLE IF EXISTS orders_cbo")
+    spark.sql(s"CREATE TABLE orders_cbo USING parquet LOCATION '${sf()}/orders.parquet'")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      def dim = spark.table("orders_cbo")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      def joined = spark.read.parquet(s"${sf()}/lineitem.parquet")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val s0 = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+      spark.sql("ANALYZE TABLE orders_cbo COMPUTE STATISTICS " +
+        "FOR COLUMNS o_orderpriority, o_orderkey")
+      val s1 = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(s1 < s0, s"column stats did not shrink the filter estimate: $s1 !< $s0")
+      val mid = s1 + (s0 - s1) / 2
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", mid.toString)
+      // the pin is about the DIM side: does the planner consider the
+      // filtered orders frame broadcastable? (the fact side's own pruned
+      // projection may broadcast on its own merits — irrelevant here)
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+      def dimBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.sparkPlan.collect {
+          case b: BroadcastHashJoinExec =>
+            (b.buildSide match {
+              case BuildLeft => b.left
+              case BuildRight => b.right
+            }).toString.contains("orders.parquet")
+        }.exists(identity)
+      assert(dimBroadcast(joined),
+        "stats-informed estimate below threshold must broadcast the dim")
+      // drop the stats (recreate the table): back to the file-size
+      // estimate, same threshold — the dim must NOT be broadcast
+      spark.sql("DROP TABLE orders_cbo")
+      spark.sql(s"CREATE TABLE orders_cbo USING parquet LOCATION '${sf()}/orders.parquet'")
+      assert(!dimBroadcast(joined),
+        "without stats the file-size estimate must keep the dim off the broadcast side")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_cbo")
+      prev.foreach { case (k, ov) =>
+        ov match {
+          case Some(v) => spark.conf.set(k, v)
+          case None => spark.conf.unset(k)
+        }
+      }
+    }
+  }
+
   test("train split: per-row bucket arithmetic, one tiny-key aggregate, no shuffle of docs") {
     val p = planString(Curation_.qTrainSplit.fn(spark, sf()))
     // the split column is scan-stage arithmetic; only (split, lang) partials
