@@ -27,7 +27,16 @@ object MaterializedView {
     * state columns. `read()` must return the CURRENT view content with
     * the definition's output schema (names/types, positional). */
   final case class Mv(name: String, canonicalAgg: LogicalPlan,
-      defAgg: Aggregate, read: () => DataFrame)
+      defAgg: Aggregate, read: () => DataFrame) {
+    /** Definition-side decomposition (base, filter conjuncts, alias
+      * substitution), computed once per registration — the roll-up path
+      * consults it on every optimized query otherwise. */
+    lazy val defDecomp: Option[(LogicalPlan,
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        org.apache.spark.sql.catalyst.expressions.Expression =>
+          org.apache.spark.sql.catalyst.expressions.Expression)] =
+      MvRewrite.decompose(defAgg.child)
+  }
 
   private val registry =
     new java.util.WeakHashMap[SparkSession, Map[String, Mv]]()
@@ -70,6 +79,15 @@ object MaterializedView {
   def register(spark: SparkSession, name: String, definition: DataFrame,
       read: () => DataFrame): Boolean = {
     val optimized = bypass(definition.queryExecution.optimizedPlan)
+    // a NONDETERMINISTIC definition (rand() sampling in keys, filters, or
+    // aggregates) has no well-defined "the definition's result" — serving
+    // its frozen state for a query that would re-draw the randomness is
+    // wrong on BOTH the exact and roll-up paths (two same-seed rand()
+    // trees are canonically equal, so structural matching alone cannot
+    // tell the frozen sample from a fresh one). Refuse at the source,
+    // like every production MV system does.
+    if (optimized.exists(p => p.expressions.exists(e => !e.deterministic)))
+      return false
     optimized.collectFirst { case a: Aggregate => a } match {
       case None => false
       case Some(agg) =>

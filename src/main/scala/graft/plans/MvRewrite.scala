@@ -92,17 +92,26 @@ object MvRewrite {
     * `PullOutGroupingExpressions` materializes complex group keys as
     * `_groupingexpression` columns in a COMPUTING Project below the
     * aggregate — roll-up matching must see through it or every
-    * complex-key view refuses. None on a nondeterministic projection:
-    * inlining one would re-evaluate it per consumer. */
+    * complex-key view refuses. None — refusing the whole roll-up — on ANY
+    * nondeterminism in the walked region: a nondeterministic projection
+    * (a pulled-out `_nondeterministic` group key) re-partitions SOURCE
+    * rows, not state rows, and a nondeterministic filter (rand()
+    * sampling) canceled between definition and query would serve the
+    * sample frozen at refresh time instead of drawing a fresh one. Both
+    * must refuse HERE: apply()'s splitFilters guard cannot see filters
+    * below a computing Project, and two same-seed rand() trees are
+    * canonically equal, so the base-equality fence alone would pass. */
   private[graft] def decompose(plan: LogicalPlan)
       : Option[(LogicalPlan, Seq[Expression], Expression => Expression)] =
     plan match {
       case Filter(cond, child) =>
-        decompose(child).map { case (b, cs, sub) =>
+        if (!cond.deterministic) None
+        else decompose(child).map { case (b, cs, sub) =>
           (b, conjuncts(cond).map(sub) ++ cs, sub)
         }
-      case pr: Project if pr.projectList.forall(_.deterministic) =>
-        decompose(pr.child).map { case (b, cs, subChild) =>
+      case pr: Project =>
+        if (!pr.projectList.forall(_.deterministic)) None
+        else decompose(pr.child).map { case (b, cs, subChild) =>
           val m: Map[Long, Expression] = pr.projectList.map {
             case a @ Alias(e, _) => a.exprId.id -> e
             case ne => ne.exprId.id -> (ne.toAttribute: Expression)
@@ -147,8 +156,12 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // not shadow a healthy view B
         mvs.find(_.canonicalAgg == candidate.canonicalized)
           .flatMap(mv => rewrite(agg, conds, stripped, mv))
-          .orElse(mvs.view.flatMap(mv => rollup(agg, mv))
-            .headOption)
+          .orElse {
+            // decompose the user side ONCE per aggregate; each candidate
+            // view brings its own registration-time defDecomp
+            MvRewrite.decompose(agg.child).flatMap(udec =>
+              mvs.view.flatMap(mv => rollup(agg, udec, mv)).headOption)
+          }
           .getOrElse(agg)
     }
   }
@@ -274,17 +287,17 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rollup(agg: Aggregate,
+      udec: (LogicalPlan, Seq[Expression], Expression => Expression),
       mv: MaterializedView.Mv): Option[LogicalPlan] = {
     val defAgg = mv.defAgg
-    // decompose both children down to their bases, inlining deterministic
-    // projections (see MvRewrite.decompose — complex group keys live in a
-    // computing `_groupingexpression` Project the plain filter-strip
-    // cannot see through) and collecting filter conjuncts over base attrs
-    val (ucBase, uConds, uSub) = MvRewrite.decompose(agg.child) match {
-      case Some(t) => t
-      case None => return None
-    }
-    val (dcBase, dConds, dSub) = MvRewrite.decompose(defAgg.child) match {
+    // both children are decomposed down to their bases, inlining
+    // deterministic projections (see MvRewrite.decompose — complex group
+    // keys live in a computing `_groupingexpression` Project the plain
+    // filter-strip cannot see through) with filter conjuncts over base
+    // attrs; the user side arrives precomputed, the def side is cached on
+    // the registration
+    val (ucBase, uConds, uSub) = udec
+    val (dcBase, dConds, dSub) = mv.defDecomp match {
       case Some(t) => t
       case None => return None
     }

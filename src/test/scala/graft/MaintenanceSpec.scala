@@ -510,13 +510,35 @@ class MaintenanceSpec extends SparkSpec {
         .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("cnt"))
       assert(scansState(ok, "mv-nondet"), "deterministic filter stopped routing")
       // GROUP BY rand(): one group per SOURCE row, not per stored group —
-      // rolling it onto state would change cardinality. Two fences block
-      // it (PullOutNondeterministic's Project fails base equality, and
-      // remap refuses nondeterministic expressions outright); pin the
-      // behavior, not the mechanism.
+      // rolling it onto state would change cardinality. Three fences block
+      // it (decompose refuses the pulled-out nondeterministic Project,
+      // remap refuses nondeterministic expressions, and base equality
+      // would fail anyway against this view); pin the behavior, not the
+      // mechanism.
       val qRand = li.groupBy(rand(7)).agg(count(lit(1)).as("cnt"))
       assert(!scansState(qRand, "mv-nondet"),
         "UNSOUND: nondeterministic grouping rolled onto state")
+      // a nondeterministic filter hidden BELOW a computed group key:
+      // apply()'s splitFilters guard stops at the computing Project and
+      // never sees it — decompose must refuse the roll-up instead
+      val qHidden = li.where(rand(7) < 0.5)
+        .groupBy(concat(col("l_returnflag"), col("l_linestatus")).as("rf_ls"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(!scansState(qHidden, "mv-nondet"),
+        "UNSOUND: hidden nondeterministic filter compensated over state")
+      // a NONDETERMINISTIC DEFINITION is refused at registration: two
+      // same-seed rand() trees are canonically equal, so a registered
+      // rand() cut would serve its refresh-time frozen sample to a query
+      // that must draw a fresh one — no structural fence can tell them
+      // apart, so the registry never accepts one
+      val defRandCut = li.where(rand(7) < 0.5)
+        .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("cnt"))
+      assert(!MaterializedView.register(spark, "mv_nondet_cut", defRandCut, read),
+        "UNSOUND: nondeterministically-filtered definition accepted")
+      val defRandKey = li.groupBy(rand(7), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(!MaterializedView.register(spark, "mv_nondet_key", defRandKey, read),
+        "UNSOUND: nondeterministically-keyed definition accepted")
     } finally MaterializedView.unregister(spark, "mv_spec_nondet")
   }
 
