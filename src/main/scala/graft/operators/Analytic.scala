@@ -423,7 +423,89 @@ object Analytic {
       .orderBy("cohort_day", "days_since")
   }
 
+  /** Mergeable histogram quantiles — the quantile analogue of
+    * [[qHllMerge]]: per-group FIXED-WIDTH integer histograms are the
+    * stored partials, and any coarser scope derives its quantiles by
+    * summing bin counts — never re-touching raw rows. Here the `ALL` row
+    * is computed ONLY from the per-type partials (one ≤129-bin frame per
+    * group), exactly how a 100 TB deployment keeps per-day histogram
+    * state (129 longs/day/group) and answers any date-range p50/p95 in
+    * O(days × bins) instead of a raw re-scan. `percentile` (exact,
+    * [[qPercentiles]]) sorts within groups; `approx_percentile`
+    * (q_agg_approx) sketches but its buffer is opaque to storage — the
+    * explicit histogram is the form that persists and merges.
+    *
+    * Everything is integer-exact and engine-portable: values milli-
+    * quantize via the proven `round(v*1000)` pattern (Sequence.scala),
+    * bin width `W = (max-min) div 128 + 1` and bucket `(vi-mn) div W`
+    * are non-negative BIGINT floor divisions, and the rank rule
+    * `first bucket with 2·cum ≥ total` (p50) / `20·cum ≥ 19·total`
+    * (p95) avoids any fractional arithmetic. The two scalars (mn, W)
+    * are one model-sized driver row, like every sketch fit. */
+  val qHistQuantile: QueryDef = QueryDef.sql(
+    "q_hist_quantile",
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vi FROM events
+      |),
+      |b AS (
+      |  SELECT min(vi) AS mn,
+      |         greatest((max(vi) - min(vi)) // 128 + 1, 1) AS w
+      |  FROM v
+      |),
+      |part AS (
+      |  SELECT event_type AS grp,
+      |         (vi - (SELECT mn FROM b)) // (SELECT w FROM b) AS bucket,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM v GROUP BY 1, 2
+      |),
+      |merged AS (
+      |  SELECT 'ALL' AS grp, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+      |  FROM part GROUP BY 2
+      |),
+      |u AS (
+      |  SELECT grp, bucket, cnt FROM part
+      |  UNION ALL
+      |  SELECT grp, bucket, cnt FROM merged
+      |),
+      |c AS (
+      |  SELECT grp, bucket,
+      |         CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS BIGINT) AS cum,
+      |         CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS total
+      |  FROM u
+      |)
+      |SELECT grp,
+      |       (SELECT mn FROM b) + (SELECT w FROM b) *
+      |         min(CASE WHEN 2 * cum >= total THEN bucket END) AS p50_lo,
+      |       (SELECT mn FROM b) + (SELECT w FROM b) *
+      |         min(CASE WHEN 20 * cum >= 19 * total THEN bucket END) AS p95_lo
+      |FROM c GROUP BY grp ORDER BY grp""".stripMargin) { (s, d) =>
+    val v = Tables.events(s, d)
+      .select(col("event_type"), round(col("value") * 1000).cast("long").as("vi"))
+    val b = v.agg(min(col("vi")), max(col("vi"))).first()
+    val mn = b.getLong(0)
+    val w = math.max((b.getLong(1) - mn) / 128 + 1, 1L)
+    val partials = graft.Persisting.maybe(
+      v.groupBy(col("event_type").as("grp"),
+          expr(s"(vi - $mn) div $w").as("bucket"))
+        .agg(count(lit(1)).as("cnt")))
+    // the merge: global bins from per-group partials, raw rows untouched
+    val merged = partials.groupBy("bucket")
+      .agg(sum(col("cnt")).as("cnt")).withColumn("grp", lit("ALL"))
+      .select("grp", "bucket", "cnt")
+    val grpW = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val cumed = partials.unionByName(merged)
+      .withColumn("cum", sum(col("cnt")).over(grpW.orderBy("bucket")))
+      .withColumn("total", sum(col("cnt")).over(grpW))
+    cumed.groupBy("grp")
+      .agg(
+        (lit(mn) + lit(w) * min(when(col("cum") * 2 >= col("total"),
+          col("bucket")))).as("p50_lo"),
+        (lit(mn) + lit(w) * min(when(col("cum") * 20 >= col("total") * 19,
+          col("bucket")))).as("p95_lo"))
+      .orderBy("grp")
+  }
+
   val all: Seq[QueryDef] = Seq(qWindowMedian, qArgmax, qCohort,
     qPivot, qAggCube, qPercentiles, qSampleStratified, qGapfill, qWindowDist,
-    qCorrStats, qGroupedTopk, qHllMerge)
+    qCorrStats, qGroupedTopk, qHllMerge, qHistQuantile)
 }

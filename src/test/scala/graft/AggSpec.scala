@@ -39,6 +39,40 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("q_hist_quantile: merged partials ≡ direct histogram; bounds within one bin of exact") {
+    import graft.operators.Analytic
+    val rows = Analytic.qHistQuantile.fn(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // recompute the scalars exactly as the query does
+    val v = Tables.events(spark, sf("sf0.01"))
+      .select(col("event_type"), round(col("value") * 1000).cast("long").as("vi"))
+    val b = v.agg(min(col("vi")), max(col("vi"))).first()
+    val mn = b.getLong(0)
+    val w = math.max((b.getLong(1) - mn) / 128 + 1, 1L)
+    // (a) the ALL row, derived in the query ONLY from per-type partials,
+    // must equal the same derivation over a DIRECT global histogram — the
+    // merge loses nothing (bins partition rows)
+    val direct = v.select(expr(s"(vi - $mn) div $w").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("bucket")))
+      .crossJoin(v.agg(count(lit(1)).as("total")))
+    val d50 = mn + w * direct.where(col("cum") * 2 >= col("total"))
+      .agg(min("bucket")).first().getLong(0)
+    val d95 = mn + w * direct.where(col("cum") * 20 >= col("total") * 19)
+      .agg(min("bucket")).first().getLong(0)
+    assert(rows("ALL") == ((d50, d95)),
+      s"merged-partials quantiles ${rows("ALL")} != direct histogram ($d50, $d95)")
+    // (b) the bin lower bound brackets the exact percentile within one bin
+    val exact = v.agg(
+      expr("percentile(vi, 0.5)").as("e50"),
+      expr("percentile(vi, 0.95)").as("e95")).first()
+    assert(math.abs(exact.getDouble(0) - d50) <= w,
+      s"p50 bound $d50 not within one bin ($w) of exact ${exact.getDouble(0)}")
+    assert(math.abs(exact.getDouble(1) - d95) <= w,
+      s"p95 bound $d95 not within one bin ($w) of exact ${exact.getDouble(1)}")
+  }
+
   test("stream-static enrichment join broadcasts the dim side") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(Long, String)](spark)
