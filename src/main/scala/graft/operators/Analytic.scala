@@ -488,12 +488,21 @@ object Analytic {
       v.groupBy(col("event_type").as("grp"),
           expr(s"(vi - $mn) div $w").as("bucket"))
         .agg(count(lit(1)).as("cnt")))
-    // the merge: global bins from per-group partials, raw rows untouched
+    histQuantiles(partials, mn, w)
+  }
+
+  /** Quantiles from stored histogram partials `(grp, bucket, cnt)`: the
+    * shared READ face of [[qHistQuantile]] and the incrementally
+    * maintained stream state ([[graft.streaming.StreamHistQuantile]]).
+    * Derives the `ALL` row by summing per-group bin counts — the merge
+    * never touches raw rows. */
+  private[graft] def histQuantiles(partials: org.apache.spark.sql.DataFrame,
+      mn: Long, w: Long): org.apache.spark.sql.DataFrame = {
     val merged = partials.groupBy("bucket")
       .agg(sum(col("cnt")).as("cnt")).withColumn("grp", lit("ALL"))
       .select("grp", "bucket", "cnt")
     val grpW = org.apache.spark.sql.expressions.Window.partitionBy("grp")
-    val cumed = partials.unionByName(merged)
+    val cumed = partials.select("grp", "bucket", "cnt").unionByName(merged)
       .withColumn("cum", sum(col("cnt")).over(grpW.orderBy("bucket")))
       .withColumn("total", sum(col("cnt")).over(grpW))
     cumed.groupBy("grp")

@@ -70,17 +70,28 @@ object IncrementalAgg {
     * stored partials, written to a fresh versioned directory, then the
     * `_CURRENT` pointer and `_LAST_BATCH` marker advance. */
   def applyBatch(batch: DataFrame, batchId: Long, root: String,
-      grp: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column): Unit = {
+      grp: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column): Unit =
+    applyVersioned(batch, batchId, root)(
+      b => b.groupBy(grp.as("grp"))
+        .agg(sum(value.cast("decimal(18,6)")).as("p_sum"), count(lit(1)).as("p_cnt")),
+      (prev, partials) => prev.unionByName(partials)
+        .groupBy("grp")
+        .agg(sum(col("p_sum")).as("p_sum"), sum(col("p_cnt")).as("p_cnt")))
+
+  /** The reusable versioned-merge protocol behind [[applyBatch]]: any
+    * associative partial shape (sums/counts, histogram bins, …) gets the
+    * same batchId-idempotent ledger, write-new-then-repoint atomic swap,
+    * and O(1)-version GC. `partialsOf` reduces one micro-batch to its
+    * partials; `merge` folds them into the stored state. */
+  private[graft] def applyVersioned(batch: DataFrame, batchId: Long, root: String)
+      (partialsOf: DataFrame => DataFrame,
+       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     java.nio.file.Files.createDirectories(stateDir(root))
     if (batchId <= lastApplied(root)) return // replay of an applied batch
     val spark = batch.sparkSession
-    val partials = batch
-      .groupBy(grp.as("grp"))
-      .agg(sum(value.cast("decimal(18,6)")).as("p_sum"), count(lit(1)).as("p_cnt"))
+    val partials = partialsOf(batch)
     val merged = state(spark, root) match {
-      case Some(prev) => prev.unionByName(partials)
-        .groupBy("grp")
-        .agg(sum(col("p_sum")).as("p_sum"), sum(col("p_cnt")).as("p_cnt"))
+      case Some(prev) => merge(prev, partials)
       case None => partials
     }
     val prevVersion = currentPath(root)

@@ -569,6 +569,42 @@ class StreamingSpec extends SparkSpec {
     assert(versions.toSeq == Seq("v99"), s"superseded versions not GC'd: ${versions.toSeq}")
   }
 
+  test("stream histogram quantiles: state quantiles == batch derivation after every prefix") {
+    import graft.operators.Analytic
+    val root = Files.createTempDirectory("shq").toString
+    val v = Tables.events(spark, sf())
+      .select(col("event_type").as("grp"),
+        round(col("value") * 1000).cast("long").as("vi"),
+        col("event_id"))
+    // bin spec fixed at view creation, like every production histogram MV
+    val b = v.agg(min(col("vi")), max(col("vi"))).first()
+    val mn = b.getLong(0)
+    val w = math.max((b.getLong(1) - mn) / 128 + 1, 1L)
+    def slice(i: Int) = v.where(pmod(col("event_id"), lit(3)) === i)
+    def expect(prefix: org.apache.spark.sql.DataFrame) = {
+      val partials = prefix
+        .groupBy(col("grp"), expr(s"(vi - ${mn}L) div ${w}L").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      Analytic.histQuantiles(partials, mn, w).collect().toSeq
+    }
+    var delivered: Option[org.apache.spark.sql.DataFrame] = None
+    for (i <- 0 until 3) {
+      val s = slice(i)
+      StreamHistQuantile.applyBatch(s, i.toLong, root, col("grp"), col("vi"), mn, w)
+      delivered = Some(delivered.map(_.unionByName(s)).getOrElse(s))
+      val got = StreamHistQuantile.quantiles(spark, root, mn, w).get.collect().toSeq
+      assert(got == expect(delivered.get), s"state quantiles diverged after batch $i")
+    }
+    // full delivery reproduces the inventory query bit-for-bit
+    val batchRows = Analytic.qHistQuantile.fn(spark, sf()).collect().toSeq
+    assert(StreamHistQuantile.quantiles(spark, root, mn, w).get.collect().toSeq
+      == batchRows, "stream-maintained quantiles != batch query")
+    // replaying an applied batch must not change the state (ledger)
+    StreamHistQuantile.applyBatch(slice(0), 0L, root, col("grp"), col("vi"), mn, w)
+    assert(StreamHistQuantile.quantiles(spark, root, mn, w).get.collect().toSeq
+      == batchRows, "replayed batch mutated the histogram state")
+  }
+
   test("stream join view: equals batch IncrementalJoin and the full join; replay idempotent") {
     import graft.streaming.StreamJoinView
     val root = Files.createTempDirectory("sjv").toString
