@@ -189,6 +189,21 @@ object Bench {
     // per-table isolation (round-10 failure class; BenchSpec-pinned)
     warmTables(spark, sfDir)
 
+    // host-speed calibration: a fixed CPU-bound probe (no IO, no real
+    // shuffle) timed before and after the inventory. The sandbox VM has
+    // multi-hour windows where EVERYTHING runs 1.3-1.8x slower (identical
+    // plans, identical shuffle bytes — profiled via watchdog stacks in
+    // rounds 9-12); the probe turns "was that run slow or was the host?"
+    // into arithmetic: totals divided by calib are comparable across
+    // windows, raw totals are not.
+    def calibrate(): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0L, 40000000L, 1L, 32)
+          .selectExpr("max(xxhash64(id))").head() // max: ANSI-overflow-free
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
     // per-query shuffle accounting ("measure, don't guess"): a listener
     // accumulates task-level shuffle write bytes; the delta around each
     // query is its real shuffle volume, reported next to its seconds
@@ -227,9 +242,11 @@ object Bench {
 
     // GRAFT_BENCH_ONLY=q_a,q_b: focused local timing; unset = full inventory
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val calibPre = calibrate()
     val results = timeInventory(spark, sfDir,
       SparkEntry.defs.sortBy(_.name).filter(q => only.forall(_.contains(q.name))),
       shuffleCounter = () => shuffleBytes.get())
+    val calibPost = calibrate()
     // Output contract (round 9): diagnostics lines FIRST, then a FINAL
     // stdout line containing ONLY the total — no queries map. The driver
     // tail-captures the last ~2000 chars of stdout; round 7 lost the total
@@ -272,6 +289,8 @@ object Bench {
   "sf": "$sfDir",
   "total_sec": ${num(total, 4)},
   "n_queries": ${results.size},
+  "calib_pre_sec": ${num(calibPre, 4)},
+  "calib_post_sec": ${num(calibPost, 4)},
   "queries": {
 $body
   }
@@ -285,6 +304,7 @@ $body
         System.err.println(s"[bench] could not write $path: ${e.getMessage}")
       }
     }
+    println(s"""{"metric":"calib","pre_sec":${num(calibPre, 4)},"post_sec":${num(calibPost, 4)},"unit":"sec"}""")
     println(s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
