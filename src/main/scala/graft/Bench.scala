@@ -196,13 +196,18 @@ object Bench {
     // rounds 9-12); the probe turns "was that run slow or was the host?"
     // into arithmetic: totals divided by calib are comparable across
     // windows, raw totals are not.
+    def calibProbe(): Unit =
+      spark.range(0L, 40000000L, 1L, 32)
+        .selectExpr("max(xxhash64(id))").head() // max: ANSI-overflow-free
     def calibrate(): Double =
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        spark.range(0L, 40000000L, 1L, 32)
-          .selectExpr("max(xxhash64(id))").head() // max: ANSI-overflow-free
+        calibProbe()
         (System.nanoTime() - t0) / 1e9
       }.min
+    calibProbe() // JIT-warm the probe's generated class once, untimed —
+    // otherwise pre includes C2 compilation and is incomparable to post
+    // (measured 0.147 s pre vs 0.046 s post on the same host window)
 
     // per-query shuffle accounting ("measure, don't guess"): a listener
     // accumulates task-level shuffle write bytes; the delta around each
