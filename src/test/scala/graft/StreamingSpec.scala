@@ -603,6 +603,25 @@ class StreamingSpec extends SparkSpec {
     StreamHistQuantile.applyBatch(slice(0), 0L, root, col("grp"), col("vi"), mn, w)
     assert(StreamHistQuantile.quantiles(spark, root, mn, w).get.collect().toSeq
       == batchRows, "replayed batch mutated the histogram state")
+
+    // and the streaming-query wiring end-to-end: maintain() over a
+    // MemoryStream reproduces the same derivation on its own state dir
+    val root2 = Files.createTempDirectory("shq2").toString
+    val ckpt2 = Files.createTempDirectory("shq2-ckpt").toString
+    val input = MemoryStream[(String, Long)](spark)
+    val q = StreamHistQuantile.maintain(input.toDF().toDF("grp", "vi"),
+      root2, ckpt2, col("grp"), col("vi"), mn = 0L, w = 10L)
+    input.addData(("a", 5L), ("a", 17L), ("b", 99L))
+    q.processAllAvailable()
+    input.addData(("a", 42L))
+    q.processAllAvailable()
+    q.stop()
+    val small = StreamHistQuantile.quantiles(spark, root2, mn = 0L, w = 10L)
+      .get.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // a: buckets 0,1,4 -> p50 = 2nd of 3 -> bucket 1 (lo 10); p95 -> bucket 4 (lo 40)
+    // b: single bucket 9; ALL: buckets 0,1,4,9 -> p50 = 2nd of 4 -> bucket 1
+    assert(small == Map("a" -> ((10L, 40L)), "b" -> ((90L, 90L)),
+      "ALL" -> ((10L, 90L))), s"maintain() wiring produced $small")
   }
 
   test("stream join view: equals batch IncrementalJoin and the full join; replay idempotent") {
