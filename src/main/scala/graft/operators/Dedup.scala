@@ -293,8 +293,18 @@ object Dedup {
           coalesce(col("n_prior"), lit(0L)).as("n_prior"),
           coalesce(col("keep"), lit(true)).as("keep"))
     // bootstrap: history fingerprints only — the returned decision frame is
-    // ignored and therefore never computed; only the segment write runs
-    graft.api.IncrementalDedup.ingest(s, root, bands(col("id") < 1000000L))
+    // ignored and therefore never computed; only the segment write runs.
+    // The bootstrap is a deterministic function of the documents table, so
+    // it is built once per source fingerprint ([[graft.api.ModelCache]])
+    // and tree-copied into this run's fresh root — the run then mutates
+    // its own copy (waves + compaction) without touching the cached one.
+    val bootSrc = graft.api.ModelCache.cached(
+      s"incrdedup-boot:${graft.api.ModelCache.fingerprint(d, "documents")}") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-incr-boot").toString
+      graft.api.IncrementalDedup.ingest(s, dir, bands(col("id") < 1000000L))
+      dir
+    }
+    graft.api.ModelCache.copyTree(bootSrc, root)
     val w1 = col("doc_id") >= 1000000L && col("doc_id") < 2000000L
     val d1 = full(graft.api.IncrementalDedup.ingest(s, root,
       bands(col("id") >= 1000000L && col("id") < 2000000L)), w1)

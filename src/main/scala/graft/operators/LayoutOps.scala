@@ -37,14 +37,8 @@ object LayoutOps {
     * regenerates testdata the fingerprint moves, so a stale layout from an
     * earlier generation can never serve a query (it gets a new name and is
     * rebuilt). Used for cache KEYING only — never in results. */
-  private def fingerprint(d: String, tables: String*): String = {
-    val parts = tables.map { t =>
-      val f = new java.io.File(s"$d/$t.parquet")
-      s"$t:${f.length}:${f.lastModified}"
-    }
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(d + parts.mkString("|")) & 0xffffffffL)
-  }
+  private def fingerprint(d: String, tables: String*): String =
+    graft.api.ModelCache.fingerprint(d, tables: _*)
 
   /** Layouts already built by THIS process (catalog registrations die with
     * the session, so a new JVM rebuilds — mode `overwrite` makes that

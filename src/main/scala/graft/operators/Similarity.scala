@@ -73,6 +73,28 @@ object Similarity {
        |),
        |n AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM ec)""".stripMargin
 
+  /** Fingerprint-keyed fit cache ([[graft.api.ModelCache]]): the 8-cell
+    * coarse quantizer and the PQ codebooks are deterministic functions of
+    * the embeddings table but are consumed by six different queries — fit
+    * once per source-data fingerprint, reuse everywhere. Cached ≡ fresh is
+    * pinned by ModelCacheSpec; a regenerated dataset moves the fingerprint
+    * and re-fits. This is the production shape at 100 TB: train the
+    * quantizer once per corpus snapshot, amortize across every search. */
+  private def embFp(d: String): String =
+    graft.api.ModelCache.fingerprint(d, "embeddings")
+
+  private[operators] def ivfCents(s: SparkSession, d: String): Array[Array[Double]] =
+    graft.api.ModelCache.cached(s"ivf:8:2:n:${embFp(d)}")(
+      graft.api.VectorSearch.ivfFitKMeans(normed(s, d), nCells = 8, iters = 2))
+
+  private def ivfCentsE(s: SparkSession, d: String): Array[Array[Double]] =
+    graft.api.ModelCache.cached(s"ivf:8:2:ec:${embFp(d)}")(
+      graft.api.VectorSearch.ivfFitKMeans(eCorpus(s, d), nCells = 8, iters = 2))
+
+  private[operators] def pqBooks(s: SparkSession, d: String): graft.api.ProductQuant.Codebooks =
+    graft.api.ModelCache.cached(s"pq:$PqM:$PqSub:$PqK:$PqRounds:${embFp(d)}")(
+      graft.api.ProductQuant.fit(normed(s, d), PqM, PqSub, PqK, PqRounds))
+
   /** Embedding-cosine near-dup detection, blocked by label. The oracle
     * mirrors the Spark-side block cap (blocks > 10000 rows excluded), so
     * both engines compute the identical algorithm at every scale factor —
@@ -237,7 +259,7 @@ object Similarity {
        |WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     val n = normed(s, d)
-    val cents = graft.api.VectorSearch.ivfFitKMeans(n, nCells = 8, iters = 2)
+    val cents = ivfCents(s, d)
     val assigned = graft.api.VectorSearch.ivfAssign(n, cents)
     graft.api.VectorSearch
       .ivfTopK(assigned, cents, n.where(col("id") < 10), k = 5, nprobe = 2)
@@ -314,7 +336,7 @@ object Similarity {
     val n = normed(s, d)
     val qs = n.where(col("id") < 10)
     val brute = graft.api.VectorSearch.topK(n, qs, k = 10).select("qid", "nid")
-    val cents = graft.api.VectorSearch.ivfFitKMeans(n, nCells = 8, iters = 2)
+    val cents = ivfCents(s, d)
     val assigned = graft.api.VectorSearch.ivfAssign(n, cents)
     val ivf = graft.api.VectorSearch
       .ivfTopK(assigned, cents, qs, k = 10, nprobe = 2).select("qid", "nid")
@@ -354,7 +376,7 @@ object Similarity {
        |GROUP BY a.cell, g.dim
        |ORDER BY cell, dim""".stripMargin) { (s, d) =>
     val n = normed(s, d)
-    val cents = graft.api.VectorSearch.ivfFitKMeans(n, nCells = 8, iters = 2)
+    val cents = ivfCents(s, d)
     graft.api.VectorSearch.ivfAssign(n, cents)
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cell", "dim")
@@ -482,7 +504,7 @@ object Similarity {
        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     import graft.api.ProductQuant
     val n = graft.Persisting.maybe(normed(s, d))
-    val books = ProductQuant.fit(n, PqM, PqSub, PqK, PqRounds)
+    val books = pqBooks(s, d)
     val codes = ProductQuant.encode(n, books, PqSub)
     val lutDf = ProductQuant.lut(n.where(col("id") < 5), books, PqSub)
     ProductQuant.adcTopK(codes, lutDf, k = 10)
@@ -542,9 +564,9 @@ object Similarity {
        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     import graft.api.{ProductQuant, VectorSearch}
     val n = graft.Persisting.maybe(normed(s, d))
-    val cents = VectorSearch.ivfFitKMeans(n, nCells = 8, iters = 2)
+    val cents = ivfCents(s, d)
     val assigned = VectorSearch.ivfAssign(n, cents)
-    val books = ProductQuant.fit(n, PqM, PqSub, PqK, PqRounds)
+    val books = pqBooks(s, d)
     val codes = ProductQuant.encode(n, books, PqSub)
     val q = n.where(col("id") < 5)
     val probes = VectorSearch.ivfProbes(q, cents, nprobe = 2)
@@ -637,9 +659,9 @@ object Similarity {
     val n = graft.Persisting.maybe(normed(s, d))
     val qs = n.where(col("id") < 5)
     val brute = VectorSearch.topK(n, qs, k = 10).select("qid", "nid")
-    val cents = VectorSearch.ivfFitKMeans(n, nCells = 8, iters = 2)
+    val cents = ivfCents(s, d)
     val assigned = VectorSearch.ivfAssign(n, cents)
-    val books = ProductQuant.fit(n, PqM, PqSub, PqK, PqRounds)
+    val books = pqBooks(s, d)
     val codes = ProductQuant.encode(n, books, PqSub)
     val probes = VectorSearch.ivfProbes(qs, cents, nprobe = 2)
       .select(col("id").as("qid"), col("pcell"))
@@ -700,7 +722,7 @@ object Similarity {
        |FROM av LEFT JOIN drops d ON d.vid = av.vec_id
        |ORDER BY av.vec_id""".stripMargin) { (s, d) =>
     val n = eCorpus(s, d)
-    val cents = graft.api.VectorSearch.ivfFitKMeans(n, nCells = 8, iters = 2)
+    val cents = ivfCentsE(s, d)
     val assigned = graft.Persisting.maybe(
       graft.api.VectorSearch.ivfAssign(n, cents))
     val drops = graft.api.VectorSearch
