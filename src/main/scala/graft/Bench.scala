@@ -276,6 +276,15 @@ object Bench {
     results.filter(_.error.nonEmpty).foreach(r =>
       System.err.println(s"[bench-error] ${r.name}: ${r.error.get}"))
     val total = results.map(_.sec).sum
+    // Window-corrected total: the calibration probe's hot-host reference is
+    // 0.046 s (BASELINE.md "Calibration normalization"); dividing the raw
+    // total by (calib_post / 0.046) expresses it at hot-host speed, so
+    // totals from degraded host windows are comparable across rounds
+    // without re-deriving the correction from PERF_NOTES. calib_post (not
+    // pre) prices the window the inventory actually ran in; a degenerate
+    // probe reading (≤0) falls back to the raw total.
+    val CalibRef = 0.046
+    val totalNorm = if (calibPost > 0) total / (calibPost / CalibRef) else total
     // The driver tail-captures stdout and truncates long runs (round 11 lost
     // 52 of 140 per-query timings that way), so ALSO persist the full
     // per-query map as a small file that gets committed with the round: the
@@ -296,6 +305,8 @@ object Bench {
   "n_queries": ${results.size},
   "calib_pre_sec": ${num(calibPre, 4)},
   "calib_post_sec": ${num(calibPost, 4)},
+  "calib_ref_sec": ${num(CalibRef, 4)},
+  "total_norm_sec": ${num(totalNorm, 4)},
   "queries": {
 $body
   }
@@ -310,7 +321,7 @@ $body
       }
     }
     println(s"""{"metric":"calib","pre_sec":${num(calibPre, 4)},"post_sec":${num(calibPost, 4)},"unit":"sec"}""")
-    println(s"""{"metric":"total","value":${num(total, 4)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 4)},"total_norm":${num(totalNorm, 4)},"calib_post":${num(calibPost, 4)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }
