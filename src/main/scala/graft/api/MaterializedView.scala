@@ -15,7 +15,7 @@ import graft.plans.MvRewrite
   * entries) because the rewrite rule itself is session-scoped state: the
   * same JVM may host sessions with and without the rule.
   */
-object MaterializedView {
+object MaterializedView extends org.apache.spark.internal.Logging {
 
   /** `canonicalAgg`: the definition's topmost Aggregate node, fully
     * optimized, with the filters between aggregate and source STRIPPED,
@@ -86,8 +86,17 @@ object MaterializedView {
     // trees are canonically equal, so structural matching alone cannot
     // tell the frozen sample from a fresh one). Refuse at the source,
     // like every production MV system does.
-    if (optimized.exists(p => p.expressions.exists(e => !e.deterministic)))
-      return false
+    optimized.foreach { p =>
+      p.expressions.find(e => !e.deterministic).foreach { nd =>
+        // a silent false is indistinguishable from the no-Aggregate
+        // refusal below — name the view and the offending expression so a
+        // previously-accepted sampled view that stops registering is
+        // diagnosable from the log
+        logWarning(s"mv $name: registration refused — nondeterministic " +
+          s"expression ${nd.sql} in the definition")
+        return false
+      }
+    }
     optimized.collectFirst { case a: Aggregate => a } match {
       case None => false
       case Some(agg) =>

@@ -481,9 +481,16 @@ object Analytic {
       |FROM c GROUP BY grp ORDER BY grp""".stripMargin) { (s, d) =>
     val v = Tables.events(s, d)
       .select(col("event_type"), round(col("value") * 1000).cast("long").as("vi"))
-    val b = v.agg(min(col("vi")), max(col("vi"))).first()
-    val mn = b.getLong(0)
-    val w = math.max((b.getLong(1) - mn) / 128 + 1, 1L)
+    // bin spec (mn, w) derived ONCE per source fingerprint — a production
+    // histogram MV fixes it at view registration (StreamHistQuantile takes
+    // it as a creation-time parameter); recomputing per query would pay a
+    // second full corpus scan before the partials pass
+    val (mn, w) = graft.api.ModelCache.cached(
+      s"histbins:${graft.api.ModelCache.fingerprint(d, "events")}") {
+      val b = v.agg(min(col("vi")), max(col("vi"))).first()
+      val m = b.getLong(0)
+      (m, math.max((b.getLong(1) - m) / 128 + 1, 1L))
+    }
     val partials = graft.Persisting.maybe(
       v.groupBy(col("event_type").as("grp"),
           expr(s"(vi - $mn) div $w").as("bucket"))
@@ -498,19 +505,30 @@ object Analytic {
     * never touches raw rows. */
   private[graft] def histQuantiles(partials: org.apache.spark.sql.DataFrame,
       mn: Long, w: Long): org.apache.spark.sql.DataFrame = {
+    // the rollup row is carried on an internal boolean flag, not on the
+    // display name "ALL" — a real group whose key value is 'ALL' would
+    // otherwise be unioned into the rollup's window partition and
+    // double-count bins (corrupting both). With the flag the partitions
+    // stay disjoint; a genuine 'ALL' group then merely shares the display
+    // name in the output (GROUPING SETS-style ambiguity, not corruption).
     val merged = partials.groupBy("bucket")
       .agg(sum(col("cnt")).as("cnt")).withColumn("grp", lit("ALL"))
-      .select("grp", "bucket", "cnt")
-    val grpW = org.apache.spark.sql.expressions.Window.partitionBy("grp")
-    val cumed = partials.select("grp", "bucket", "cnt").unionByName(merged)
+      .withColumn("__rollup", lit(true))
+      .select("grp", "__rollup", "bucket", "cnt")
+    val grpW = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp", "__rollup")
+    val cumed = partials.select("grp", "bucket", "cnt")
+      .withColumn("__rollup", lit(false))
+      .unionByName(merged)
       .withColumn("cum", sum(col("cnt")).over(grpW.orderBy("bucket")))
       .withColumn("total", sum(col("cnt")).over(grpW))
-    cumed.groupBy("grp")
+    cumed.groupBy("grp", "__rollup")
       .agg(
         (lit(mn) + lit(w) * min(when(col("cum") * 2 >= col("total"),
           col("bucket")))).as("p50_lo"),
         (lit(mn) + lit(w) * min(when(col("cum") * 20 >= col("total") * 19,
           col("bucket")))).as("p95_lo"))
+      .select("grp", "p50_lo", "p95_lo")
       .orderBy("grp")
   }
 

@@ -148,6 +148,8 @@ object Maintenance {
       |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
       |       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_rev,
       |       count(*) AS cnt,
+      |       count(l_shipdate) AS cnt_ship,
+      |       any_value(l_returnflag) AS rf_any,
       |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_qty
       |FROM lineitem
       |WHERE l_linestatus = 'F'
@@ -158,7 +160,8 @@ object Maintenance {
       .agg(
         dsum(col("l_quantity")).as("p_sum_qty"),
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("p_sum_rev"),
-        count(lit(1)).as("p_cnt"))
+        count(lit(1)).as("p_cnt"),
+        count(col("l_shipdate")).as("p_cnt_ship"))
     val stateDir = s"${sys.props("java.io.tmpdir")}/graft-mv/" +
       s"${java.lang.Integer.toHexString(d.hashCode)}/lineitem_partials"
     // no unregister first — see qMvRewrite: refresh/register self-bypass
@@ -172,6 +175,13 @@ object Maintenance {
         round(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("double"), 2).as("sum_rev"),
         count(lit(1)).as("cnt"),
+        // count(col) rolls up as sum of the stored non-null-count
+        // partials; any_value(group key) is servable because the user
+        // groups by the same key (constant per re-agg group) — both are
+        // round-13 additions to the roll-up algebra, gated here: if
+        // either remap refuses, the rewrite skips and the fn throws
+        count(col("l_shipdate")).as("cnt_ship"),
+        any_value(col("l_returnflag")).as("rf_any"),
         round(dsum(col("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"))
       .orderBy("l_returnflag")
     val plan = q.queryExecution.optimizedPlan

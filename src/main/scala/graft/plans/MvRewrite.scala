@@ -331,6 +331,7 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val sums = scala.collection.mutable.Map.empty[Expression, Int]
     val mins = scala.collection.mutable.Map.empty[Expression, Int]
     val maxs = scala.collection.mutable.Map.empty[Expression, Int]
+    val cnts = scala.collection.mutable.Map.empty[Expression, Int]
     var cnt: Option[Int] = None
     defAgg.aggregateExpressions.zipWithIndex.foreach {
       case (a: AttributeReference, i) =>
@@ -342,6 +343,10 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           case m: Min => dnorm(m.child).foreach(mins(_) = i)
           case m: Max => dnorm(m.child).foreach(maxs(_) = i)
           case c: Count if isCountStar(c) => cnt = Some(i)
+          // count(col): the state stores the per-group NON-NULL count —
+          // a coarser count(col) is the sum of those partials
+          case c: Count if c.children.size == 1 =>
+            dnorm(c.children.head).foreach(cnts(_) = i)
           case _ => ()
         }
       case (Alias(e, _), i) if !e.exists(_.isInstanceOf[AggregateExpression]) =>
@@ -378,6 +383,30 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case m: Max => unorm(m.child).flatMap(maxs.get).map(i =>
           ae.copy(aggregateFunction = Max(defCol(i)),
             resultId = NamedExpression.newExprId))
+        // count(col) re-aggregates as sum(stored non-null-count partials);
+        // same zero-state coalesce rationale as count(*)
+        case c: Count if !isCountStar(c) && c.children.size == 1 =>
+          unorm(c.children.head).flatMap(cnts.get).map(i =>
+            org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+              ae.copy(aggregateFunction = Sum(defCol(i)),
+                resultId = NamedExpression.newExprId),
+              Literal(0L))))
+        // first/any_value(k) over a stored GROUP KEY, sound ONLY when the
+        // user also groups by (an expression canonically equal to) k —
+        // then k is constant within every re-agg group, so first() over
+        // state rows returns exactly what source evaluation would. A
+        // first() whose child varies within the group stays refused:
+        // state-row order could pick a different witness than source-row
+        // order, silently changing answers.
+        case f: org.apache.spark.sql.catalyst.expressions.aggregate.First =>
+          unorm(f.child).flatMap { nc =>
+            val constPerGroup = agg.groupingExpressions.exists(g =>
+              unorm(g).contains(nc))
+            if (!constPerGroup) None
+            else keys.get(nc).map(i =>
+              ae.copy(aggregateFunction = f.copy(child = defCol(i)),
+                resultId = NamedExpression.newExprId): Expression)
+          }
         case _ => None
       }
       case a: AttributeReference =>

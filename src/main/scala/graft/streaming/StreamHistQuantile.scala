@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * The bin spec `(mn, w)` is FIXED at view creation, like every
   * production histogram MV: quantile state is only mergeable across
-  * batches if all batches bucket identically. A value below `mn` clamps
-  * into bucket 0's arithmetic (negative bucket — still deterministic,
-  * still mergeable); a deployment that cannot bound its domain widens
+  * batches if all batches bucket identically. A value below `mn` lands
+  * in a genuine negative bucket via explicit floor division (see
+  * [[applyBatch]] — deterministic, mergeable, and consistent with
+  * DuckDB's `//`); a deployment that cannot bound its domain widens
   * `w` or re-registers the view.
   *
   * Scale shape (100 TB): each micro-batch shuffles ≤ |groups|×|bins|
@@ -33,7 +34,15 @@ object StreamHistQuantile {
       mn: Long, w: Long): Unit =
     IncrementalAgg.applyVersioned(batch, batchId, root)(
       b => b.select(grpCol.as("grp"), viCol.as("vi"))
-        .groupBy(col("grp"), expr(s"(vi - ${mn}L) div ${w}L").as("bucket"))
+        // explicit FLOOR division: `div` truncates toward zero, which
+        // would fold stream values in (mn-w, mn) into bucket 0 alongside
+        // genuine in-range values; floor semantics give them bucket -1
+        // (a true negative bucket, matching DuckDB's `//` convention and
+        // the scaladoc's promise)
+        .groupBy(col("grp"),
+          expr(s"(vi - ${mn}L) div ${w}L + " +
+            s"(CASE WHEN (vi - ${mn}L) % ${w}L < 0 THEN -1 ELSE 0 END)")
+            .as("bucket"))
         .agg(count(lit(1)).as("cnt")),
       (prev, partials) => prev.unionByName(partials)
         .groupBy("grp", "bucket").agg(sum(col("cnt")).as("cnt")))

@@ -441,7 +441,8 @@ class MaintenanceSpec extends SparkSpec {
         sum(col("l_quantity").cast("decimal(18,6)")).as("p_sum_qty"),
         min(col("l_quantity")).as("p_min_qty"),
         max(col("l_quantity")).as("p_max_qty"),
-        count(lit(1)).as("p_cnt"))
+        count(lit(1)).as("p_cnt"),
+        count(col("l_quantity")).as("p_cnt_qty"))
     // the query shapes under test, built fresh each call
     def qSubset = li.groupBy("l_linestatus").agg(
       round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double"), 2).as("s"),
@@ -485,6 +486,49 @@ class MaintenanceSpec extends SparkSpec {
       assert(scansState(qEmptyGlobal, "mv-rollup"), "empty-global case did not fire")
       assert(qEmptyGlobal.collect().toSeq.map(_.getLong(0)) == Seq(0L),
         "count(*) over a key filter matching no stored group must be 0, not null")
+
+      // round-13 algebra: count(col) over stored non-null-count partials
+      def qCntCol = li.groupBy("l_linestatus")
+        .agg(count(col("l_quantity")).as("c"))
+      val cntTruth = li.groupBy("l_linestatus")
+        .agg(count(col("l_quantity")).as("c")).collect().map(key).toSet
+      assert(scansState(qCntCol, "mv-rollup"), "count(col) roll-up did not fire")
+      assert(qCntCol.collect().map(key).toSet == cntTruth, "count(col) wrong rows")
+      // count of a column the view never stored a count for: refused
+      def qCntUnstored = li.groupBy("l_linestatus")
+        .agg(count(col("l_tax")).as("c"))
+      assert(!scansState(qCntUnstored, "mv-rollup"),
+        "UNSOUND: count of an unstored column served from state")
+      // empty-state coalesce holds for count(col) exactly like count(*)
+      def qEmptyCntCol = li.where(col("l_returnflag") === "Z")
+        .agg(count(col("l_quantity")).as("c"))
+      assert(scansState(qEmptyCntCol, "mv-rollup"), "empty count(col) did not fire")
+      assert(qEmptyCntCol.collect().toSeq.map(_.getLong(0)) == Seq(0L),
+        "count(col) over a key filter matching no stored group must be 0")
+
+      // first/any_value(k): served ONLY when the user also groups by k
+      // (constant per re-agg group → deterministic); row-compared because
+      // the truth is then well-defined
+      def qFirstKey = li.groupBy("l_linestatus")
+        .agg(first(col("l_linestatus")).as("f"), count(lit(1)).as("c"))
+      val firstTruth = li.groupBy("l_linestatus")
+        .agg(first(col("l_linestatus")).as("f"), count(lit(1)).as("c"))
+        .collect().map(key).toSet
+      assert(scansState(qFirstKey, "mv-rollup"), "first(grouped key) did not fire")
+      assert(qFirstKey.collect().map(key).toSet == firstTruth,
+        "first(grouped key) wrong rows")
+      // first over a stored key the user does NOT group by: the witness
+      // row would depend on state-row vs source-row order — must refuse.
+      // Plan-asserted only: the truth rows are order-nondeterministic.
+      def qFirstNonKey = li.groupBy("l_linestatus")
+        .agg(first(col("l_returnflag")).as("f"))
+      assert(!scansState(qFirstNonKey, "mv-rollup"),
+        "UNSOUND: first over a non-grouped key served from state")
+      // first over a measure (never a key): refused
+      def qFirstMeasure = li.groupBy("l_linestatus")
+        .agg(first(col("l_quantity")).as("f"))
+      assert(!scansState(qFirstMeasure, "mv-rollup"),
+        "UNSOUND: first over a measure served from state")
     } finally MaterializedView.unregister(spark, "mv_spec_rollup")
   }
 
@@ -694,7 +738,8 @@ class MaintenanceSpec extends SparkSpec {
         sum(col("l_quantity").cast("decimal(18,6)")).as("p_sum_qty"),
         min(col("l_quantity")).as("p_min_qty"),
         max(col("l_quantity")).as("p_max_qty"),
-        count(lit(1)).as("p_cnt"))
+        count(lit(1)).as("p_cnt"),
+        count(col("l_quantity")).as("p_cnt_qty"))
 
     // a small algebra of query shapes: every combination is either served
     // from state (derivable) or refused — in BOTH cases the rows must be
@@ -716,7 +761,14 @@ class MaintenanceSpec extends SparkSpec {
       "s_tax" -> round(sum(col("l_tax").cast("decimal(18,6)")).cast("double"), 2),
       "avg_q" -> round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double") /
         count(lit(1)), 4),
-      "cd" -> count_distinct(col("l_quantity")))
+      "cd" -> count_distinct(col("l_quantity")),
+      // round-13 algebra: count(col) rolls up as sum of stored non-null
+      // counts; count of a NEVER-stored column must take the refusal path
+      "c_qty" -> count(col("l_quantity")),
+      "c_tax" -> count(col("l_tax")),
+      // first(key) — servable only when the user groups by the same key
+      // (constant per group, hence deterministic); see shape sanitizer
+      "f_ls" -> first(col("l_linestatus")))
     // the filtered definition's own cut — shapes drawing it (alone or with
     // a key residual) are the ones a filtered view may legitimately serve
     val defCut = col("l_shipdate") < lit(java.sql.Date.valueOf("1997-01-01"))
@@ -739,10 +791,31 @@ class MaintenanceSpec extends SparkSpec {
       }
     }
     val rng = new scala.util.Random(42)
+    // first(l_linestatus) is only DETERMINISTIC when the grouping pins
+    // l_linestatus per group (keys 2/3 group by it; key 5's concat is
+    // injective over these single-char columns): elsewhere the truth rows
+    // themselves vary run-to-run, so such shapes are sanitized out. The
+    // first-on-non-grouped-key REFUSAL is pinned by the subset test via
+    // plan assertion instead.
+    val firstIdx = aggChoices.indexWhere(_._1 == "f_ls")
+    val firstOkKeys = Set(2, 3, 5)
     val shapes = Seq.fill(60)(Shape(
       rng.nextInt(keyChoices.size),
       Seq.fill(1 + rng.nextInt(3))(rng.nextInt(aggChoices.size)).distinct,
-      rng.nextInt(filterChoices.size)))
+      rng.nextInt(filterChoices.size))).map { sh =>
+      if (sh.aggs.contains(firstIdx) && !firstOkKeys(sh.keys)) {
+        val pruned = sh.aggs.filterNot(_ == firstIdx)
+        sh.copy(aggs = if (pruned.nonEmpty) pruned else Seq(1))
+      } else sh
+    } ++ Seq(
+      // deterministic coverage floor — the random draws shift whenever the
+      // algebra grows, so pin one servable shape per pass: concat key
+      // (complex pass), count(col) + first(grouped key), def-cut filter
+      // (filtered pass), first(key) beside a key residual
+      Shape(5, Seq(0, 7), 0),
+      Shape(2, Seq(7, 9), 0),
+      Shape(3, Seq(1, 7), 6),
+      Shape(2, Seq(9, 1), 1))
 
     // outcome = rows (order-independent) OR the failure class; the rewrite
     // must preserve whichever the unregistered plan produces
@@ -760,7 +833,8 @@ class MaintenanceSpec extends SparkSpec {
         sum(col("l_quantity").cast("decimal(18,6)")).as("p_sum_qty"),
         min(col("l_quantity")).as("p_min_qty"),
         max(col("l_quantity")).as("p_max_qty"),
-        count(lit(1)).as("p_cnt"))
+        count(lit(1)).as("p_cnt"),
+        count(col("l_quantity")).as("p_cnt_qty"))
     // a COMPLEX-key definition: the stored key is a computed expression,
     // exercising decompose's alias inlining through the optimizer's
     // pulled-out `_groupingexpression` projection
@@ -771,7 +845,8 @@ class MaintenanceSpec extends SparkSpec {
         sum(col("l_quantity").cast("decimal(18,6)")).as("p_sum_qty"),
         min(col("l_quantity")).as("p_min_qty"),
         max(col("l_quantity")).as("p_max_qty"),
-        count(lit(1)).as("p_cnt"))
+        count(lit(1)).as("p_cnt"),
+        count(col("l_quantity")).as("p_cnt_qty"))
     val passes = Seq(
       ("mv_fuzz", () => partials, "unfiltered"),
       ("mv_fuzz_filtered", () => partialsFiltered, "filtered"),

@@ -604,6 +604,20 @@ class StreamingSpec extends SparkSpec {
     assert(StreamHistQuantile.quantiles(spark, root, mn, w).get.collect().toSeq
       == batchRows, "replayed batch mutated the histogram state")
 
+    // a stream value below the fixed mn floors into a genuine NEGATIVE
+    // bucket (DuckDB `//` convention) — truncate-toward-zero `div` would
+    // fold (mn-w, mn) into bucket 0 with real in-range values
+    locally {
+      import spark.implicits._
+      val root3 = Files.createTempDirectory("shq3").toString
+      val low = Seq(("g", mn - 1L), ("g", mn)).toDF("grp", "vi")
+      StreamHistQuantile.applyBatch(low, 0L, root3, col("grp"), col("vi"), mn, w)
+      val st = graft.streaming.IncrementalAgg.state(spark, root3).get
+        .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("cnt")).toMap
+      assert(st == Map(-1L -> 1L, 0L -> 1L),
+        s"below-mn value not floored into bucket -1: $st")
+    }
+
     // and the streaming-query wiring end-to-end: maintain() over a
     // MemoryStream reproduces the same derivation on its own state dir
     val root2 = Files.createTempDirectory("shq2").toString
