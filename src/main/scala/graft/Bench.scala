@@ -27,6 +27,21 @@ object Bench {
   @volatile private var current = ""
   @volatile private var started = 0L
 
+  /** Fixed CPU-bound host-speed probe (no IO, no real shuffle): totals
+    * divided by its reading are comparable across host windows. Hot-host
+    * reference: 0.046 s (BASELINE.md "Calibration normalization"). */
+  def calibProbe(spark: SparkSession): Unit =
+    spark.range(0L, 40000000L, 1L, 32)
+      .selectExpr("max(xxhash64(id))").head() // max: ANSI-overflow-free
+
+  /** Best of 3 probe readings — call [[calibProbe]] once first to JIT-warm. */
+  def calibrate(spark: SparkSession): Double =
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      calibProbe(spark)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   private def defaultLoader(s: SparkSession, sfDir: String, t: String): DataFrame =
     if (t == "events") Tables.events(s, sfDir) else Tables.load(s, sfDir, t)
 
@@ -196,18 +211,10 @@ object Bench {
     // rounds 9-12); the probe turns "was that run slow or was the host?"
     // into arithmetic: totals divided by calib are comparable across
     // windows, raw totals are not.
-    def calibProbe(): Unit =
-      spark.range(0L, 40000000L, 1L, 32)
-        .selectExpr("max(xxhash64(id))").head() // max: ANSI-overflow-free
-    def calibrate(): Double =
-      (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        calibProbe()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-    calibProbe() // JIT-warm the probe's generated class once, untimed —
-    // otherwise pre includes C2 compilation and is incomparable to post
-    // (measured 0.147 s pre vs 0.046 s post on the same host window)
+    def calibrate(): Double = Bench.calibrate(spark)
+    Bench.calibProbe(spark) // JIT-warm the probe's generated class once,
+    // untimed — otherwise pre includes C2 compilation and is incomparable
+    // to post (measured 0.147 s pre vs 0.046 s post on the same window)
 
     // per-query shuffle accounting ("measure, don't guess"): a listener
     // accumulates task-level shuffle write bytes; the delta around each

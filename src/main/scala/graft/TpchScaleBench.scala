@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H decade scale-up proof (`runMain graft.TpchScaleBench`): derive an
+  * sf1-equivalent dataset (10× the bench SF) from the driver's sf0.1
+  * parquet by key-offset replication, then time the 22 TPC-H queries at
+  * BOTH scale factors in the same process/window and diff the physical
+  * plan shapes against the committed `plan_budgets.txt`.
+  *
+  * Why: every scale claim in SCALE.md is extrapolated from sf0.1; one
+  * real decade of growth validates the no-superlinear-surprise story —
+  * per-query time should grow ≲ linearly (ratio ≈ size ratio), and the
+  * plan shape (scans/exchanges/join strategies) should be the SAME plan,
+  * not a strategy flip that only shows up at scale. The within-run sf0.1
+  * leg makes the ratio immune to host-window speed (both legs see the
+  * same window; the calibration probe records it anyway).
+  *
+  * Replication semantics: region/nation stay fixed (TPC-H dims don't
+  * scale); customer/supplier/part/orders/lineitem are replicated K times
+  * with every join key offset by `copy × 100M`, so each copy joins only
+  * within itself — join fan-out, group cardinality, and filter
+  * selectivity all scale linearly, like real TPC-H growth. Key columns
+  * keep their original physical types (the offset fits in INT range).
+  * Output is derived data under /tmp — never written into the read-only
+  * testdata tree.
+  */
+object TpchScaleBench {
+
+  private val Factor = 10
+  private val Off = 100000000L // > any sf0.1 key; Factor*Off fits in INT
+
+  private val keyCols = Set(
+    "c_custkey", "s_suppkey", "p_partkey",
+    "o_orderkey", "o_custkey",
+    "l_orderkey", "l_partkey", "l_suppkey")
+
+  private val scaledTables =
+    Seq("customer", "supplier", "part", "orders", "lineitem")
+  private val fixedTables = Seq("region", "nation")
+
+  def scaleUp(spark: SparkSession, src: String, dst: String): Unit = {
+    val marker = java.nio.file.Paths.get(dst, "_GRAFT_SCALED")
+    val stamp = s"src=$src factor=$Factor " +
+      s"fp=${graft.api.ModelCache.fingerprint(src, scaledTables ++ fixedTables: _*)}"
+    if (java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == stamp) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+    fixedTables.foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    val reps = spark.range(Factor).select(col("id").as("__rep"))
+    scaledTables.foreach { t =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      df.crossJoin(broadcast(reps))
+        .select(df.columns.toSeq.map {
+          case c if keyCols(c) =>
+            (col(c).cast("long") + col("__rep") * Off).cast(types(c)).as(c)
+          case c => col(c)
+        }: _*)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    java.nio.file.Files.writeString(marker, stamp)
+  }
+
+  // same node census as PlanBudgetSpec (prepared plan, AQE off)
+  private val shapeKeys = Seq("scan", "shuffle", "broadcast", "smj", "bhj",
+    "shj", "bnlj", "cartesian", "sort", "window", "expand")
+
+  private def shape(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Map[String, Int] = {
+    import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, SortExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins._
+    import org.apache.spark.sql.execution.window.WindowExec
+    val m = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    plan.foreach {
+      case _: ShuffleExchangeLike => m("shuffle") += 1
+      case _: BroadcastExchangeLike => m("broadcast") += 1
+      case _: FileSourceScanExec => m("scan") += 1
+      case _: SortMergeJoinExec => m("smj") += 1
+      case _: BroadcastHashJoinExec => m("bhj") += 1
+      case _: ShuffledHashJoinExec => m("shj") += 1
+      case _: BroadcastNestedLoopJoinExec => m("bnlj") += 1
+      case _: CartesianProductExec => m("cartesian") += 1
+      case _: SortExec => m("sort") += 1
+      case _: WindowExec => m("window") += 1
+      case _ => ()
+    }
+    shapeKeys.map(k => k -> m(k)).toMap
+  }
+
+  private def budgets(): Map[String, Map[String, Int]] =
+    java.nio.file.Files.readString(java.nio.file.Paths.get("plan_budgets.txt"))
+      .linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split(" ")
+        parts.head -> parts.tail.map { kv =>
+          val Array(k, v) = kv.split("="); k -> v.toInt
+        }.toMap
+      }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "/tmp/graft-sf1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-tpch-sf1")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.buffer.pageSize", "2m")
+      .config("spark.cleaner.referenceTracking.blocking", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    scaleUp(spark, src, dst)
+
+    val tpch = SparkEntry.defs.filter(_.name.startsWith("q_tpch_"))
+      .sortBy(_.name)
+    val tables = fixedTables ++ scaledTables
+    Bench.warmTables(spark, src, tables)
+    Bench.warmTables(spark, dst, tables)
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+
+    Bench.calibProbe(spark) // JIT-warm, untimed
+    val calibPre = Bench.calibrate(spark)
+    // interleaving note: the base leg runs first, the scaled leg second —
+    // each query's generated classes are hot for the scaled leg, so the
+    // ratio prices DATA growth, not compilation
+    val base = Bench.timeInventory(spark, src, tpch,
+      shuffleCounter = () => shuffleBytes.get())
+    val scaled = Bench.timeInventory(spark, dst, tpch,
+      shuffleCounter = () => shuffleBytes.get())
+    val calibPost = Bench.calibrate(spark)
+
+    // plan-shape census on the SCALED data, AQE off (same census as
+    // PlanBudgetSpec); diff vs the committed sf0.001 budgets — a strategy
+    // flip across 3 decades of data is exactly what this surfaces
+    val want = budgets()
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val planDiffs =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        tpch.flatMap { q =>
+          val got = shape(q.fn(spark, dst).queryExecution.executedPlan)
+          want.get(q.name).filter(_ != got).map { w =>
+            q.name -> shapeKeys.filter(k => w(k) != got(k))
+              .map(k => s"$k:${w(k)}->${got(k)}").mkString(",")
+          }
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    def num(d: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
+    val baseMap = base.map(r => r.name -> r).toMap
+    val rows = scaled.map { r =>
+      val b = baseMap(r.name)
+      val ratio = if (b.sec > 0) r.sec / b.sec else -1.0
+      s"""  "${r.name}": {"sf01_sec": ${num(b.sec, 4)}, "sf1_sec": ${num(r.sec, 4)}, "ratio": ${num(ratio, 2)}, "sf01_shuffle_mb": ${num(b.shuffleMb, 2)}, "sf1_shuffle_mb": ${num(r.shuffleMb, 2)}}"""
+    }.mkString(",\n")
+    val diffsJson = planDiffs.map { case (n, d) => s"""    "$n": "$d"""" }
+      .mkString("{\n", ",\n", "\n  }")
+    val doc = s"""{
+  "src": "$src",
+  "dst": "$dst",
+  "factor": $Factor,
+  "calib_pre_sec": ${num(calibPre, 4)},
+  "calib_post_sec": ${num(calibPost, 4)},
+  "total_sf01_sec": ${num(base.map(_.sec).sum, 4)},
+  "total_sf1_sec": ${num(scaled.map(_.sec).sum, 4)},
+  "total_ratio": ${num(scaled.map(_.sec).sum / math.max(base.map(_.sec).sum, 1e-9), 2)},
+  "plan_budget_diffs_vs_sf0001": ${if (planDiffs.isEmpty) "{}" else diffsJson},
+  "queries": {
+$rows
+  }
+}
+"""
+    val out = sys.env.getOrElse("GRAFT_TPCH_SF1_JSON", "bench_tpch_sf1.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc)
+    println(doc)
+    spark.stop()
+  }
+}

@@ -16,6 +16,25 @@ class StreamingSpec extends SparkSpec {
   private def mk(module: String, sendTs: Long, tail: String): String =
     module.padTo(16, ' ') + sendTs.toString.padTo(16, ' ') + (" " * 32) + tail
 
+  /** Total state-store rows after the query's last completed batch —
+    * the metric pin behind every "state bounded by watermark, not
+    * history" claim in SURVEY §2.C. Output parity cannot see an
+    * accidental unbounded-state regression (evicted entries influence
+    * nothing); the row count can. Summed across state operators
+    * (multi-stage pipelines) and state variables (incl. timers). */
+  private def stateRowsNow(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverseIterator
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+      .getOrElse(0L)
+
+  private def assertStateBound(q: org.apache.spark.sql.streaming.StreamingQuery,
+      bound: Long, label: String): Unit = {
+    val rows = stateRowsNow(q)
+    info(s"$label: state rows = $rows (bound $bound)")
+    assert(rows <= bound, s"$label: state rows $rows exceed documented bound $bound")
+  }
+
   test("fan-out: both sinks fed from one pass, same batch ids") {
     val input = MemoryStream[String](spark)
     val sessions = new ConcurrentLinkedQueue[(Long, String)]
@@ -259,6 +278,10 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(hits().contains(5L -> 4L),
         s"doc 5 must match the re-seeded doc 4: ${hits()}")
+      // state pin: only the 3 in-horizon docs remain indexed (× 4 bands,
+      // + their expiry timers); the 8-doc history (32 entries + timers)
+      // must have been evicted by the event-time horizon
+      assertStateBound(q, 12L, "near-dup")
       q.stop()
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
@@ -343,6 +366,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(hits().exists(h => h._1 == 6L && h._3 == 5L),
         s"doc 6 must match the re-seeded doc 5: ${hits()}")
+      // state pin: resident chunk digests = the in-horizon docs' chunks
+      // (+ timers); the evicted history must not be resident
+      assertStateBound(q, 16L, "span-dedup")
       q.stop()
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
@@ -549,6 +575,11 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     assert(viewNow() == Map(
       "a" -> ((10.0, 3L, 3.3333)), "b" -> ((10.0, 1L, 10.0)), "c" -> ((0.25, 1L, 0.25))))
+    // state pin (SURVEY §2.C): stored partials = one row per GROUP (3),
+    // independent of how many rows were delivered (5) — O(groups), never
+    // O(history)
+    assert(IncrementalAgg.state(spark, root).get.count() == 3L,
+      "incr-agg state must hold exactly one row per group")
     q.stop()
 
     // replaying an already-applied batch must change nothing (the
@@ -630,6 +661,11 @@ class StreamingSpec extends SparkSpec {
     input.addData(("a", 42L))
     q.processAllAvailable()
     q.stop()
+    // state pin: bin-count state is ≤ groups × 129 rows regardless of
+    // delivered volume — here exactly the 4 touched (grp, bucket) bins
+    val histRows = graft.streaming.IncrementalAgg.state(spark, root2).get.count()
+    assert(histRows == 4L && histRows <= 2L * 129L,
+      s"hist-quantile state must stay ≤ groups×129 bins, got $histRows")
     val small = StreamHistQuantile.quantiles(spark, root2, mn = 0L, w = 10L)
       .get.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // a: buckets 0,1,4 -> p50 = 2nd of 3 -> bucket 1 (lo 10); p95 -> bucket 4 (lo 40)
@@ -660,6 +696,12 @@ class StreamingSpec extends SparkSpec {
     input.addData(b1: _*); q.processAllAvailable()
     assert(viewNow() == Seq((1L, "x", 10), (1L, "x", 11), (2L, "y", 20)), "after batch 1")
     input.addData(b2: _*); q.processAllAvailable()
+    // state pin: retained sides grow by DELTA only — stored A/B rows
+    // equal the delivered side rows exactly (3 A, 4 B), no per-batch
+    // rewrite of history
+    assert(spark.read.parquet(s"$root/A").count() == 3L &&
+      spark.read.parquet(s"$root/B").count() == 4L,
+      "join-view side state must equal delivered side rows")
     q.stop()
     val streamed = viewNow()
 
@@ -788,6 +830,11 @@ class StreamingSpec extends SparkSpec {
         new java.sql.Timestamp(t), "purchase")
       input.addData(term(maxTs + 8L * 24 * 3600 * 1000)); q.processAllAvailable()
       input.addData(term(maxTs + 9L * 24 * 3600 * 1000)); q.processAllAvailable()
+      // state pin: every user's window has closed and emitted — the
+      // resident rows are the terminator key's state variables and
+      // timers (measured 16), not the hundreds-of-users census the
+      // stream delivered
+      assertStateBound(q, 24L, "funnel")
       q.stop()
 
       val streamed = spark.table("funnelstream").as[Conversion].collect()
@@ -834,6 +881,9 @@ class StreamingSpec extends SparkSpec {
     def term(t: Long) = SessionEvent("terminator", new java.sql.Timestamp(t), "p")
     input.addData(term(maxTs + 4000000L)); q.processAllAvailable()
     input.addData(term(maxTs + 9000000L)); q.processAllAvailable()
+    // state pin: all sessions flushed by the quiet gap — only the
+    // terminator user's open session may remain resident
+    assertStateBound(q, 8L, "sessionize")
     q.stop()
 
     val streamed = spark.table("sessparity").as[SessionSummary].collect()
@@ -869,6 +919,9 @@ class StreamingSpec extends SparkSpec {
       def term(t: Long, id: Long) = ValueEvent(-1L, new java.sql.Timestamp(t), id, 1.0)
       input.addData(term(maxTs + 3600000L, -1L)); q.processAllAvailable()
       input.addData(term(maxTs + 7200000L, -2L)); q.processAllAvailable()
+      // state pin: per-group rolling baseline is O(groups × window), not
+      // O(history) — bound = groups incl. terminators × window entries
+      assertStateBound(q, 32L, "anomaly")
       q.stop()
 
       val streamed = spark.table("anomstream").as[AnomalyHit].collect()
@@ -979,6 +1032,9 @@ class StreamingSpec extends SparkSpec {
         assert(engineCells(h.vec_id) == h.cell)
         assert(h.dup_of < h.vec_id && engineCells(h.dup_of) == h.cell)
       }
+      // state pin: resident vectors ≤ the KEPT corpus (per-cell canonical
+      // survivors + timers), never the raw delivered stream
+      assertStateBound(q, 64L, "semantic-dedup")
       q.stop()
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
@@ -1046,6 +1102,9 @@ class StreamingSpec extends SparkSpec {
       val vocab = fedDocs.flatMap(_._2.split(" ", -1)).distinct.size
       assert(updates.length < 2 * vocab,
         s"update volume ${updates.length} suggests full-vocab re-emission (vocab $vocab)")
+      // state pin: one counter row per distinct word — O(vocabulary),
+      // with slack for per-key metadata, never O(token stream)
+      assertStateBound(q, 2L * vocab, "heavy-hitters")
       q.stop()
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
@@ -1138,6 +1197,9 @@ class StreamingSpec extends SparkSpec {
         1L -> "domain_cap", 2L -> "domain_cap", 3L -> "domain_cap",
         15L -> "domain_cap"),
         s"unexpected final drop set: $fin")
+      // state pin: the two stateful stages hold in-horizon digests and
+      // domain counters only — bounded by live docs, not delivered volume
+      assertStateBound(q, 32L, "curate-pipeline")
       q.stop()
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
@@ -1178,6 +1240,9 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     input.addData((new java.sql.Timestamp(maxTs + 3L * 3600 * 1000), "__wm__", 0.0))
     q.processAllAvailable()
+    // state pin: every data window is past the watermark and emitted —
+    // only the sentinel's open windows may remain resident
+    assertStateBound(q, 8L, "hop-window")
     q.stop()
 
     val streamed = spark.table("hopstream")
@@ -1330,6 +1395,11 @@ class StreamingSpec extends SparkSpec {
     // the all-short wave's empty segment never joins the live list
     assert(IncrementalDedup.segments(root).size == 3,
       s"zero-band segment leaked into the live list: ${IncrementalDedup.segments(root)}")
+    // state pin: the live index holds exactly the union of ingested band
+    // rows — O(Δ) accumulation per wave, no duplication, no history rescan
+    val wantIdxRows = waves.map(w => bands(w).count()).sum
+    assert(IncrementalDedup.index(spark, root).get.count() == wantIdxRows,
+      "index rows must equal the union of ingested band rows")
 
     // ledger idempotence: re-delivering a completed batch appends nothing
     val segsBefore = IncrementalDedup.segments(root)
@@ -1425,6 +1495,10 @@ class StreamingSpec extends SparkSpec {
       (-3L, new java.sql.Timestamp(maxTs + 3L * 3600 * 1000), -1L, "error"),
       (-4L, new java.sql.Timestamp(maxTs + 3L * 3600 * 1000), -2L, "click"))
     q.processAllAvailable()
+    // state pin: join state retains only rows within window+delay of the
+    // watermark — the advanced watermark must have evicted the data rows,
+    // leaving (at most) the late sentinels
+    assertStateBound(q, 8L, "range-join")
     q.stop()
 
     val pairs = spark.table("rangejoin").collect()
