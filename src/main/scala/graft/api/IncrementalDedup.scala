@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * {{{
   *   root/seg00000/bkt=0/…/bkt=63/  parquet (id, band, bv) hash-bucketed
   *   root/seg00001/bkt=…/           next batch, same bucketing, ...
-  *   root/_SEGMENTS                 newline list of live segments (atomic pointer)
+  *   root/_MANIFEST(.vN)            shared StateManifest (atomic pointer + history)
   * }}}
   *
   * Segments are PARTITIONED by `bkt = pmod(hash(band, bv), IndexBuckets)`
@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   * [[ingest]] is write-then-point: the increment's bands land in a new
   * segment directory FIRST, the returned decision frame reads only
   * already-written parquet (stable under later appends — no lazy recompute
-  * hazard), and the `_SEGMENTS` pointer advances last via atomic rename.
+  * hazard), and the manifest advances last via atomic rename.
   * A crash between write and point leaves an orphan directory that is
   * never read — readers see either the old or the new index, never a torn
   * one. On a real deployment the segment list is a Delta/Iceberg table and
@@ -76,16 +76,32 @@ object IncrementalDedup {
 
   private def bktCol = pmod(hash(col("band"), col("bv")), lit(IndexBuckets))
 
-  private def segFile(root: String): java.nio.file.Path =
-    java.nio.file.Paths.get(root).resolve("_SEGMENTS")
+  /** Live segment directory names, in ingest order — from the shared
+    * [[StateManifest]] (round 13: the `_SEGMENTS` list, IncrementalAgg's
+    * pointer pair, and MaterializedView's alternation now share ONE
+    * manifest code path). A pre-manifest state dir decodes through the
+    * legacy `_SEGMENTS` file read-only; the first ingest after an upgrade
+    * commits a manifest carrying the same list. */
+  def segments(root: String): Seq[String] =
+    StateManifest.current(root).map(_.segments).getOrElse(legacySegments(root))
 
-  /** Live segment directory names, in ingest order. */
-  def segments(root: String): Seq[String] = {
-    val p = segFile(root)
+  private def legacySegments(root: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(root).resolve("_SEGMENTS")
     if (java.nio.file.Files.exists(p))
       java.nio.file.Files.readString(p).linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
     else Seq.empty
   }
+
+  /** Time-travel read: the index as of manifest commit `version` — valid
+    * until [[vacuum]] reclaims segments the current manifest no longer
+    * references (production: a retention window). Replay tests read the
+    * pre-compaction index through this. */
+  def indexAt(spark: SparkSession, root: String, version: Long): Option[DataFrame] =
+    StateManifest.at(root, version).flatMap { m =>
+      if (m.segments.isEmpty) None
+      else Some(m.segments.map(sg => spark.read.parquet(s"$root/$sg"))
+        .reduce(_.unionByName(_)).select("id", "band", "bv"))
+    }
 
   /** The stored fingerprint index (id, band, bv), or None before any
     * ingest. The physical `bkt` partition column is an internal layout
@@ -103,9 +119,6 @@ object IncrementalDedup {
     if (segs.isEmpty) None
     else Some(segs.map(sg => spark.read.parquet(s"$root/$sg")).reduce(_.unionByName(_)))
   }
-
-  private def writeAtomic(p: java.nio.file.Path, content: String): Unit =
-    AtomicFiles.writePointer(p, content)
 
   /** Ingest one increment: append its band keys `(id, band, bv)` (from
     * [[TextDedup.minhashBands]]) as a new index segment and return the
@@ -222,9 +235,21 @@ object IncrementalDedup {
 
     // an empty segment carries no information: leave it OFF the live list
     // (the claimed directory becomes a vacuumable orphan) so index readers
-    // never meet a file-less directory
-    if (touched.nonEmpty)
-      writeAtomic(segFile(root), (prior :+ segName).mkString("\n"))
+    // never meet a file-less directory. Commit through the shared
+    // manifest: segment list + schema fingerprint move in one atomic
+    // rename, and a recorded fingerprint that no longer matches the
+    // increment refuses loudly instead of interleaving incompatible
+    // parquet under one root.
+    if (touched.nonEmpty) {
+      val fp = StateManifest.schemaFingerprint(segSchema)
+      val cur = StateManifest.current(root)
+      cur.map(_.schemaFp).filter(f => f.nonEmpty && f != fp).foreach { f =>
+        throw new IllegalStateException(
+          s"index schema drift at $root: manifest=$f increment=$fp")
+      }
+      StateManifest.commit(root, prior :+ segName,
+        cur.map(_.lastBatch).getOrElse(-1L), fp)
+    }
     decisions
   }
 
@@ -259,7 +284,10 @@ object IncrementalDedup {
       .dropDuplicates("id", "band", "bv")
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$root/$segName")
-    writeAtomic(segFile(root), segName)
+    val cur = StateManifest.current(root)
+    StateManifest.commit(root, Seq(segName),
+      cur.map(_.lastBatch).getOrElse(-1L),
+      cur.map(_.schemaFp).getOrElse(""))
     Some(segName)
   }
 

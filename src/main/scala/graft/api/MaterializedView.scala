@@ -134,8 +134,8 @@ object MaterializedView extends org.apache.spark.internal.Logging {
     * definition's exact schema, so the read-back passes MvRewrite's
     * positional name/type gate.
     *
-    * Writes are VERSIONED (v0/v1 alternation + `_CURRENT` pointer, the
-    * [[graft.streaming.IncrementalAgg]] pattern): a re-refresh while the
+    * Writes are VERSIONED (v0/v1 alternation through the shared
+    * [[StateManifest]] commit path): a re-refresh while the
     * view is registered would otherwise overwrite the very directory the
     * rewritten definition plan is reading ("cannot overwrite a path that
     * is also being read from"). The returned reader resolves the pointer
@@ -147,14 +147,19 @@ object MaterializedView extends org.apache.spark.internal.Logging {
       : () => DataFrame = {
     val root = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(root)
-    val ptr = root.resolve("_CURRENT")
+    // shared StateManifest commit path (round 13) — legacy _CURRENT dirs
+    // decode read-only until their first refresh commits a manifest
     def current: Option[String] =
-      if (java.nio.file.Files.exists(ptr))
-        Some(java.nio.file.Files.readString(ptr).trim).filter(_.nonEmpty)
-      else None
+      StateManifest.current(dir).flatMap(_.segments.headOption).orElse {
+        val ptr = root.resolve("_CURRENT")
+        if (java.nio.file.Files.exists(ptr))
+          Some(java.nio.file.Files.readString(ptr).trim).filter(_.nonEmpty)
+        else None
+      }
     val next = if (current.contains("v0")) "v1" else "v0"
     bypass { definition.write.mode("overwrite").parquet(s"$dir/$next") }
-    AtomicFiles.writePointer(ptr, next)
+    StateManifest.commit(dir, Seq(next), -1L,
+      StateManifest.schemaFingerprint(definition.schema))
     () => spark.read.parquet(s"$dir/${current.getOrElse(next)}")
   }
 }

@@ -18,21 +18,30 @@ import org.apache.spark.sql.functions._
   * with the SAME `batchId`, so the merge records the last applied id and
   * skips re-deliveries (the standard idempotent-sink contract; pinned in
   * `StreamingSpec` by applying one batch twice). The swap is
-  * write-new-directory-then-repoint (a `_CURRENT` pointer file), giving
-  * readers an atomic view without a table format; on a real deployment
-  * this slot is filled by Delta/Iceberg `MERGE`.
+  * write-new-directory-then-repoint through the shared
+  * [[graft.api.StateManifest]] (version pointer + batch ledger + schema
+  * fingerprint in one atomic commit), giving readers an atomic view
+  * without a table format; on a real deployment this slot is filled by
+  * Delta/Iceberg `MERGE`.
   */
 object IncrementalAgg {
 
   private def stateDir(root: String): java.nio.file.Path =
     java.nio.file.Paths.get(root)
 
-  private def currentPath(root: String): Option[String] = {
-    val p = stateDir(root).resolve("_CURRENT")
-    if (java.nio.file.Files.exists(p))
-      Some(java.nio.file.Files.readString(p).trim).filter(_.nonEmpty)
-    else None
-  }
+  // round 13: commit through the shared graft.api.StateManifest — the
+  // version pointer and the batch ledger advance in ONE atomic rename
+  // (the old _CURRENT-then-_LAST_BATCH ordering had a crash window
+  // between them). Pre-manifest state dirs decode through the legacy
+  // pointer files read-only.
+  private def currentPath(root: String): Option[String] =
+    graft.api.StateManifest.current(root).flatMap(_.segments.headOption)
+      .orElse {
+        val p = stateDir(root).resolve("_CURRENT")
+        if (java.nio.file.Files.exists(p))
+          Some(java.nio.file.Files.readString(p).trim).filter(_.nonEmpty)
+        else None
+      }
 
   /** The stored partials for `root`, or None before the first batch. */
   def state(spark: SparkSession, root: String): Option[DataFrame] =
@@ -47,28 +56,26 @@ object IncrementalAgg {
         col("c").as("cnt"),
         round(col("s").cast("double") / col("c"), 4).as("avg_v")))
 
-  /** Pointer-file update via temp write + atomic rename (`ATOMIC_MOVE`):
-    * crash-consistent — readers see either the old or the new content,
-    * never a torn/empty file. NOT power-fail durable: neither the temp
-    * file nor the directory entry is fsynced, so an OS crash can roll the
-    * pointer back to the previous (still valid) version. */
-  private def writeAtomic(p: java.nio.file.Path, content: String): Unit = {
-    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    java.nio.file.Files.writeString(tmp, content)
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def lastApplied(root: String): Long =
+    graft.api.StateManifest.current(root).map(_.lastBatch).getOrElse {
+      val p = stateDir(root).resolve("_LAST_BATCH")
+      if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim.toLong
+      else -1L
+    }
 
-  private def lastApplied(root: String): Long = {
-    val p = stateDir(root).resolve("_LAST_BATCH")
-    if (java.nio.file.Files.exists(p)) java.nio.file.Files.readString(p).trim.toLong
-    else -1L
-  }
+  /** Time-travel read: the stored partials as of manifest commit
+    * `version`. Valid while that version's data directory is retained —
+    * the GC keeps the current AND the previous data version, so replay
+    * tests can always read one commit back. */
+  def stateAt(spark: SparkSession, root: String, version: Long): Option[DataFrame] =
+    graft.api.StateManifest.at(root, version)
+      .flatMap(_.segments.headOption)
+      .filter(v => java.nio.file.Files.isDirectory(stateDir(root).resolve(v)))
+      .map(v => spark.read.parquet(s"$root/$v"))
 
   /** Merge one micro-batch (idempotent on `batchId`): partials(batch) ⊎
-    * stored partials, written to a fresh versioned directory, then the
-    * `_CURRENT` pointer and `_LAST_BATCH` marker advance. */
+    * stored partials, written to a fresh versioned directory, then one
+    * atomic manifest commit (pointer + ledger together). */
   def applyBatch(batch: DataFrame, batchId: Long, root: String,
       grp: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column): Unit =
     applyVersioned(batch, batchId, root)(
@@ -97,23 +104,31 @@ object IncrementalAgg {
     val prevVersion = currentPath(root)
     val version = s"v$batchId"
     merged.write.mode("overwrite").parquet(s"$root/$version")
-    // order matters: data first, then the pointer, then the idempotence
-    // marker — a crash between steps replays the batch against the OLD
-    // pointer (no partial state is ever visible). Pointer files move into
-    // place atomically (write-temp-then-rename): an in-place truncate+write
-    // could be caught mid-write, leaving _CURRENT empty (read back as "no
-    // state" → silent history loss) or pointing at a GC'd version.
-    writeAtomic(stateDir(root).resolve("_CURRENT"), version)
-    writeAtomic(stateDir(root).resolve("_LAST_BATCH"), batchId.toString)
-    // GC: the superseded version is unreachable once the pointer moved;
-    // removing it keeps state at O(1) versions across an unbounded stream
-    prevVersion.filter(_ != version).foreach { v =>
-      val dir = stateDir(root).resolve(v)
-      if (java.nio.file.Files.isDirectory(dir)) {
-        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    // order matters: data first, then ONE manifest commit carrying the
+    // version pointer, the batch ledger, and the schema fingerprint — a
+    // crash before the commit replays the batch against the OLD manifest
+    // (no partial state is ever visible); there is no longer a window
+    // where the pointer has advanced but the ledger has not.
+    val fp = graft.api.StateManifest.schemaFingerprint(merged.schema)
+    graft.api.StateManifest.current(root).map(_.schemaFp)
+      .filter(f => f.nonEmpty && f != fp).foreach { f =>
+        throw new IllegalStateException(
+          s"state schema drift at $root: manifest=$f batch=$fp")
       }
-    }
+    graft.api.StateManifest.commit(root, Seq(version), batchId, fp)
+    // GC: keep the CURRENT and PREVIOUS data versions (one commit of
+    // time travel for replay tests), delete older ones — still O(1)
+    // versions across an unbounded stream
+    val retain = Set(version) ++ prevVersion
+    Option(stateDir(root).toFile.list()).getOrElse(Array.empty[String])
+      .filter(n => n.startsWith("v") && !retain.contains(n))
+      .foreach { v =>
+        val dir = stateDir(root).resolve(v)
+        if (java.nio.file.Files.isDirectory(dir)) {
+          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
   }
 
   /** Wire a streaming DataFrame into the maintained aggregate. */

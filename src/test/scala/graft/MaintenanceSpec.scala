@@ -302,6 +302,17 @@ class MaintenanceSpec extends SparkSpec {
 
     // pre-compact frame still readable (orphans intact), decisions stable
     assert(rows(d1) == d1Rows, "pre-compact decision frame broke after compaction")
+    // time travel through the shared manifest: the PRE-compaction commit
+    // is still readable by version and holds the identical fingerprints
+    // (the orphaned segments linger until vacuum — the retention window)
+    val preCompactV = graft.api.StateManifest.versions(root)
+      .filter(v => graft.api.StateManifest.at(root, v)
+        .exists(_.segments == Seq("seg00000", "seg00001"))).lastOption
+    assert(preCompactV.nonEmpty, "pre-compaction manifest version missing")
+    val travelRows = IncrementalDedup.indexAt(spark, root, preCompactV.get).get
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    assert(travelRows == before,
+      "time-travel read of the pre-compaction index diverged")
     // post-compact ingest: name continues past orphans, decisions ≡ control
     val d2 = IncrementalDedup.ingest(spark, root, bands(b2))
     assert(IncrementalDedup.segments(root) == Seq("seg00002", "seg00003"))

@@ -1,0 +1,67 @@
+package graft
+
+import graft.api.{Manifest, StateManifest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The single manifest format behind every versioned state directory
+  * (IncrementalDedup segments, IncrementalAgg versions, MaterializedView
+  * refresh): commit monotonicity, history retention, round-trip fidelity,
+  * and the crash shape (history file without pointer = invisible). */
+class StateManifestSpec extends AnyFunSuite {
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("manifest-spec").toString
+
+  test("commits are monotone; current and history round-trip exactly") {
+    val root = tmp()
+    assert(StateManifest.current(root).isEmpty)
+    val m0 = StateManifest.commit(root, Seq("seg00000"), -1L, "abc")
+    val m1 = StateManifest.commit(root, Seq("seg00000", "seg00001"), 7L, "abc")
+    assert(m0.version == 0L && m1.version == 1L)
+    assert(StateManifest.current(root).contains(m1))
+    assert(StateManifest.at(root, 0L).contains(m0))
+    assert(StateManifest.at(root, 1L).contains(m1))
+    assert(StateManifest.versions(root) == Seq(0L, 1L))
+    assert(StateManifest.at(root, 99L).isEmpty)
+  }
+
+  test("empty segment list and empty fingerprint round-trip") {
+    val root = tmp()
+    val m = StateManifest.commit(root, Seq.empty, -1L, "")
+    assert(StateManifest.current(root).contains(
+      Manifest(0L, Seq.empty, -1L, "")))
+    assert(m.segments.isEmpty)
+  }
+
+  test("a crashed commit (history file, no pointer) is invisible and reclaimed") {
+    val root = tmp()
+    StateManifest.commit(root, Seq("a"), 1L, "fp")
+    // simulate: next commit wrote its history file then crashed before the
+    // pointer rename — current stays at version 0, version 1 is orphaned
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_MANIFEST.v1"),
+      "version=1\nlastBatch=2\nschemaFp=fp\nseg=b\n")
+    assert(StateManifest.current(root).map(_.version).contains(0L),
+      "crashed history file must not become current")
+    // the NEXT real commit takes version 1, overwriting the orphan
+    val m = StateManifest.commit(root, Seq("a", "c"), 3L, "fp")
+    assert(m.version == 1L)
+    assert(StateManifest.at(root, 1L).map(_.segments).contains(Seq("a", "c")))
+  }
+
+  test("decimal precision widening does not move the schema fingerprint") {
+    import org.apache.spark.sql.types._
+    val narrow = StructType(Seq(StructField("s", DecimalType(18, 6)),
+      StructField("c", LongType)))
+    val wide = StructType(Seq(StructField("s", DecimalType(38, 6)),
+      StructField("c", LongType)))
+    val renamed = StructType(Seq(StructField("x", DecimalType(18, 6)),
+      StructField("c", LongType)))
+    assert(StateManifest.schemaFingerprint(narrow) ==
+      StateManifest.schemaFingerprint(wide),
+      "associative-merge decimal widening is not drift")
+    assert(StateManifest.schemaFingerprint(narrow) !=
+      StateManifest.schemaFingerprint(renamed),
+      "a renamed column IS drift")
+  }
+}

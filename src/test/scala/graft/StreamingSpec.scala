@@ -594,10 +594,26 @@ class StreamingSpec extends SparkSpec {
     IncrementalAgg.applyBatch(replay, batchId = 99L, root, col("grp"), col("v"))
     assert(viewNow()("a") == ((1009.0, 4L, 252.25)))
 
-    // GC: only the current version directory remains on disk
+    // GC: only the CURRENT and PREVIOUS data versions remain on disk
+    // (one commit of time-travel retention; older versions deleted)
     val versions = new java.io.File(root).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
-    assert(versions.toSeq == Seq("v99"), s"superseded versions not GC'd: ${versions.toSeq}")
+    assert(versions.toSeq.sorted == Seq("v1", "v99"),
+      s"GC must retain exactly current+previous: ${versions.toSeq}")
+
+    // time travel: the manifest history reads the state one commit back —
+    // before batch 99, group a held (10.0, 3)
+    val vs = graft.api.StateManifest.versions(root)
+    assert(vs.size >= 2, s"manifest history missing: $vs")
+    val prevState = IncrementalAgg.stateAt(spark, root, vs(vs.size - 2)).get
+      .collect().map(r => r.getString(0) ->
+        ((r.getDecimal(1).doubleValue(), r.getLong(2)))).toMap
+    assert(prevState("a") == ((10.0, 3L)),
+      s"time-travel read of the previous commit wrong: $prevState")
+    // the CURRENT manifest carries pointer AND ledger in one commit
+    val cur = graft.api.StateManifest.current(root).get
+    assert(cur.segments == Seq("v99") && cur.lastBatch == 99L,
+      s"manifest pointer/ledger mismatch: $cur")
   }
 
   test("stream histogram quantiles: state quantiles == batch derivation after every prefix") {
