@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Decade scale-up proof for the LLM-data-pipeline core (`runMain
+  * graft.PipelineScaleBench`) — the companion to [[TpchScaleBench]] for
+  * the non-relational surface: dedup, text analysis, curation,
+  * similarity, and event-sequence operators timed at sf0.1 AND a derived
+  * 10× dataset in the same process.
+  *
+  * Scaling semantics — copies must be genuinely NEW data, not 10×
+  * duplicates (10× exact copies would trip every dedup flood guard and
+  * measure the cap path, not growth):
+  *   - documents: doc_id offset by copy×100M; every token suffixed with
+  *     the copy index (`_c<rep>`), so all shingles/minhashes/simhashes
+  *     differ across copies — 10× distinct documents with the same
+  *     length/shape distribution (n_chars recomputed);
+  *   - embeddings: vec_id offset; every component perturbed by a
+  *     copy-dependent epsilon — 10× distinct vectors, same geometry;
+  *   - events: event_id/user_id offset, timestamps kept — 10× event
+  *     density in the same time range (what organic growth does to a
+  *     funnel/session/hop-window workload).
+  *
+  * The within-run sf0.1 leg makes the ratio immune to host-window speed.
+  * Ratios ≈ size ratio (or below) = the banding/bucketing/broadcast
+  * claims in SCALE.md hold across a real decade, not just by argument.
+  */
+object PipelineScaleBench {
+
+  private val Factor = 10
+  private val Off = 100000000L
+
+  def scaleUp(spark: SparkSession, src: String, dst: String): Unit = {
+    val marker = java.nio.file.Paths.get(dst, "_GRAFT_SCALED_PIPE")
+    val stamp = s"src=$src factor=$Factor fp=${graft.api.ModelCache
+      .fingerprint(src, "documents", "embeddings", "events")}"
+    if (java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker) == stamp) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+    val reps = spark.range(Factor).select(col("id").as("__rep"))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("__rep") * Off).cast("long").as("doc_id"),
+        // suffix every token with the copy index: all shingles differ
+        // across copies, so the scaled corpus is 10x distinct documents
+        when(col("__rep") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_c"), col("__rep")))).as("__text"),
+        col("lang"), col("source"))
+      .withColumn("text", col("__text")).drop("__text")
+      .withColumn("n_chars", length(col("text")).cast(
+        docs.schema("n_chars").dataType))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embElem = emb.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    emb.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("__rep") * Off).cast("long").as("vec_id"),
+        transform(col("embedding"),
+          x => (x + col("__rep").cast("double") * lit(0.0017)).cast(embElem))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val idT = ev.schema("event_id").dataType
+    val uidT = ev.schema("user_id").dataType
+    ev.crossJoin(broadcast(reps))
+      .select(ev.columns.toSeq.map {
+        case "event_id" =>
+          (col("event_id").cast("long") + col("__rep") * Off).cast(idT).as("event_id")
+        case "user_id" =>
+          (col("user_id").cast("long") + col("__rep") * Off).cast(uidT).as("user_id")
+        case c => col(c)
+      }: _*)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    // the relational tables ride along unscaled so loaders that touch
+    // them (q_curate_pipeline's corpus build etc.) resolve
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    java.nio.file.Files.writeString(marker, stamp)
+  }
+
+  private val Names = Seq(
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram",
+    "q_dedup_cluster", "q_incr_dedup",
+    "q_text_tfidf", "q_text_tokens", "q_lang_id", "q_quality_filter",
+    "q_bm25_search", "q_heavy_hitters", "q_curate_pipeline", "q_pack",
+    "q_sim_topk", "q_sim_lsh", "q_sim_ivf", "q_embed_neardup",
+    "q_funnel", "q_sessionize", "q_hop_window", "q_asof_join")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = if (args.length > 1) args(1) else "/tmp/graft-pipe-sf1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-pipe-sf1")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.buffer.pageSize", "2m")
+      .config("spark.cleaner.referenceTracking.blocking", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    scaleUp(spark, src, dst)
+
+    val defs = SparkEntry.defs.filter(q => Names.contains(q.name)).sortBy(_.name)
+    Bench.warmTables(spark, src)
+    Bench.warmTables(spark, dst)
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+
+    Bench.calibProbe(spark)
+    val calibPre = Bench.calibrate(spark)
+    val base = Bench.timeInventory(spark, src, defs,
+      shuffleCounter = () => shuffleBytes.get())
+    val scaled = Bench.timeInventory(spark, dst, defs,
+      shuffleCounter = () => shuffleBytes.get())
+    val calibPost = Bench.calibrate(spark)
+
+    def num(d: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
+    val baseMap = base.map(r => r.name -> r).toMap
+    val rows = scaled.map { r =>
+      val b = baseMap(r.name)
+      val ratio = if (b.sec > 0) r.sec / b.sec else -1.0
+      val err = (r.error.toSeq ++ b.error.toSeq).headOption.map(e =>
+        s""", "error": "${e.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)}"""")
+        .getOrElse("")
+      s"""  "${r.name}": {"sf01_sec": ${num(b.sec, 4)}, "sf1_sec": ${num(r.sec, 4)}, "ratio": ${num(ratio, 2)}, "sf01_shuffle_mb": ${num(b.shuffleMb, 2)}, "sf1_shuffle_mb": ${num(r.shuffleMb, 2)}$err}"""
+    }.mkString(",\n")
+    val doc = s"""{
+  "src": "$src",
+  "dst": "$dst",
+  "factor": $Factor,
+  "calib_pre_sec": ${num(calibPre, 4)},
+  "calib_post_sec": ${num(calibPost, 4)},
+  "total_sf01_sec": ${num(base.map(_.sec).sum, 4)},
+  "total_sf1_sec": ${num(scaled.map(_.sec).sum, 4)},
+  "total_ratio": ${num(scaled.map(_.sec).sum / math.max(base.map(_.sec).sum, 1e-9), 2)},
+  "queries": {
+$rows
+  }
+}
+"""
+    val out = sys.env.getOrElse("GRAFT_PIPE_SF1_JSON", "bench_pipeline_sf1.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc)
+    println(doc)
+    spark.stop()
+  }
+}
