@@ -173,7 +173,8 @@ object IncrementalDedup {
   def ingest(spark: SparkSession, root: String, incBands: DataFrame,
       maxBucket: Int = 10000, distinctCensus: Boolean = false): DataFrame = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
-    val prior = segments(root)
+    val cur0 = StateManifest.current(root)
+    val prior = cur0.map(_.segments).getOrElse(legacySegments(root))
     val segName = claimSeg(root)
     // cluster by bkt before the partitioned write: without it every write
     // task emits one file PER bucket it holds (tasks × buckets files — ~2k
@@ -242,13 +243,27 @@ object IncrementalDedup {
     // parquet under one root.
     if (touched.nonEmpty) {
       val fp = StateManifest.schemaFingerprint(segSchema)
-      val cur = StateManifest.current(root)
-      cur.map(_.schemaFp).filter(f => f.nonEmpty && f != fp).foreach { f =>
+      cur0.map(_.schemaFp).filter(f => f.nonEmpty && f != fp).foreach { f =>
         throw new IllegalStateException(
           s"index schema drift at $root: manifest=$f increment=$fp")
       }
-      StateManifest.commit(root, prior :+ segName,
-        cur.map(_.lastBatch).getOrElse(-1L), fp)
+      // optimistic commit: a MAINTENANCE commit (compaction) racing this
+      // ingest preserves the index CONTENT, so the decisions stay valid —
+      // on conflict, re-read the advanced manifest and append this
+      // segment to ITS live list. Under the old last-write-wins pointer
+      // one of the two lists was silently dropped.
+      var cur = cur0
+      var attempts = 0
+      while (StateManifest.commitIf(root,
+          cur.map(_.version),
+          cur.map(_.segments).getOrElse(prior) :+ segName,
+          cur.map(_.lastBatch).getOrElse(-1L), fp).isEmpty) {
+        attempts += 1
+        if (attempts > 20) throw new IllegalStateException(
+          s"ingest at $root could not commit after $attempts conflicts " +
+            "(crashed writer orphan? see StateManifest.reclaimOrphans)")
+        cur = StateManifest.current(root)
+      }
     }
     decisions
   }
@@ -271,9 +286,13 @@ object IncrementalDedup {
     * reclaimed later by [[vacuum]]; production maps this to a retention
     * window (vacuum only segments older than the longest-running reader).
     *
-    * Returns the new segment name, or None when ≤1 segment is live. */
+    * Returns the new segment name; None when ≤1 segment is live or when
+    * a concurrent ingest advanced the manifest mid-compaction (the
+    * optimistic commit aborts rather than dropping the fresh segment —
+    * re-run on the new snapshot). */
   def compactIndex(spark: SparkSession, root: String): Option[String] = {
-    val prior = segments(root)
+    val cur = StateManifest.current(root)
+    val prior = cur.map(_.segments).getOrElse(legacySegments(root))
     if (prior.size <= 1) return None
     val segName = claimSeg(root)
     prior.map(sg => spark.read.parquet(s"$root/$sg")).reduce(_.unionByName(_))
@@ -284,11 +303,17 @@ object IncrementalDedup {
       .dropDuplicates("id", "band", "bv")
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$root/$segName")
-    val cur = StateManifest.current(root)
-    StateManifest.commit(root, Seq(segName),
+    // optimistic commit: if an ingest advanced the manifest while this
+    // compaction ran, committing the stale snapshot would DROP the fresh
+    // segment from the live list — abort instead (the claimed directory
+    // becomes a vacuumable orphan) and let the caller retry on the new
+    // snapshot. Maintenance must never lose an ingest the race.
+    StateManifest.commitIf(root, cur.map(_.version), Seq(segName),
       cur.map(_.lastBatch).getOrElse(-1L),
-      cur.map(_.schemaFp).getOrElse(""))
-    Some(segName)
+      cur.map(_.schemaFp).getOrElse("")) match {
+      case Some(_) => Some(segName)
+      case None => None
+    }
   }
 
   /** Delete segment directories no longer referenced by `_SEGMENTS` (the

@@ -101,7 +101,9 @@ object StateManifest {
 
   /** Commit a new manifest (version = current + 1): immutable history
     * file first, then the atomic pointer rename. The caller has already
-    * written every data directory in `segments`. */
+    * written every data directory in `segments`. SINGLE-WRITER commit:
+    * a crashed prior attempt's orphan history file is silently reclaimed
+    * (overwritten) — use [[commitIf]] when writers can race. */
   def commit(root: String, segments: Seq[String], lastBatch: Long,
       schemaFp: String): Manifest = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
@@ -112,5 +114,48 @@ object StateManifest {
     java.nio.file.Files.writeString(hist(root, next.version), render(next))
     AtomicFiles.writePointer(ptr(root), render(next))
     next
+  }
+
+  /** Optimistic (compare-and-swap) commit: succeeds only if the current
+    * manifest version still equals `expected` (None = no manifest yet)
+    * AND this writer wins the exclusive claim on the next history file.
+    * Returns None on conflict — the caller re-reads the current manifest
+    * and decides whether its work is still valid (the Delta/Iceberg
+    * optimistic-concurrency shape).
+    *
+    * Why it exists: a maintenance commit racing an ingest commit under
+    * plain [[commit]] would last-write-win the pointer and silently DROP
+    * the other writer's segment from the live list. Under commitIf
+    * exactly one of the two wins; the loser observes the conflict.
+    *
+    * Liveness: a writer that crashed between claim and pointer leaves an
+    * orphan history file that blocks its version number. When the
+    * current version has provably not advanced and no writer is live
+    * (the same assumption [[IncrementalDedup.vacuum]] already makes),
+    * [[reclaimOrphans]] deletes history files above the pointer and
+    * restores progress. */
+  def commitIf(root: String, expected: Option[Long], segments: Seq[String],
+      lastBatch: Long, schemaFp: String): Option[Manifest] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    if (current(root).map(_.version) != expected) return None
+    val next = Manifest(expected.map(_ + 1).getOrElse(0L),
+      segments, lastBatch, schemaFp)
+    val h = hist(root, next.version)
+    try java.nio.file.Files.createFile(h)
+    catch { case _: java.nio.file.FileAlreadyExistsException => return None }
+    java.nio.file.Files.writeString(h, render(next))
+    AtomicFiles.writePointer(ptr(root), render(next))
+    Some(next)
+  }
+
+  /** Delete orphan history files ABOVE the current pointer (crashed
+    * [[commitIf]] claims). Only safe when no writer is live — the
+    * caller's retention/maintenance window, like vacuum. Returns the
+    * reclaimed version numbers. */
+  def reclaimOrphans(root: String): Seq[Long] = {
+    val cur = current(root).map(_.version).getOrElse(-1L)
+    val orphans = versions(root).filter(_ > cur)
+    orphans.foreach(v => java.nio.file.Files.deleteIfExists(hist(root, v)))
+    orphans
   }
 }

@@ -49,6 +49,60 @@ class StateManifestSpec extends AnyFunSuite {
     assert(StateManifest.at(root, 1L).map(_.segments).contains(Seq("a", "c")))
   }
 
+  test("commitIf: of N racing writers on one expected version, exactly one wins") {
+    val root = tmp()
+    StateManifest.commit(root, Seq("base"), -1L, "fp")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val results = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[Manifest]] {
+          def call(): Option[Manifest] =
+            StateManifest.commitIf(root, Some(0L), Seq("base", s"seg-$i"), -1L, "fp")
+        })
+      }.map(_.get())
+      assert(results.count(_.isDefined) == 1,
+        s"exactly one CAS commit must win: $results")
+      val winner = results.flatten.head
+      assert(StateManifest.current(root).contains(winner))
+      assert(winner.version == 1L)
+    } finally pool.shutdown()
+  }
+
+  test("commitIf conflict keeps both writers' segments reachable (no silent drop)") {
+    // the compaction-vs-ingest shape: maintenance reads version 0, an
+    // ingest commits version 1 meanwhile — maintenance's stale commit
+    // must FAIL, so the ingest's segment is never dropped from the list
+    val root = tmp()
+    StateManifest.commit(root, Seq("seg0", "seg1"), -1L, "fp") // v0
+    val maintExpected = StateManifest.current(root).map(_.version)
+    // a racing ingest advances the manifest
+    assert(StateManifest.commitIf(root, maintExpected,
+      Seq("seg0", "seg1", "seg2"), -1L, "fp").isDefined)
+    // maintenance's stale commit (would replace the list with the merged
+    // segment computed from v0, dropping seg2) must be refused
+    assert(StateManifest.commitIf(root, maintExpected,
+      Seq("merged"), -1L, "fp").isEmpty,
+      "stale maintenance commit must lose the race")
+    assert(StateManifest.current(root).map(_.segments)
+      .contains(Seq("seg0", "seg1", "seg2")))
+    // maintenance retries on the fresh snapshot and succeeds
+    assert(StateManifest.commitIf(root,
+      StateManifest.current(root).map(_.version),
+      Seq("merged2"), -1L, "fp").isDefined)
+  }
+
+  test("reclaimOrphans restores progress after a crashed CAS claim") {
+    val root = tmp()
+    StateManifest.commit(root, Seq("a"), -1L, "fp") // v0
+    // crashed claimant: history file for v1 exists, pointer still at v0
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(root, "_MANIFEST.v1"))
+    assert(StateManifest.commitIf(root, Some(0L), Seq("a", "b"), -1L, "fp").isEmpty,
+      "an orphan claim must surface as a conflict, not a torn manifest")
+    assert(StateManifest.reclaimOrphans(root) == Seq(1L))
+    assert(StateManifest.commitIf(root, Some(0L), Seq("a", "b"), -1L, "fp").isDefined,
+      "progress must resume after orphan reclaim")
+  }
+
   test("decimal precision widening does not move the schema fingerprint") {
     import org.apache.spark.sql.types._
     val narrow = StructType(Seq(StructField("s", DecimalType(18, 6)),
