@@ -66,43 +66,10 @@ object TpchScaleBench {
     java.nio.file.Files.writeString(marker, stamp)
   }
 
-  // same node census as PlanBudgetSpec (prepared plan, AQE off)
-  private val shapeKeys = Seq("scan", "shuffle", "broadcast", "smj", "bhj",
-    "shj", "bnlj", "cartesian", "sort", "window", "expand")
-
-  private def shape(plan: org.apache.spark.sql.execution.SparkPlan)
-      : Map[String, Int] = {
-    import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, SortExec}
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
-    import org.apache.spark.sql.execution.joins._
-    import org.apache.spark.sql.execution.window.WindowExec
-    val m = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-    plan.foreach {
-      case _: ShuffleExchangeLike => m("shuffle") += 1
-      case _: BroadcastExchangeLike => m("broadcast") += 1
-      case _: FileSourceScanExec => m("scan") += 1
-      case _: SortMergeJoinExec => m("smj") += 1
-      case _: BroadcastHashJoinExec => m("bhj") += 1
-      case _: ShuffledHashJoinExec => m("shj") += 1
-      case _: BroadcastNestedLoopJoinExec => m("bnlj") += 1
-      case _: CartesianProductExec => m("cartesian") += 1
-      case _: SortExec => m("sort") += 1
-      case _: WindowExec => m("window") += 1
-      case _ => ()
-    }
-    shapeKeys.map(k => k -> m(k)).toMap
-  }
-
+  // single node census shared with PlanBudgetSpec (prepared plan, AQE off)
   private def budgets(): Map[String, Map[String, Int]] =
-    java.nio.file.Files.readString(java.nio.file.Paths.get("plan_budgets.txt"))
-      .linesIterator.map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l =>
-        val parts = l.split(" ")
-        parts.head -> parts.tail.map { kv =>
-          val Array(k, v) = kv.split("="); k -> v.toInt
-        }.toMap
-      }.toMap
+    graft.plans.PlanCensus.parseBudgets(
+      java.nio.file.Paths.get("plan_budgets.txt"))
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -159,10 +126,18 @@ object TpchScaleBench {
       try {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         tpch.flatMap { q =>
-          val got = shape(q.fn(spark, dst).queryExecution.executedPlan)
-          want.get(q.name).filter(_ != got).map { w =>
-            q.name -> shapeKeys.filter(k => w(k) != got(k))
-              .map(k => s"$k:${w(k)}->${got(k)}").mkString(",")
+          // per-query isolation: a census failure costs its own row, never
+          // the artifact (the 44 timings above are already measured)
+          try {
+            val got = graft.plans.PlanCensus
+              .shape(q.fn(spark, dst).queryExecution.executedPlan)
+            want.get(q.name).filter(_ != got).map { w =>
+              q.name -> graft.plans.PlanCensus.keys
+                .filter(k => w(k) != got(k))
+                .map(k => s"$k:${w(k)}->${got(k)}").mkString(",")
+            }
+          } catch { case scala.util.control.NonFatal(e) =>
+            Some(q.name -> s"census_error:${String.valueOf(e.getMessage).take(80)}")
           }
         }
       } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
@@ -173,7 +148,10 @@ object TpchScaleBench {
     val rows = scaled.map { r =>
       val b = baseMap(r.name)
       val ratio = if (b.sec > 0) r.sec / b.sec else -1.0
-      s"""  "${r.name}": {"sf01_sec": ${num(b.sec, 4)}, "sf1_sec": ${num(r.sec, 4)}, "ratio": ${num(ratio, 2)}, "sf01_shuffle_mb": ${num(b.shuffleMb, 2)}, "sf1_shuffle_mb": ${num(r.shuffleMb, 2)}}"""
+      val err = (r.error.toSeq ++ b.error.toSeq).headOption.map(e =>
+        s""", "error": "${e.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)}"""")
+        .getOrElse("")
+      s"""  "${r.name}": {"sf01_sec": ${num(b.sec, 4)}, "sf1_sec": ${num(r.sec, 4)}, "ratio": ${num(ratio, 2)}, "sf01_shuffle_mb": ${num(b.shuffleMb, 2)}, "sf1_shuffle_mb": ${num(r.shuffleMb, 2)}$err}"""
     }.mkString(",\n")
     val diffsJson = planDiffs.map { case (n, d) => s"""    "$n": "$d"""" }
       .mkString("{\n", ",\n", "\n  }")

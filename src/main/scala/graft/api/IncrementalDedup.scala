@@ -98,7 +98,9 @@ object IncrementalDedup {
     * pre-compaction index through this. */
   def indexAt(spark: SparkSession, root: String, version: Long): Option[DataFrame] =
     StateManifest.at(root, version).flatMap { m =>
-      if (m.segments.isEmpty) None
+      val allOnDisk = m.segments.forall(sg =>
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, sg)))
+      if (m.segments.isEmpty || !allOnDisk) None // vacuumed past this version
       else Some(m.segments.map(sg => spark.read.parquet(s"$root/$sg"))
         .reduce(_.unionByName(_)).select("id", "band", "bv"))
     }
@@ -159,11 +161,12 @@ object IncrementalDedup {
     * createDirectory makes the loser fail loudly instead of the two
     * interleaving files inside one segment. (A race where the loser scans
     * AFTER the claim gets the next number and degrades to a consistent
-    * orphan: `_SEGMENTS` is an atomic rename, so one of the two appends
-    * wins wholesale and vacuum reclaims the other — never a torn index.
-    * True multi-writer ingest belongs in a transaction log; see the class
-    * doc.) The claimed directory already existing is why the Spark writes
-    * below use mode=overwrite. */
+    * orphan: the manifest commit is optimistic ([[StateManifest.commitIf]]),
+    * so exactly one of two racing commits wins and vacuum reclaims the
+    * loser's directory — never a torn index. True multi-writer ingest
+    * belongs in a transaction-log service; see the class doc.) The claimed
+    * directory already existing is why the Spark writes below use
+    * mode=overwrite. */
   private def claimSeg(root: String): String = {
     val name = nextSegName(root)
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(root).resolve(name))
@@ -249,9 +252,10 @@ object IncrementalDedup {
       }
       // optimistic commit: a MAINTENANCE commit (compaction) racing this
       // ingest preserves the index CONTENT, so the decisions stay valid —
-      // on conflict, re-read the advanced manifest and append this
-      // segment to ITS live list. Under the old last-write-wins pointer
-      // one of the two lists was silently dropped.
+      // on conflict, re-read the advanced manifest, RE-CHECK schema drift
+      // against it (a racing writer may have recorded a fingerprint cur0
+      // never saw), and append this segment to ITS live list. Under the
+      // old last-write-wins pointer one of the two lists was dropped.
       var cur = cur0
       var attempts = 0
       while (StateManifest.commitIf(root,
@@ -260,8 +264,23 @@ object IncrementalDedup {
           cur.map(_.lastBatch).getOrElse(-1L), fp).isEmpty) {
         attempts += 1
         if (attempts > 20) throw new IllegalStateException(
-          s"ingest at $root could not commit after $attempts conflicts " +
-            "(crashed writer orphan? see StateManifest.reclaimOrphans)")
+          s"ingest at $root could not commit after $attempts conflicts")
+        val next = StateManifest.current(root)
+        next.map(_.schemaFp).filter(f => f.nonEmpty && f != fp).foreach { f =>
+          throw new IllegalStateException(
+            s"index schema drift at $root: manifest=$f increment=$fp")
+        }
+        if (next.map(_.version) == cur.map(_.version)) {
+          // version did not advance: the conflict is a crashed writer's
+          // orphan claim, not a live racer. Waiting cannot help — reclaim
+          // it to restore liveness (the window where this deletes a LIVE
+          // claim is the writer's claim→pointer gap; the deployment
+          // contract is single-ingest-writer, so a stall there means a
+          // dead process, and permanent wedging is the worse failure).
+          Thread.sleep(100L * math.min(attempts, 5))
+          if (StateManifest.current(root).map(_.version) == cur.map(_.version))
+            StateManifest.reclaimOrphans(root)
+        }
         cur = StateManifest.current(root)
       }
     }
@@ -316,12 +335,15 @@ object IncrementalDedup {
     }
   }
 
-  /** Delete segment directories no longer referenced by `_SEGMENTS` (the
-    * orphans left by [[compactIndex]] or by a crash between segment write
-    * and pointer advance). Destroys data that lazy decision frames created
-    * before the compact may still reference — run it only after those are
-    * evaluated (production: after a retention window). Returns the deleted
-    * segment names. */
+  /** Delete segment directories no longer referenced by the CURRENT
+    * manifest (the orphans left by [[compactIndex]], an aborted optimistic
+    * commit, or a crash between segment write and manifest advance).
+    * Destroys data that lazy decision frames created before the compact
+    * may still reference — run it only after those are evaluated
+    * (production: after a retention window). Manifest history versions
+    * that reference a vacuumed segment are pruned too, so [[indexAt]]
+    * answers None for them instead of failing at evaluation time.
+    * Returns the deleted segment names. */
   def vacuum(root: String): Seq[String] = {
     val live = segments(root).toSet
     val dir = java.nio.file.Paths.get(root)
@@ -332,6 +354,15 @@ object IncrementalDedup {
       try stream.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.delete(p))
       finally stream.close()
+    }
+    if (orphans.nonEmpty) {
+      val gone = orphans.toSet
+      val cur = StateManifest.current(root).map(_.version).getOrElse(-1L)
+      StateManifest.versions(root)
+        .filter(v => v != cur && StateManifest.at(root, v)
+          .exists(_.segments.exists(gone.contains)))
+        .foreach(v => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(root).resolve(s"_MANIFEST.v$v")))
     }
     orphans
   }

@@ -25,12 +25,24 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object ModelCache {
 
-  /** Source-data fingerprint: dir + file sizes + mtimes of the tables a
-    * model derives from. Used for cache KEYING only — never in results. */
+  /** Source-data fingerprint: dir + per-file sizes + mtimes of the
+    * tables a model derives from. A table that is a DIRECTORY (Spark
+    * multi-file parquet output) fingerprints its contained files by
+    * (name, length, mtime) — `File.length` of a directory is a
+    * filesystem constant and the directory mtime alone would miss a
+    * part-file replaced with timestamp preservation. Used for cache
+    * KEYING only — never in results. */
   def fingerprint(d: String, tables: String*): String = {
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
+          .mkString(",")
+      else s"${f.length}:${f.lastModified}"
     val parts = tables.map { t =>
       val f = new java.io.File(s"$d/$t.parquet")
-      s"$t:${f.length}:${f.lastModified}"
+      s"$t:${sig(f)}"
     }
     java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(d + parts.mkString("|")) & 0xffffffffL)

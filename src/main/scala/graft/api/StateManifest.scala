@@ -62,34 +62,38 @@ object StateManifest {
 
   private def render(m: Manifest): String =
     (Seq(s"version=${m.version}", s"lastBatch=${m.lastBatch}",
-      s"schemaFp=${m.schemaFp}") ++ m.segments.map(s => s"seg=$s"))
+      s"schemaFp=${m.schemaFp}") ++ m.segments.map(s => s"seg=$s")
+      :+ "eof=1") // terminator: a torn/partial file must parse as ABSENT
       .mkString("", "\n", "\n")
 
-  private def parse(text: String): Manifest = {
+  /** Strict parse: None unless the version field AND the eof terminator
+    * are present — a torn or still-being-written file must read as "no
+    * manifest", never as a wrong Manifest with silently-defaulted
+    * fields. */
+  private def parse(text: String): Option[Manifest] = {
     val kv = text.linesIterator.map(_.trim).filter(_.nonEmpty)
       .map { l => val i = l.indexOf('='); (l.take(i), l.drop(i + 1)) }.toSeq
-    Manifest(
-      version = kv.collectFirst { case ("version", v) => v.toLong }.getOrElse(0L),
+    for {
+      v <- kv.collectFirst { case ("version", x) => x.toLong }
+      _ <- kv.collectFirst { case ("eof", _) => () }
+    } yield Manifest(
+      version = v,
       segments = kv.collect { case ("seg", s) => s },
-      lastBatch = kv.collectFirst { case ("lastBatch", v) => v.toLong }.getOrElse(-1L),
-      schemaFp = kv.collectFirst { case ("schemaFp", v) => v }.getOrElse(""))
+      lastBatch = kv.collectFirst { case ("lastBatch", x) => x.toLong }.getOrElse(-1L),
+      schemaFp = kv.collectFirst { case ("schemaFp", x) => x }.getOrElse(""))
   }
+
+  private def readParsed(p: java.nio.file.Path): Option[Manifest] =
+    if (java.nio.file.Files.exists(p)) parse(java.nio.file.Files.readString(p))
+    else None
 
   /** The current manifest, or None before the first commit. */
-  def current(root: String): Option[Manifest] = {
-    val p = ptr(root)
-    if (java.nio.file.Files.exists(p))
-      Some(parse(java.nio.file.Files.readString(p)))
-    else None
-  }
+  def current(root: String): Option[Manifest] = readParsed(ptr(root))
 
-  /** Time-travel read: the manifest as of commit `version`, if retained. */
-  def at(root: String, version: Long): Option[Manifest] = {
-    val p = hist(root, version)
-    if (java.nio.file.Files.exists(p))
-      Some(parse(java.nio.file.Files.readString(p)))
-    else None
-  }
+  /** Time-travel read: the manifest as of commit `version`, if retained
+    * (None for a missing, torn, or reclaimed history file). */
+  def at(root: String, version: Long): Option[Manifest] =
+    readParsed(hist(root, version))
 
   /** All retained history versions, ascending. */
   def versions(root: String): Seq[Long] =
@@ -110,8 +114,10 @@ object StateManifest {
     val next = Manifest(current(root).map(_.version + 1).getOrElse(0L),
       segments, lastBatch, schemaFp)
     // a crashed prior attempt may have left this history file — it was
-    // never pointed at, so overwriting it is reclaiming an orphan
-    java.nio.file.Files.writeString(hist(root, next.version), render(next))
+    // never pointed at, so overwriting it is reclaiming an orphan. The
+    // history write is ALSO temp+atomic-rename: readers of at() see a
+    // complete file or none (parse treats a torn file as absent anyway).
+    AtomicFiles.writePointer(hist(root, next.version), render(next))
     AtomicFiles.writePointer(ptr(root), render(next))
     next
   }
@@ -141,11 +147,26 @@ object StateManifest {
     val next = Manifest(expected.map(_ + 1).getOrElse(0L),
       segments, lastBatch, schemaFp)
     val h = hist(root, next.version)
-    try java.nio.file.Files.createFile(h)
+    try java.nio.file.Files.createFile(h) // exclusive claim (empty file)
     catch { case _: java.nio.file.FileAlreadyExistsException => return None }
-    java.nio.file.Files.writeString(h, render(next))
+    // content lands via temp+atomic-rename over the claimed file: a
+    // concurrent at() sees the empty claim (strict parse → absent) or the
+    // complete manifest, never a prefix
+    AtomicFiles.writePointer(h, render(next))
     AtomicFiles.writePointer(ptr(root), render(next))
     Some(next)
+  }
+
+  /** Delete history files older than the newest `keep` (never the
+    * current pointer's own version). Callers with an O(1)-state contract
+    * (IncrementalAgg) prune on every commit; append-only callers prune
+    * at vacuum time for versions whose data is gone anyway. Returns the
+    * pruned versions. */
+  def pruneHistory(root: String, keep: Int): Seq[Long] = {
+    val cur = current(root).map(_.version).getOrElse(-1L)
+    val prune = versions(root).filter(_ <= cur).dropRight(math.max(keep, 1))
+    prune.foreach(v => java.nio.file.Files.deleteIfExists(hist(root, v)))
+    prune
   }
 
   /** Delete orphan history files ABOVE the current pointer (crashed

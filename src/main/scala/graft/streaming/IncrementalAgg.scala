@@ -117,16 +117,20 @@ object IncrementalAgg {
       }
     graft.api.StateManifest.commit(root, Seq(version), batchId, fp)
     // GC: keep the CURRENT and PREVIOUS data versions (one commit of
-    // time travel for replay tests), delete older ones — still O(1)
-    // versions across an unbounded stream
+    // time travel for replay tests), delete older ones, and prune the
+    // manifest history to the same window — state stays O(1) in BOTH
+    // data directories and manifest files across an unbounded stream
+    graft.api.StateManifest.pruneHistory(root, keep = 8)
     val retain = Set(version) ++ prevVersion
     Option(stateDir(root).toFile.list()).getOrElse(Array.empty[String])
       .filter(n => n.startsWith("v") && !retain.contains(n))
       .foreach { v =>
         val dir = stateDir(root).resolve(v)
         if (java.nio.file.Files.isDirectory(dir)) {
-          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          val walk = java.nio.file.Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
         }
       }
   }

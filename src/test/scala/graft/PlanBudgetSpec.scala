@@ -1,9 +1,6 @@
 package graft
 
-import org.apache.spark.sql.execution.{ExpandExec, FileSourceScanExec, SortExec, SparkPlan}
-import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
-import org.apache.spark.sql.execution.window.WindowExec
+import graft.plans.PlanCensus
 
 /** Plan-shape regression budget over the ENTIRE declared inventory.
   *
@@ -28,42 +25,13 @@ import org.apache.spark.sql.execution.window.WindowExec
   */
 class PlanBudgetSpec extends SparkSpec {
 
-  private val keys = Seq("scan", "shuffle", "broadcast", "smj", "bhj", "shj",
-    "bnlj", "cartesian", "sort", "window", "expand")
-
-  private def shape(plan: SparkPlan): Map[String, Int] = {
-    val m = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
-    plan.foreach {
-      case _: ShuffleExchangeLike => m("shuffle") += 1
-      case _: BroadcastExchangeLike => m("broadcast") += 1
-      case _: FileSourceScanExec => m("scan") += 1
-      case _: SortMergeJoinExec => m("smj") += 1
-      case _: BroadcastHashJoinExec => m("bhj") += 1
-      case _: ShuffledHashJoinExec => m("shj") += 1
-      case _: BroadcastNestedLoopJoinExec => m("bnlj") += 1
-      case _: CartesianProductExec => m("cartesian") += 1
-      case _: SortExec => m("sort") += 1
-      case _: WindowExec => m("window") += 1
-      case _: ExpandExec => m("expand") += 1
-      case _ => ()
-    }
-    keys.map(k => k -> m(k)).toMap
-  }
-
-  private def render(name: String, m: Map[String, Int]): String =
-    name + " " + keys.map(k => s"$k=${m(k)}").mkString(" ")
-
+  // single census definition shared with TpchScaleBench — see PlanCensus
+  private def shape(plan: org.apache.spark.sql.execution.SparkPlan) =
+    PlanCensus.shape(plan)
+  private def render(name: String, m: Map[String, Int]) =
+    PlanCensus.render(name, m)
   private val budgetFile = java.nio.file.Paths.get("plan_budgets.txt")
-
-  private def parseBudgets(): Map[String, Map[String, Int]] =
-    java.nio.file.Files.readString(budgetFile).linesIterator
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l =>
-        val parts = l.split(" ")
-        parts.head -> parts.tail.map { kv =>
-          val Array(k, v) = kv.split("="); k -> v.toInt
-        }.toMap
-      }.toMap
+  private def parseBudgets() = PlanCensus.parseBudgets(budgetFile)
 
   test("every query's physical plan matches its committed shape budget") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
