@@ -375,6 +375,67 @@ class MaintenanceSpec extends SparkSpec {
       "vacuum must reclaim the dead claim")
   }
 
+  test("incr_dedup: ingests racing a churning compactor never lose fingerprints") {
+    import graft.api.{IncrementalDedup, TextDedup}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("incr-dedup-race").toString
+    def bands(rows: Seq[(Long, String)]) = TextDedup.minhashBands(
+      TextDedup.shingleHashes(rows.toDF("id", "text"), col("id"), col("text"), n = 3))
+    def wave(w: Int): Seq[(Long, String)] = (0 until 4).map { i =>
+      // distinct content per (wave, doc): every fingerprint is appended
+      // regardless of keep/drop, so the index-row invariant is exact
+      (w * 100L + i,
+        (0 until 20).map(t => s"tok-w$w-d$i-$t unique words here").mkString(" "))
+    }
+    val waves = (0 until 6).map(wave)
+    val expectRows = waves.map(w => bands(w).count()).sum
+
+    // maintenance churns in the background: each pass either wins its CAS
+    // commit or aborts on conflict (an orphan, vacuumed later) — it must
+    // NEVER drop a committed ingest segment from the live list
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactorErrors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val compactor = new Thread(() => {
+      while (!stop.get()) {
+        // a claim-name collision with an in-flight ingest throws (the
+        // documented fail-loudly race); maintenance just retries later
+        try IncrementalDedup.compactIndex(spark, root)
+        catch { case scala.util.control.NonFatal(_) => compactorErrors.incrementAndGet() }
+        Thread.sleep(5)
+      }
+    })
+    compactor.setDaemon(true)
+    compactor.start()
+    try {
+      waves.foreach { w =>
+        // the ingest side of the same claim collision is also retryable
+        var done = false
+        var tries = 0
+        while (!done) {
+          try { IncrementalDedup.ingest(spark, root, bands(w)).collect(); done = true }
+          catch { case scala.util.control.NonFatal(e) =>
+            tries += 1
+            if (tries > 5) throw e
+            Thread.sleep(20)
+          }
+        }
+      }
+    } finally { stop.set(true); compactor.join(10000) }
+
+    // invariant: whatever interleaving happened, the live index holds
+    // EXACTLY the union of every ingested wave's band rows — compaction
+    // merged but never lost, and no stale maintenance commit dropped a
+    // fresh segment (the pre-CAS code could)
+    val got = IncrementalDedup.index(spark, root).get
+      .dropDuplicates("id", "band", "bv").count()
+    assert(got == expectRows,
+      s"fingerprints lost or duplicated across the race: got $got want $expectRows")
+    IncrementalDedup.vacuum(root) // reclaim aborted-compaction orphans
+    assert(IncrementalDedup.index(spark, root).get
+      .dropDuplicates("id", "band", "bv").count() == expectRows,
+      "vacuum after the race changed the live index")
+  }
+
   /** Does the optimized plan read a parquet relation under `marker`? */
   private def scansState(df: org.apache.spark.sql.DataFrame, marker: String): Boolean =
     df.queryExecution.optimizedPlan.exists {
