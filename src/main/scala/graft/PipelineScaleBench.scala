@@ -140,6 +140,89 @@ object PipelineScaleBench {
       shuffleCounter = () => shuffleBytes.get())
     val calibPost = Bench.calibrate(spark)
 
+    // Recall-vs-scale: the quality companion to the timing ratios — if
+    // recall collapsed as the corpus grew, the "approximate index
+    // survives 100 TB" claim would be timing-only. The gauges re-run
+    // over the grown corpus with per-fingerprint fits, so each corpus
+    // gets its own IVF/PQ/LSH models. Two scaled legs, because the raw
+    // 10x corpus is the EASIER case for the fixed probe set (each probe
+    // gained 9 planted near-copies that sit atop its true-neighbor list,
+    // so sf1 recall is a non-collapse floor, not a hardness comparison):
+    //   - sf1: the corpus as the dedup/timing legs see it (planted
+    //     copies included) — recall of "find the near-duplicates";
+    //   - sf1_xfam: the probes' own copy families removed (90 of ~10x N
+    //     vectors), so every scaled-corpus neighbor is genuinely new
+    //     data relative to the probe — the apples-to-apples
+    //     recall-vs-growth number.
+    val recallNames = Seq("q_ann_recall", "q_lsh_recall", "q_annpq_recall")
+    def meanRecall(dir: String): Map[String, Double] = recallNames.map { nm =>
+      nm -> SparkEntry.queries(nm)(spark, dir)
+        .agg(avg(col("recall_bp"))).head.getDouble(0)
+    }.toMap
+    val xfam = s"$dst-xfam"
+    val xMarker = java.nio.file.Paths.get(xfam, "_GRAFT_XFAM")
+    val xStamp = s"dst=$dst probes=10 fp=${graft.api.ModelCache
+      .fingerprint(dst, "embeddings")}"
+    if (!java.nio.file.Files.exists(xMarker) ||
+        java.nio.file.Files.readString(xMarker) != xStamp) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(xfam))
+      spark.read.parquet(s"$dst/embeddings.parquet")
+        .where(col("vec_id") < Off || col("vec_id") % Off >= 10)
+        .write.mode("overwrite").parquet(s"$xfam/embeddings.parquet")
+      java.nio.file.Files.writeString(xMarker, xStamp)
+    }
+    val recallBase = meanRecall(src)
+    val recallScaled = meanRecall(dst)
+    val recallXfam = meanRecall(xfam)
+
+    // Cosine-regret companion: recall@k against exact ground truth
+    // punishes ANY ordering disagreement inside near-ties, and the grown
+    // corpus is built of 10-member near-tie copy families — a route can
+    // return metrically-equal neighbors and still score near-zero recall.
+    // Regret measures what recall can't: how much true cosine the
+    // retrieved set actually gave up per result slot,
+    //   regret_bp = 1e4 * (sum(brute cos) - sum(retrieved exact cos)) / (k*|Q|)
+    // with unfilled slots contributing 0. Near-zero regret + low recall =
+    // tie reshuffling (harmless); large regret = real quality loss. Same
+    // probe sets, ks, and cached per-fingerprint fits as the recall rows.
+    def regret(dir: String): Map[String, Double] = {
+      import graft.api.{VectorSearch => VS, ProductQuant => PQ}
+      import graft.operators.Similarity
+      val n = VS.withNorm(Tables.embeddings(spark, dir),
+        col("vec_id"), col("embedding"))
+      def sumCos(df: org.apache.spark.sql.DataFrame): Double =
+        df.agg(coalesce(sum("cos"), lit(0.0))).head.getDouble(0)
+      val q10 = n.where(col("id") < 10)
+      val q5 = n.where(col("id") < 5)
+      val cents = Similarity.ivfCents(spark, dir)
+      val assigned = VS.ivfAssign(n, cents)
+      val ivf = VS.ivfTopK(assigned, cents, q10, k = 10, nprobe = 2)
+      val sigged = VS.signLsh(n)
+      val lsh = VS.annTopK(sigged, sigged.where(col("id") < 10), k = 5)
+      val books = Similarity.pqBooks(spark, dir)
+      val codes = PQ.encode(n, books, Similarity.PqSub)
+      val probes = VS.ivfProbes(q5, cents, nprobe = 2)
+        .select(col("id").as("qid"), col("pcell"))
+      val cand = assigned
+        .join(broadcast(probes), col("cell") === col("pcell") && col("id") =!= col("qid"))
+        .select(col("qid"), col("id"))
+      val pq = PQ.adcTopKCandidates(codes, PQ.lut(q5, books, Similarity.PqSub), cand, k = 10)
+      // the ADC route ranks by quantized distance; score its picks by
+      // their EXACT cosine so regret compares like with like
+      val pqCos = pq.select("qid", "nid")
+        .join(n.select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn")), "nid")
+        .join(broadcast(q5.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))), "qid")
+        .select((graft.functions.VectorExprs.dot_product(col("qv"), col("nv"))
+          / (col("qn") * col("nn"))).as("cos"))
+      Map(
+        "q_ann_recall" -> (sumCos(VS.topK(n, q10, 10)) - sumCos(ivf)) / (10 * 10) * 1e4,
+        "q_lsh_recall" -> (sumCos(VS.topK(n, q10, 5)) - sumCos(lsh)) / (5 * 10) * 1e4,
+        "q_annpq_recall" -> (sumCos(VS.topK(n, q5, 10)) - sumCos(pqCos)) / (10 * 5) * 1e4)
+    }
+    val regretBase = regret(src)
+    val regretScaled = regret(dst)
+    val regretXfam = regret(xfam)
+
     def num(d: Double, places: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
     val baseMap = base.map(r => r.name -> r).toMap
@@ -160,6 +243,14 @@ object PipelineScaleBench {
   "total_sf01_sec": ${num(base.map(_.sec).sum, 4)},
   "total_sf1_sec": ${num(scaled.map(_.sec).sum, 4)},
   "total_ratio": ${num(scaled.map(_.sec).sum / math.max(base.map(_.sec).sum, 1e-9), 2)},
+  "recall_note": "sf1 includes each probe's 9 planted near-copies (easier; a non-collapse floor); sf1_xfam removes the probes' own copy families, so it is the apples-to-apples recall over genuinely new 10x data",
+  "recall_bp": {
+${recallNames.map(nm => s"""    "$nm": {"sf01": ${num(recallBase(nm), 1)}, "sf1": ${num(recallScaled(nm), 1)}, "sf1_xfam": ${num(recallXfam(nm), 1)}}""").mkString(",\n")}
+  },
+  "regret_note": "cosine given up per retrieved slot vs exact ground truth, in bp of cosine; near-zero regret with low recall = near-tie reshuffling, large regret = real quality loss",
+  "regret_bp": {
+${recallNames.map(nm => s"""    "$nm": {"sf01": ${num(regretBase(nm), 1)}, "sf1": ${num(regretScaled(nm), 1)}, "sf1_xfam": ${num(regretXfam(nm), 1)}}""").mkString(",\n")}
+  },
   "queries": {
 $rows
   }

@@ -83,7 +83,7 @@ object Similarity {
   private def embFp(d: String): String =
     graft.api.ModelCache.fingerprint(d, "embeddings")
 
-  private[operators] def ivfCents(s: SparkSession, d: String): Array[Array[Double]] =
+  private[graft] def ivfCents(s: SparkSession, d: String): Array[Array[Double]] =
     graft.api.ModelCache.cached(s"ivf:8:2:n:${embFp(d)}")(
       graft.api.VectorSearch.ivfFitKMeans(normed(s, d), nCells = 8, iters = 2))
 
@@ -91,7 +91,7 @@ object Similarity {
     graft.api.ModelCache.cached(s"ivf:8:2:ec:${embFp(d)}")(
       graft.api.VectorSearch.ivfFitKMeans(eCorpus(s, d), nCells = 8, iters = 2))
 
-  private[operators] def pqBooks(s: SparkSession, d: String): graft.api.ProductQuant.Codebooks =
+  private[graft] def pqBooks(s: SparkSession, d: String): graft.api.ProductQuant.Codebooks =
     graft.api.ModelCache.cached(s"pq:$PqM:$PqSub:$PqK:$PqRounds:${embFp(d)}")(
       graft.api.ProductQuant.fit(normed(s, d), PqM, PqSub, PqK, PqRounds))
 
@@ -417,7 +417,7 @@ object Similarity {
   // ---- product quantization (q_pq_ann) ------------------------------------
 
   private val PqM = 4        // subspaces
-  private val PqSub = 16     // dims per subspace
+  private[graft] val PqSub = 16     // dims per subspace
   private val PqK = 8        // centroids per codebook
   private val PqRounds = 2   // Lloyd rounds per codebook
 
