@@ -42,6 +42,61 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+  /** Locale-pinned fixed-point rendering for the JSON artifacts: the `f`
+    * interpolator uses the default locale, and a comma-decimal locale
+    * would emit unparseable JSON. */
+  def num(d: Double, places: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
+
+  /** The tuned local[N] session shared by the bench and the decade
+    * scale-up mains: the GraftConfig layered builder (master/partitions/
+    * UTC/nanos/UI) plus the three host-quirk confs profiled in rounds
+    * 10-12 (small page size, non-blocking ref cleaner, tmpfs scratch) —
+    * one place to fix, three mains covered. */
+  def tunedSession(appName: String): SparkSession = {
+    val s = GraftConfig.load(Array.empty,
+        defaults = GraftConfig.Default.copy(parallelism = 32))
+      .sessionBuilder(appName)
+      // local[32] single-JVM: default page size scales with heap and makes
+      // every sort/agg task zero out ~64MB pages — GC storms (profiled)
+      .config("spark.buffer.pageSize", "2m")
+      // the cleaner's blocking removeBroadcast/removeRDD RPCs serialize
+      // through BlockManagerMaster and stall task-side block ops
+      .config("spark.cleaner.referenceTracking.blocking", "false")
+      // shuffle/broadcast scratch on tmpfs: the sandbox disk has
+      // multi-second write-burst stalls
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Accumulating task-level shuffle-write counter; the delta around a
+    * query is its real shuffle volume ("measure, don't guess"). */
+  def addShuffleCounter(spark: SparkSession): () => Long = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    () => bytes.get()
+  }
+
+  /** One per-query comparison row of the scale-up artifacts (sf0.1 leg vs
+    * derived-10x leg), error messages scrubbed of JSON-unsafe chars. */
+  def ratioRow(b: QueryTiming, r: QueryTiming): String = {
+    val ratio = if (b.sec > 0) r.sec / b.sec else -1.0
+    val err = (r.error.toSeq ++ b.error.toSeq).headOption.map(e =>
+      s""", "error": "${e.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)}"""")
+      .getOrElse("")
+    s"""  "${b.name}": {"sf01_sec": ${num(b.sec, 4)}, "sf1_sec": ${num(r.sec, 4)}, "ratio": ${num(ratio, 2)}, "sf01_shuffle_mb": ${num(b.shuffleMb, 2)}, "sf1_shuffle_mb": ${num(r.shuffleMb, 2)}$err}"""
+  }
+
   private def defaultLoader(s: SparkSession, sfDir: String, t: String): DataFrame =
     if (t == "events") Tables.events(s, sfDir) else Tables.load(s, sfDir, t)
 
@@ -216,17 +271,9 @@ object Bench {
     // untimed — otherwise pre includes C2 compilation and is incomparable
     // to post (measured 0.147 s pre vs 0.046 s post on the same window)
 
-    // per-query shuffle accounting ("measure, don't guess"): a listener
-    // accumulates task-level shuffle write bytes; the delta around each
-    // query is its real shuffle volume, reported next to its seconds
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        }
-      })
+    // per-query shuffle accounting ("measure, don't guess"): the delta
+    // around each query is its real shuffle volume
+    val shuffleCount = addShuffleCounter(spark)
     // watchdog: if a query stalls >10s, dump thread stacks once (debug aid
     // for the sporadic zero-GC stalls; reads the object-level current/
     // started fields that timeInventory maintains)
@@ -257,7 +304,7 @@ object Bench {
     val calibPre = calibrate()
     val results = timeInventory(spark, sfDir,
       SparkEntry.defs.sortBy(_.name).filter(q => only.forall(_.contains(q.name))),
-      shuffleCounter = () => shuffleBytes.get())
+      shuffleCounter = shuffleCount)
     val calibPost = calibrate()
     // Output contract (round 9): diagnostics lines FIRST, then a FINAL
     // stdout line containing ONLY the total — no queries map. The driver
@@ -268,8 +315,6 @@ object Bench {
     // line must stay short AND last. Numeric fields are formatted with
     // Locale.ROOT — the `f` interpolator uses the default locale, and a
     // comma-decimal locale would emit unparseable JSON.
-    def num(d: Double, places: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
     val sh = results.map(r => s""""${r.name}":${num(r.shuffleMb, 2)}""")
       .mkString("{", ",", "}")
     println(s"""{"metric":"shuffle_mb","unit":"MB","queries":$sh,"sf":"$sfDir"}""")

@@ -33,8 +33,13 @@ object PipelineScaleBench {
 
   def scaleUp(spark: SparkSession, src: String, dst: String): Unit = {
     val marker = java.nio.file.Paths.get(dst, "_GRAFT_SCALED_PIPE")
+    // fingerprint EVERY table the derived dataset copies — the scaled
+    // documents/embeddings/events AND the relational ride-alongs — so a
+    // regenerated source of any of them invalidates the cached derivation
     val stamp = s"src=$src factor=$Factor fp=${graft.api.ModelCache
-      .fingerprint(src, "documents", "embeddings", "events")}"
+      .fingerprint(src, "documents", "embeddings", "events",
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem")}"
     if (java.nio.file.Files.exists(marker) &&
         java.nio.file.Files.readString(marker) == stamp) return
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
@@ -102,19 +107,7 @@ object PipelineScaleBench {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "/tmp/graft-pipe-sf1"
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .appName("graft-pipe-sf1")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.buffer.pageSize", "2m")
-      .config("spark.cleaner.referenceTracking.blocking", "false")
-      .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Bench.tunedSession("graft-pipe-sf1")
 
     scaleUp(spark, src, dst)
 
@@ -122,22 +115,12 @@ object PipelineScaleBench {
     Bench.warmTables(spark, src)
     Bench.warmTables(spark, dst)
 
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        }
-      })
+    val shuffleCount = Bench.addShuffleCounter(spark)
 
     Bench.calibProbe(spark)
     val calibPre = Bench.calibrate(spark)
-    val base = Bench.timeInventory(spark, src, defs,
-      shuffleCounter = () => shuffleBytes.get())
-    val scaled = Bench.timeInventory(spark, dst, defs,
-      shuffleCounter = () => shuffleBytes.get())
+    val base = Bench.timeInventory(spark, src, defs, shuffleCounter = shuffleCount)
+    val scaled = Bench.timeInventory(spark, dst, defs, shuffleCounter = shuffleCount)
     val calibPost = Bench.calibrate(spark)
 
     // Recall-vs-scale: the quality companion to the timing ratios — if
@@ -212,8 +195,10 @@ object PipelineScaleBench {
       val pqCos = pq.select("qid", "nid")
         .join(n.select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn")), "nid")
         .join(broadcast(q5.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))), "qid")
-        .select((graft.functions.VectorExprs.dot_product(col("qv"), col("nv"))
-          / (col("qn") * col("nn"))).as("cos"))
+        // rounded to 4dp like VectorSearch.topKPerQuery's cos, so both
+        // sides of the subtraction carry identical rounding
+        .select(round(graft.functions.VectorExprs.dot_product(col("qv"), col("nv"))
+          / (col("qn") * col("nn")), 4).as("cos"))
       Map(
         "q_ann_recall" -> (sumCos(VS.topK(n, q10, 10)) - sumCos(ivf)) / (10 * 10) * 1e4,
         "q_lsh_recall" -> (sumCos(VS.topK(n, q10, 5)) - sumCos(lsh)) / (5 * 10) * 1e4,
@@ -223,17 +208,9 @@ object PipelineScaleBench {
     val regretScaled = regret(dst)
     val regretXfam = regret(xfam)
 
-    def num(d: Double, places: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
+    import Bench.num
     val baseMap = base.map(r => r.name -> r).toMap
-    val rows = scaled.map { r =>
-      val b = baseMap(r.name)
-      val ratio = if (b.sec > 0) r.sec / b.sec else -1.0
-      val err = (r.error.toSeq ++ b.error.toSeq).headOption.map(e =>
-        s""", "error": "${e.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)}"""")
-        .getOrElse("")
-      s"""  "${r.name}": {"sf01_sec": ${num(b.sec, 4)}, "sf1_sec": ${num(r.sec, 4)}, "ratio": ${num(ratio, 2)}, "sf01_shuffle_mb": ${num(b.shuffleMb, 2)}, "sf1_shuffle_mb": ${num(r.shuffleMb, 2)}$err}"""
-    }.mkString(",\n")
+    val rows = scaled.map(r => Bench.ratioRow(baseMap(r.name), r)).mkString(",\n")
     val doc = s"""{
   "src": "$src",
   "dst": "$dst",

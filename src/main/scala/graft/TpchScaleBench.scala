@@ -74,19 +74,7 @@ object TpchScaleBench {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "/tmp/graft-sf1"
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .appName("graft-tpch-sf1")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.buffer.pageSize", "2m")
-      .config("spark.cleaner.referenceTracking.blocking", "false")
-      .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Bench.tunedSession("graft-tpch-sf1")
 
     scaleUp(spark, src, dst)
 
@@ -96,25 +84,15 @@ object TpchScaleBench {
     Bench.warmTables(spark, src, tables)
     Bench.warmTables(spark, dst, tables)
 
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        }
-      })
+    val shuffleCount = Bench.addShuffleCounter(spark)
 
     Bench.calibProbe(spark) // JIT-warm, untimed
     val calibPre = Bench.calibrate(spark)
     // interleaving note: the base leg runs first, the scaled leg second —
     // each query's generated classes are hot for the scaled leg, so the
     // ratio prices DATA growth, not compilation
-    val base = Bench.timeInventory(spark, src, tpch,
-      shuffleCounter = () => shuffleBytes.get())
-    val scaled = Bench.timeInventory(spark, dst, tpch,
-      shuffleCounter = () => shuffleBytes.get())
+    val base = Bench.timeInventory(spark, src, tpch, shuffleCounter = shuffleCount)
+    val scaled = Bench.timeInventory(spark, dst, tpch, shuffleCounter = shuffleCount)
     val calibPost = Bench.calibrate(spark)
 
     // plan-shape census on the SCALED data, AQE off (same census as
@@ -137,22 +115,17 @@ object TpchScaleBench {
                 .map(k => s"$k:${w(k)}->${got(k)}").mkString(",")
             }
           } catch { case scala.util.control.NonFatal(e) =>
-            Some(q.name -> s"census_error:${String.valueOf(e.getMessage).take(80)}")
+            // same JSON-unsafe-char scrub as the timing rows' error path —
+            // exception messages carry quotes/newlines (parquet paths etc.)
+            Some(q.name -> s"census_error:${String.valueOf(e.getMessage)
+              .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(80)}")
           }
         }
       } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
 
-    def num(d: Double, places: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
+    import Bench.num
     val baseMap = base.map(r => r.name -> r).toMap
-    val rows = scaled.map { r =>
-      val b = baseMap(r.name)
-      val ratio = if (b.sec > 0) r.sec / b.sec else -1.0
-      val err = (r.error.toSeq ++ b.error.toSeq).headOption.map(e =>
-        s""", "error": "${e.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)}"""")
-        .getOrElse("")
-      s"""  "${r.name}": {"sf01_sec": ${num(b.sec, 4)}, "sf1_sec": ${num(r.sec, 4)}, "ratio": ${num(ratio, 2)}, "sf01_shuffle_mb": ${num(b.shuffleMb, 2)}, "sf1_shuffle_mb": ${num(r.shuffleMb, 2)}$err}"""
-    }.mkString(",\n")
+    val rows = scaled.map(r => Bench.ratioRow(baseMap(r.name), r)).mkString(",\n")
     val diffsJson = planDiffs.map { case (n, d) => s"""    "$n": "$d"""" }
       .mkString("{\n", ",\n", "\n  }")
     val doc = s"""{

@@ -271,12 +271,15 @@ object IncrementalDedup {
             s"index schema drift at $root: manifest=$f increment=$fp")
         }
         if (next.map(_.version) == cur.map(_.version)) {
-          // version did not advance: the conflict is a crashed writer's
-          // orphan claim, not a live racer. Waiting cannot help — reclaim
-          // it to restore liveness (the window where this deletes a LIVE
-          // claim is the writer's claim→pointer gap; the deployment
-          // contract is single-ingest-writer, so a stall there means a
-          // dead process, and permanent wedging is the worse failure).
+          // version did not advance: the blocker is an INCOMPLETE file on
+          // the next version's name (a stale claim from the pre-link
+          // protocol, or a torn external write) — under the link protocol
+          // a live racer's commit always advances the version. Waiting
+          // cannot help — reclaim it to restore liveness. Safe against
+          // every live writer: reclaimOrphans deletes only
+          // parse-incomplete files, and a commit only ever appears as a
+          // complete file (atomic link), so nothing reclaimed can be or
+          // become a commit.
           Thread.sleep(100L * math.min(attempts, 5))
           if (StateManifest.current(root).map(_.version) == cur.map(_.version))
             StateManifest.reclaimOrphans(root)

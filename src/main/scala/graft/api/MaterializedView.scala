@@ -160,6 +160,10 @@ object MaterializedView extends org.apache.spark.internal.Logging {
     bypass { definition.write.mode("overwrite").parquet(s"$dir/$next") }
     StateManifest.commit(dir, Seq(next), -1L,
       StateManifest.schemaFingerprint(definition.schema))
+    // O(1) state contract: the data alternates v0/v1, so retain exactly
+    // that much history — without this, a refresh-per-micro-batch loop
+    // leaks one _MANIFEST.vN file per refresh forever
+    StateManifest.pruneHistory(dir, keep = 2)
     () => spark.read.parquet(s"$dir/${current.getOrElse(next)}")
   }
 }

@@ -22,14 +22,17 @@ final case class Manifest(
   * }}}
   *
   * Commit protocol: data directories are written FIRST by the caller,
-  * then [[commit]] writes the immutable history file and finally renames
-  * the `_MANIFEST` pointer into place atomically. A crash at any point
-  * leaves either the old or the new manifest current — never a torn one;
-  * data written for an uncommitted manifest is an unreachable orphan
-  * (vacuumable). Folding the batch ledger INTO the manifest closes the
-  * old crash window between a `_CURRENT` advance and a separate
-  * `_LAST_BATCH` advance: version, segment list, and ledger now move in
-  * ONE atomic rename.
+  * then the COMPLETE history file appears atomically (temp + rename for
+  * the single-writer [[commit]]; temp + exclusive `link(2)` for the
+  * racing-writer [[commitIf]]) and the `_MANIFEST` pointer is refreshed
+  * as a read cache. The history file is the commit point ([[current]]
+  * prefers the highest complete history version over the cached
+  * pointer): a crash at any point leaves either the old or the new
+  * manifest current — never a torn one — and data written for an
+  * uncommitted manifest is an unreachable orphan (vacuumable). Folding
+  * the batch ledger INTO the manifest closes the old crash window
+  * between a `_CURRENT` advance and a separate `_LAST_BATCH` advance:
+  * version, segment list, and ledger move in ONE atomic publish.
   *
   * Time travel: [[at]] reads any retained history version — replay tests
   * read the state as of an earlier commit. Whether the DATA of an old
@@ -87,8 +90,22 @@ object StateManifest {
     if (java.nio.file.Files.exists(p)) parse(java.nio.file.Files.readString(p))
     else None
 
-  /** The current manifest, or None before the first commit. */
-  def current(root: String): Option[Manifest] = readParsed(ptr(root))
+  /** The current manifest, or None before the first commit.
+    *
+    * The COMMIT POINT is the atomic appearance of a complete history file
+    * ([[commitIf]] publishes one via hard link); the `_MANIFEST` pointer
+    * is a read cache that trails it. So current = the highest COMPLETE
+    * history version, found by scanning the (pruned, so O(retained))
+    * version list above the cached pointer — a committer that crashed
+    * between the history link and the pointer refresh is still committed,
+    * and a stale pointer write can never regress a newer commit. */
+  def current(root: String): Option[Manifest] = {
+    val cached = readParsed(ptr(root))
+    val cachedV = cached.map(_.version).getOrElse(-1L)
+    versions(root).filter(_ > cachedV).sortBy(-_).iterator
+      .flatMap(v => at(root, v)).nextOption()
+      .orElse(cached)
+  }
 
   /** Time-travel read: the manifest as of commit `version`, if retained
     * (None for a missing, torn, or reclaimed history file). */
@@ -124,9 +141,9 @@ object StateManifest {
 
   /** Optimistic (compare-and-swap) commit: succeeds only if the current
     * manifest version still equals `expected` (None = no manifest yet)
-    * AND this writer wins the exclusive claim on the next history file.
-    * Returns None on conflict — the caller re-reads the current manifest
-    * and decides whether its work is still valid (the Delta/Iceberg
+    * AND this writer atomically publishes the next history file. Returns
+    * None on conflict — the caller re-reads the current manifest and
+    * decides whether its work is still valid (the Delta/Iceberg
     * optimistic-concurrency shape).
     *
     * Why it exists: a maintenance commit racing an ingest commit under
@@ -134,12 +151,19 @@ object StateManifest {
     * the other writer's segment from the live list. Under commitIf
     * exactly one of the two wins; the loser observes the conflict.
     *
-    * Liveness: a writer that crashed between claim and pointer leaves an
-    * orphan history file that blocks its version number. When the
-    * current version has provably not advanced and no writer is live
-    * (the same assumption [[IncrementalDedup.vacuum]] already makes),
-    * [[reclaimOrphans]] deletes history files above the pointer and
-    * restores progress. */
+    * The commit IS the atomic appearance of the COMPLETE history file:
+    * the full content is written to a writer-unique temp, then `link(2)`d
+    * to the history name — atomic, and it FAILS if the name exists, never
+    * replaces. There is no claim phase, so there is nothing a liveness
+    * reclaim could delete out from under a live writer, and a writer that
+    * lost the race has no later write that could clobber the winner (the
+    * previous empty-claim protocol had exactly that hole: a stalled
+    * claimant could resume after its claim was reclaimed and overwrite
+    * the history file AND pointer the reclaiming ingest had since
+    * committed, silently dropping the ingested segment). A crash before
+    * the link leaves only an invisible `.tmp`; a crash after the link is
+    * a COMPLETED commit (see [[current]] — the pointer is a cache), so
+    * no version number is ever wedged by a dead writer. */
   def commitIf(root: String, expected: Option[Long], segments: Seq[String],
       lastBatch: Long, schemaFp: String): Option[Manifest] = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
@@ -147,13 +171,17 @@ object StateManifest {
     val next = Manifest(expected.map(_ + 1).getOrElse(0L),
       segments, lastBatch, schemaFp)
     val h = hist(root, next.version)
-    try java.nio.file.Files.createFile(h) // exclusive claim (empty file)
-    catch { case _: java.nio.file.FileAlreadyExistsException => return None }
-    // content lands via temp+atomic-rename over the claimed file: a
-    // concurrent at() sees the empty claim (strict parse → absent) or the
-    // complete manifest, never a prefix
-    AtomicFiles.writePointer(h, render(next))
-    AtomicFiles.writePointer(ptr(root), render(next))
+    val tmp = h.resolveSibling(
+      s"${h.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    java.nio.file.Files.writeString(tmp, render(next))
+    try java.nio.file.Files.createLink(h, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        return None
+    }
+    java.nio.file.Files.deleteIfExists(tmp)
+    AtomicFiles.writePointer(ptr(root), render(next)) // cache refresh only
     Some(next)
   }
 
@@ -169,13 +197,16 @@ object StateManifest {
     prune
   }
 
-  /** Delete orphan history files ABOVE the current pointer (crashed
-    * [[commitIf]] claims). Only safe when no writer is live — the
-    * caller's retention/maintenance window, like vacuum. Returns the
-    * reclaimed version numbers. */
+  /** Delete INCOMPLETE history files above the current version — stale
+    * empty claims left by the pre-link commitIf protocol, or externally
+    * torn files. Under the link protocol a commit only ever appears as a
+    * complete file, so nothing this deletes can be (or become) a commit:
+    * a name that exists blocks every `link(2)`, and only this reclaim
+    * removes names — the old "reclaim deletes a LIVE claim" hazard is
+    * structurally gone. Returns the reclaimed version numbers. */
   def reclaimOrphans(root: String): Seq[Long] = {
     val cur = current(root).map(_.version).getOrElse(-1L)
-    val orphans = versions(root).filter(_ > cur)
+    val orphans = versions(root).filter(v => v > cur && at(root, v).isEmpty)
     orphans.foreach(v => java.nio.file.Files.deleteIfExists(hist(root, v)))
     orphans
   }

@@ -103,6 +103,49 @@ class StateManifestSpec extends AnyFunSuite {
       "progress must resume after orphan reclaim")
   }
 
+  test("a COMPLETE history file above the pointer IS current (pointer = cache)") {
+    // simulate a commitIf that crashed between the history link (the
+    // commit point) and the pointer refresh: the commit must be visible,
+    // not rolled back — otherwise a later plain commit would reuse the
+    // version number and two different manifests would share it
+    val root = tmp()
+    StateManifest.commit(root, Seq("a"), 1L, "fp") // v0, pointer at v0
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_MANIFEST.v1"),
+      "version=1\nlastBatch=2\nschemaFp=fp\nseg=a\nseg=b\neof=1\n")
+    assert(StateManifest.current(root).map(_.version).contains(1L),
+      "the complete history file is the commit point")
+    assert(StateManifest.current(root).map(_.segments).contains(Seq("a", "b")))
+    // and reclaimOrphans must NOT delete it — it is a commit, not a claim
+    assert(StateManifest.reclaimOrphans(root).isEmpty,
+      "reclaim must never delete a complete commit")
+    assert(StateManifest.current(root).map(_.version).contains(1L))
+    // the next CAS commit builds on it
+    assert(StateManifest.commitIf(root, Some(1L), Seq("a", "b", "c"), 2L, "fp")
+      .map(_.version).contains(2L))
+  }
+
+  test("a commitIf loser can never clobber the winner's history or pointer") {
+    val root = tmp()
+    StateManifest.commit(root, Seq("base"), -1L, "fp") // v0
+    val winner = StateManifest.commitIf(root, Some(0L),
+      Seq("base", "ingested"), -1L, "fp")
+    assert(winner.isDefined)
+    // a stale writer that also read v0 (the stalled-compactor shape)
+    // loses atomically at the link — there is no post-claim write path
+    // left that could overwrite _MANIFEST.v1 or regress the pointer
+    assert(StateManifest.commitIf(root, Some(0L), Seq("merged"), -1L, "fp").isEmpty)
+    assert(StateManifest.at(root, 1L).map(_.segments)
+      .contains(Seq("base", "ingested")),
+      "winner's history file must be untouched by the loser")
+    assert(StateManifest.current(root).map(_.segments)
+      .contains(Seq("base", "ingested")),
+      "winner's manifest must stay current")
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(root)).toArray
+      .map(_.toString).count(_.endsWith(".tmp")) == 0,
+      "loser's temp must be cleaned up")
+  }
+
   test("decimal precision widening does not move the schema fingerprint") {
     import org.apache.spark.sql.types._
     val narrow = StructType(Seq(StructField("s", DecimalType(18, 6)),

@@ -28,16 +28,8 @@ import java.nio.file.Files
 class StateScaleSpec extends SparkSpec {
   import spark.implicits._
 
-  private def stateRowsNow(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
-    q.recentProgress.reverseIterator
-      .find(_.stateOperators.nonEmpty)
-      .map(_.stateOperators.map(_.numRowsTotal).sum)
-      .getOrElse(0L)
-
-  private def maxStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
-    q.recentProgress.iterator
-      .map(_.stateOperators.map(_.numRowsTotal).sum)
-      .foldLeft(0L)(math.max)
+  // stateRowsNow / maxStateRows come from SparkSpec (shared with
+  // StreamingSpec's per-pair bound pins)
 
   /** Feed `n` events uniformly over ONE fixed hour (4 event types), close
     * every data window with two far-future sentinels, return (final state

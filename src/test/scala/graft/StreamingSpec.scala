@@ -20,14 +20,8 @@ class StreamingSpec extends SparkSpec {
     * the metric pin behind every "state bounded by watermark, not
     * history" claim in SURVEY §2.C. Output parity cannot see an
     * accidental unbounded-state regression (evicted entries influence
-    * nothing); the row count can. Summed across state operators
-    * (multi-stage pipelines) and state variables (incl. timers). */
-  private def stateRowsNow(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
-    q.recentProgress.reverseIterator
-      .find(_.stateOperators.nonEmpty)
-      .map(_.stateOperators.map(_.numRowsTotal).sum)
-      .getOrElse(0L)
-
+    * nothing); the row count can. stateRowsNow lives in SparkSpec
+    * (shared with StateScaleSpec's flatness-under-growth pins). */
   private def assertStateBound(q: org.apache.spark.sql.streaming.StreamingQuery,
       bound: Long, label: String): Unit = {
     val rows = stateRowsNow(q)
