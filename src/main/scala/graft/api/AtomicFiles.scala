@@ -11,7 +11,14 @@ package graft.api
   * store at once, not whichever copy someone remembered to patch. */
 object AtomicFiles {
   def writePointer(p: java.nio.file.Path, content: String): Unit = {
-    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    // writer-unique temp: with a FIXED temp name, two racing callers
+    // (e.g. back-to-back commitIf winners both refreshing the pointer
+    // cache) truncate each other's temp and the loser's rename throws
+    // NoSuchFile — the contention fuzz caught it. Last rename wins the
+    // pointer, which is safe everywhere writePointer is used: the
+    // manifest pointer is a read cache corrected by the history scan.
+    val tmp = p.resolveSibling(
+      s"${p.getFileName}.${java.util.UUID.randomUUID()}.tmp")
     java.nio.file.Files.writeString(tmp, content)
     java.nio.file.Files.move(tmp, p,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

@@ -53,9 +53,13 @@ object ProductQuant {
     require(m >= 1 && subDim >= 1 && k >= 2 && iters >= 1, "bad PQ params")
     val seedRows = corpus.orderBy("id").select("v").limit(k).collect()
       .map(_.getSeq[Double](0).toArray)
-    require(seedRows.length == k, s"corpus smaller than k=$k")
+    // a corpus smaller than k (empty partition, first ingest) fits the
+    // codebook it can support: one cell per available vector — k codes
+    // can't carry more information than n distinct points anyway. An
+    // empty corpus yields empty codebooks; encode/lut stay well-formed.
+    val kEff = math.min(k, seedRows.length)
     var books: Codebooks =
-      Array.tabulate(m, k)((s, c) => seedRows(c).slice(s * subDim, (s + 1) * subDim))
+      Array.tabulate(m, kEff)((s, c) => seedRows(c).slice(s * subDim, (s + 1) * subDim))
     for (_ <- 0 until iters) {
       // all m assignments ride ONE corpus pass; the explode shuffles
       // (sub, cell, dim)-keyed decimal partials, map-side combined
@@ -89,7 +93,12 @@ object ProductQuant {
 
   /** ADC lookup table: (qid, sub, cell, d2) — m × k exact-decimal entries
     * per query, computed from the query's raw slices. */
-  def lut(queries: DataFrame, books: Codebooks, subDim: Int): DataFrame =
+  def lut(queries: DataFrame, books: Codebooks, subDim: Int): DataFrame = {
+    if (books.forall(_.isEmpty)) // empty-corpus fit: no codes ⇒ empty LUT,
+      return queries.select(col("id").as("qid"), // same schema (d2 typed
+        lit(0).as("sub"), lit(0).as("cell"),     // via a zero centroid)
+        dist2(col("v"), 0, subDim, Array.fill(subDim)(0.0)).as("d2"))
+        .where(lit(false))
     queries.select(col("id").as("qid"),
       explode(array((for {
         s <- books.indices
@@ -97,6 +106,7 @@ object ProductQuant {
       } yield struct(lit(s).as("sub"), lit(c).as("cell"),
         dist2(col("v"), s, subDim, books(s)(c)).as("d2"))): _*)).as("e"))
       .select(col("qid"), col("e.sub"), col("e.cell"), col("e.d2"))
+  }
 
   /** PQ-ADC top-k: approximate distances by code lookup, bounded-heap
     * top-k per query (ascending distance, ties → lowest id). */

@@ -87,8 +87,12 @@ object StateManifest {
   }
 
   private def readParsed(p: java.nio.file.Path): Option[Manifest] =
-    if (java.nio.file.Files.exists(p)) parse(java.nio.file.Files.readString(p))
-    else None
+    // read-then-parse, no exists() pre-check: a concurrent pruneHistory /
+    // reclaimOrphans may delete the file between any check and the read
+    // (the contention fuzz caught exactly that TOCTOU) — a vanished file
+    // IS "no manifest at this version", never a reader crash
+    try parse(java.nio.file.Files.readString(p))
+    catch { case _: java.io.IOException => None }
 
   /** The current manifest, or None before the first commit.
     *
@@ -197,17 +201,34 @@ object StateManifest {
     prune
   }
 
+  /** Serializes [[reclaimOrphans]] per root: reclaim is check-then-delete,
+    * and two CONCURRENT reclaimers re-open the very hole reclaim exists to
+    * avoid — reclaimer A sees v torn, reclaimer B deletes v, a writer
+    * links a fresh COMPLETE commit at v, then A's stale delete kills that
+    * commit and v can be won twice (the contention fuzz caught it). With
+    * one reclaimer at a time the torn name stays occupied — blocking every
+    * `link(2)` — for A's whole check→delete window, so nothing A deletes
+    * can have become a commit. Writers never delete, so they need no lock.
+    * Cross-process, reclaim is driver-side maintenance: one supervising
+    * process per state root (the same single-maintainer contract as a
+    * Delta VACUUM). */
+  private val reclaimLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Delete INCOMPLETE history files above the current version — stale
     * empty claims left by the pre-link commitIf protocol, or externally
     * torn files. Under the link protocol a commit only ever appears as a
     * complete file, so nothing this deletes can be (or become) a commit:
     * a name that exists blocks every `link(2)`, and only this reclaim
-    * removes names — the old "reclaim deletes a LIVE claim" hazard is
-    * structurally gone. Returns the reclaimed version numbers. */
+    * removes names (serialized per root — see [[reclaimLocks]]).
+    * Returns the reclaimed version numbers. */
   def reclaimOrphans(root: String): Seq[Long] = {
-    val cur = current(root).map(_.version).getOrElse(-1L)
-    val orphans = versions(root).filter(v => v > cur && at(root, v).isEmpty)
-    orphans.foreach(v => java.nio.file.Files.deleteIfExists(hist(root, v)))
-    orphans
+    val key = java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
+    reclaimLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val cur = current(root).map(_.version).getOrElse(-1L)
+      val orphans = versions(root).filter(v => v > cur && at(root, v).isEmpty)
+      orphans.foreach(v => java.nio.file.Files.deleteIfExists(hist(root, v)))
+      orphans
+    }
   }
 }

@@ -141,17 +141,27 @@ object VectorSearch {
   }
 
   /** Assign each vector to its max-cosine cell (ties → lowest cell id).
-    * One narrow projection — nCells codegen'd dot products, no exchange. */
-  def ivfAssign(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val scored = cents.indices.map(i =>
-      struct(centCos(cents, i).as("cos"), lit(-i).as("nc")))
-    corpus.withColumn("cell", (-greatest(scored: _*).getField("nc")).cast("int"))
-  }
+    * One narrow projection — nCells codegen'd dot products, no exchange.
+    * Degenerate models (a fit over <2 vectors — the empty-partition /
+    * first-ingest case) assign trivially: one centroid ⇒ everything in
+    * cell 0; no centroids ⇒ no assignable cells ⇒ empty result (same
+    * schema), never an analysis error. */
+  def ivfAssign(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    cents.length match {
+      case 0 => corpus.withColumn("cell", lit(0)).where(lit(false))
+      case 1 => corpus.withColumn("cell", lit(0))
+      case _ =>
+        val scored = cents.indices.map(i =>
+          struct(centCos(cents, i).as("cos"), lit(-i).as("nc")))
+        corpus.withColumn("cell", (-greatest(scored: _*).getField("nc")).cast("int"))
+    }
 
   /** Per-query top-`nprobe` cells by centroid cosine (ties → lowest cell):
     * sort a literal-scored struct array, slice, explode — still no shuffle
     * of the query side before the candidate join. */
   def ivfProbes(queries: DataFrame, cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    if (cents.isEmpty) // no cells to probe (empty-corpus fit) — empty, same schema
+      return queries.withColumn("pcell", lit(0)).where(lit(false))
     val arr = array(cents.indices.map(i =>
       struct((-centCos(cents, i)).as("negcos"), lit(i).as("cell"))): _*)
     queries.withColumn("__p", explode(slice(sort_array(arr), 1, nprobe)))

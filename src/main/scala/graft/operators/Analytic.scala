@@ -252,11 +252,15 @@ object Analytic {
       |  GROUP BY l_returnflag
       |)
       |SELECT l_returnflag, n,
-      |       round((n * sxy - sx * sy) / (n * (n - 1)), 4) AS covar_s,
-      |       round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4) AS std_qty,
-      |       round(sqrt((n * syy - sy * sy) / (n * (n - 1))), 4) AS std_price,
-      |       round((n * sxy - sx * sy) /
-      |             (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS corr_qp
+      |       CASE WHEN n > 1 THEN
+      |         round((n * sxy - sx * sy) / (n * (n - 1)), 4) END AS covar_s,
+      |       CASE WHEN n > 1 THEN
+      |         round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4) END AS std_qty,
+      |       CASE WHEN n > 1 THEN
+      |         round(sqrt((n * syy - sy * sy) / (n * (n - 1))), 4) END AS std_price,
+      |       CASE WHEN n > 1 AND n * sxx > sx * sx AND n * syy > sy * sy THEN
+      |         round((n * sxy - sx * sy) /
+      |               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) END AS corr_qp
       |FROM m
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val dec27 = (c: org.apache.spark.sql.Column) => sum(c.cast("decimal(27,6)"))
@@ -270,13 +274,20 @@ object Analytic {
         dec27(col("l_quantity") * col("l_quantity")).cast("double").as("sxx"),
         dec27(col("l_extendedprice") * col("l_extendedprice")).cast("double").as("syy"))
     val n = col("n"); val sx = col("sx"); val sy = col("sy")
+    // sample statistics are undefined at n=1 (and corr at zero variance):
+    // NULL, not a divide-by-zero — the SQL-standard covar_samp convention,
+    // guarded identically in the oracle so both engines agree
     m.select(
         col("l_returnflag"), n,
-        round((n * col("sxy") - sx * sy) / (n * (n - lit(1))), 4).as("covar_s"),
-        round(sqrt((n * col("sxx") - sx * sx) / (n * (n - lit(1)))), 4).as("std_qty"),
-        round(sqrt((n * col("syy") - sy * sy) / (n * (n - lit(1)))), 4).as("std_price"),
-        round((n * col("sxy") - sx * sy) /
-          (sqrt(n * col("sxx") - sx * sx) * sqrt(n * col("syy") - sy * sy)), 4).as("corr_qp"))
+        when(n > 1,
+          round((n * col("sxy") - sx * sy) / (n * (n - lit(1))), 4)).as("covar_s"),
+        when(n > 1,
+          round(sqrt((n * col("sxx") - sx * sx) / (n * (n - lit(1)))), 4)).as("std_qty"),
+        when(n > 1,
+          round(sqrt((n * col("syy") - sy * sy) / (n * (n - lit(1)))), 4)).as("std_price"),
+        when(n > 1 && n * col("sxx") > sx * sx && n * col("syy") > sy * sy,
+          round((n * col("sxy") - sx * sy) /
+            (sqrt(n * col("sxx") - sx * sx) * sqrt(n * col("syy") - sy * sy)), 4)).as("corr_qp"))
       .orderBy("l_returnflag")
   }
 
@@ -488,8 +499,11 @@ object Analytic {
     val (mn, w) = graft.api.ModelCache.cached(
       s"histbins:${graft.api.ModelCache.fingerprint(d, "events")}") {
       val b = v.agg(min(col("vi")), max(col("vi"))).first()
-      val m = b.getLong(0)
-      (m, math.max((b.getLong(1) - m) / 128 + 1, 1L))
+      if (b.isNullAt(0)) (0L, 1L) // empty corpus: vacuous bin spec — no
+      else {                      // buckets ever form, result stays empty
+        val m = b.getLong(0)
+        (m, math.max((b.getLong(1) - m) / 128 + 1, 1L))
+      }
     }
     val partials = graft.Persisting.maybe(
       v.groupBy(col("event_type").as("grp"),

@@ -138,9 +138,18 @@ object LayoutOps {
       |WHERE CAST(date_trunc('day', ts) AS DATE) =
       |      (SELECT CAST(min(date_trunc('day', ts)) AS DATE) FROM events)
       |ORDER BY event_id""".stripMargin) { (s, d) =>
-    val dir = eventsByDay(s, d)
     val ev = Tables.events(s, d)
-    val minDay = ev.agg(min(to_date(date_trunc("day", col("ts"))))).first().getDate(0)
+    val minRow = ev.agg(min(to_date(date_trunc("day", col("ts"))))).first()
+    // empty events: no day exists, the partitioned rewrite has no files to
+    // read and nothing to prune — an empty result (same schema), not a
+    // crash, is the contract for an empty partition (DegenerateInputSpec)
+    if (minRow.isNullAt(0)) {
+      ev.withColumn("day", to_date(date_trunc("day", col("ts"))))
+        .select("event_id", "user_id", "event_type", "value", "day")
+        .where(lit(false))
+    } else {
+    val dir = eventsByDay(s, d)
+    val minDay = minRow.getDate(0)
     val pruned = s.read.parquet(dir)
       .where(col("day") === lit(minDay))
       .select("event_id", "user_id", "event_type", "value", "day")
@@ -150,6 +159,7 @@ object LayoutOps {
     if (!scanned.contains(1)) throw new IllegalStateException(
       s"q_partition_prune: expected exactly 1 partition scanned, got $scanned")
     pruned
+    }
   }
 
   /** Dynamic partition pruning end-to-end: the star-schema shape a static
@@ -188,11 +198,22 @@ object LayoutOps {
       |JOIN sel ON sel.day = e.day
       |GROUP BY e.day
       |ORDER BY e.day""".stripMargin) { (s, d) =>
-    val dir = eventsByDay(s, d)
     val ev = Tables.events(s, d)
     // the mod-5 anchor is one date off a min() aggregate — model-sized
-    val minDom = ev.agg(min(to_date(date_trunc("day", col("ts"))))).first()
-      .getDate(0).toLocalDate.getDayOfMonth % 5
+    val minRow = ev.agg(min(to_date(date_trunc("day", col("ts"))))).first()
+    // empty events: no anchor day, no partitioned files, nothing to prune
+    // — return the empty aggregate shape (DegenerateInputSpec contract)
+    if (minRow.isNullAt(0)) {
+      ev.select(to_date(date_trunc("day", col("ts"))).as("day"), col("value"))
+        .where(lit(false))
+        .groupBy("day")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))
+        .orderBy("day")
+    } else {
+    val dir = eventsByDay(s, d)
+    val minDom = minRow.getDate(0).toLocalDate.getDayOfMonth % 5
     val dim = ev.select(to_date(date_trunc("day", col("ts"))).as("day")).distinct()
       .where(dayofmonth(col("day")) % 5 === lit(minDom))
     val out = s.read.parquet(dir)
@@ -209,6 +230,7 @@ object LayoutOps {
     if (!hasDpp) throw new IllegalStateException(
       "q_dpp_join: expected a DynamicPruningSubquery on the partitioned fact scan")
     out
+    }
   }
 
   val all: Seq[QueryDef] = Seq(qZorder, qSmbJoin, qPartitionPrune, qDppJoin)

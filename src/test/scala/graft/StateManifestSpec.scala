@@ -146,6 +146,85 @@ class StateManifestSpec extends AnyFunSuite {
       "loser's temp must be cleaned up")
   }
 
+  test("sustained contention fuzz: linear gap-free history under racing " +
+      "writers, concurrent prune/reclaim, and injected torn files") {
+    // The single-shot races above pin one interleaving each; this drives
+    // the WHOLE protocol at once — 8 writers in commitIf retry loops, a
+    // maintenance thread running pruneHistory+reclaimOrphans the entire
+    // time, and an adversary dropping torn (parse-incomplete) history
+    // files above the head. Invariants at the end: the version chain is
+    // gap-free, every writer's commit landed exactly once and in the
+    // final segment list, and no temp debris remains. This is the
+    // many-ingests-plus-compactor-plus-crashed-peer shape a 100 TB state
+    // directory lives under continuously.
+    val root = tmp()
+    StateManifest.commit(root, Seq("base"), -1L, "fp") // v0
+    val writers = 8; val commitsPer = 25
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers + 2)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    // maintenance: prune old history, reclaim torn claims, continuously
+    pool.submit(new Runnable { def run(): Unit =
+      try while (!stop.get()) {
+        StateManifest.pruneHistory(root, keep = 50)
+        StateManifest.reclaimOrphans(root)
+        Thread.sleep(1)
+      } catch { case t: Throwable => failed.set(t) } })
+    // adversary: a torn file just above the head blocks that version's
+    // link for every writer until reclaim removes it (a crashed external
+    // peer); it must stall nobody permanently and never become current
+    pool.submit(new Runnable { def run(): Unit =
+      try (0 until 20).foreach { _ =>
+        val head = StateManifest.current(root).map(_.version).getOrElse(0L)
+        val p = java.nio.file.Paths.get(root, s"_MANIFEST.v${head + 1}")
+        // CREATE_NEW: a torn file may only take a FREE name — racing a
+        // landed commit must fail, never truncate it (a crashed peer
+        // leaves its own partial file; it cannot corrupt others')
+        try java.nio.file.Files.writeString(p,
+          s"version=${head + 1}\nseg=torn\n",
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        Thread.sleep(3)
+      } catch { case t: Throwable => failed.set(t) } })
+    val tasks = (0 until writers).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+        def call(): Seq[Long] = (0 until commitsPer).map { i =>
+          var done = Option.empty[Manifest]
+          while (done.isEmpty) {
+            val cur = StateManifest.current(root).get
+            done = StateManifest.commitIf(root, Some(cur.version),
+              cur.segments :+ s"w$w-c$i", i.toLong, "fp")
+            // liveness against the adversary's torn file on OUR next
+            // version: the caller-side retry protocol is reclaim-then-retry
+            if (done.isEmpty) StateManifest.reclaimOrphans(root)
+          }
+          done.get.version
+        }
+      })
+    }
+    val versionsWon = tasks.flatMap(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    stop.set(true); pool.shutdown()
+    pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+    assert(failed.get() == null, s"background thread failed: ${failed.get()}")
+    StateManifest.reclaimOrphans(root) // drop any final torn leftover
+    val total = writers * commitsPer
+    assert(versionsWon.distinct.size == total,
+      "every CAS win must take a distinct version (no two commits share one)")
+    val cur = StateManifest.current(root).get
+    assert(cur.version == total.toLong, s"head must be v$total, got ${cur.version}")
+    assert(cur.segments.size == total + 1 &&
+      cur.segments.distinct.size == total + 1,
+      "final list must hold base + every writer commit exactly once (no lost updates)")
+    val retained = StateManifest.versions(root)
+    assert(retained == (retained.min to cur.version),
+      s"retained history must be a gap-free suffix chain, got $retained")
+    retained.foreach(v => assert(StateManifest.at(root, v).isDefined,
+      s"retained v$v must parse as complete"))
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(root)).toArray
+      .map(_.toString).count(_.endsWith(".tmp")) == 0, "no temp debris")
+  }
+
   test("decimal precision widening does not move the schema fingerprint") {
     import org.apache.spark.sql.types._
     val narrow = StructType(Seq(StructField("s", DecimalType(18, 6)),
