@@ -21,7 +21,11 @@ object VectorSearch {
     * columns (labels, block keys) ride the same single scan — don't
     * re-join them on id afterwards, that re-reads the corpus. */
   def withNorm(df: DataFrame, id: Column, vec: Column, keep: Column*): DataFrame =
-    df.select(id.as("id") +: transform(vec, x => x.cast("double")).as("v") +: keep: _*)
+    // a null vector has no norm and can participate in no similarity op —
+    // malformed embedding records are skipped at this single ingest seam,
+    // so fits/assignments downstream never see one (DegenerateInputSpec)
+    df.where(vec.isNotNull)
+      .select(id.as("id") +: transform(vec, x => x.cast("double")).as("v") +: keep: _*)
       .withColumn("nrm", VectorExprs.l2_norm(col("v")))
 
   private def cosine(qv: Column, qn: Column, v: Column, n: Column): Column =

@@ -100,6 +100,9 @@ object Multimodal {
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      // malformed media records (no id / no size metadata) are skipped at
+      // the ingest seam — they cannot cross the non-nullable typed boundary
+      .where(col("doc_id").isNotNull && col("n_chars").isNotNull)
       .select(col("doc_id"), col("n_chars"),
         when(col("source") === "src0", "png").otherwise("bmp").as("fmt"))
       .as[(Long, Long, String)]
@@ -148,6 +151,9 @@ object Multimodal {
   def gradientMediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      // malformed media records (no id / no size metadata) are skipped at
+      // the ingest seam — they cannot cross the non-nullable typed boundary
+      .where(col("doc_id").isNotNull && col("n_chars").isNotNull)
       .select(col("doc_id"), col("n_chars"),
         when(col("source") === "src0", "png").otherwise("bmp").as("fmt"))
       .as[(Long, Long, String)]
@@ -379,6 +385,7 @@ object Multimodal {
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     Tables.documents(s, d)
+      .where(col("doc_id").isNotNull && col("n_chars").isNotNull)
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .repartition(s.sparkContext.defaultParallelism)
@@ -419,6 +426,7 @@ object Multimodal {
       |ORDER BY doc_id, frame""".stripMargin) { (s, d) =>
     import s.implicits._
     Tables.documents(s, d)
+      .where(col("doc_id").isNotNull && col("n_chars").isNotNull)
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .repartition(s.sparkContext.defaultParallelism)

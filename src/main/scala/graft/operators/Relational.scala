@@ -658,7 +658,7 @@ object Relational {
     "q_map_fns",
     """WITH s AS (
       |  SELECT o_custkey, o_orderstatus AS st, CAST(count(*) AS BIGINT) AS cnt
-      |  FROM orders GROUP BY 1, 2
+      |  FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY 1, 2
       |)
       |SELECT o_custkey,
       |       max(CASE WHEN st = 'O' THEN cnt END) AS n_open,
@@ -668,6 +668,9 @@ object Relational {
       |FROM s GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
+      // a null status cannot be a map key (NULL_MAP_KEY) — excluded in the
+      // oracle identically, so both engines agree on any data
+      .where(col("o_orderstatus").isNotNull)
       .groupBy(col("o_custkey"), col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("o_custkey"))

@@ -48,13 +48,15 @@ object Similarity {
     s"""e AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
+       |  WHERE embedding IS NOT NULL
        |),
        |n AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM e)""".stripMargin
 
   /** Near-dup corpus: embeddings plus exactly-colinear (×2) copies of every
     * `vec_id % 10 == 0` vector — cosine exactly 1.0 by IEEE arithmetic. */
   private def eCorpus(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    // null embeddings skipped like withNorm's ingest seam (mirrored in the CTE)
+    val e = Tables.embeddings(s, d).where(col("embedding").isNotNull)
     val base = e.select(col("vec_id").as("id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val scaled = e.where(col("vec_id") % 10 === 0).select(
@@ -67,9 +69,10 @@ object Similarity {
     s"""ec AS (
        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
+       |  WHERE embedding IS NOT NULL
        |  UNION ALL
        |  SELECT vec_id + 100000, label, list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)
-       |  FROM embeddings WHERE vec_id % 10 = 0
+       |  FROM embeddings WHERE vec_id % 10 = 0 AND embedding IS NOT NULL
        |),
        |n AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM ec)""".stripMargin
 

@@ -61,4 +61,15 @@ class DegenerateInputSpec extends SparkSpec {
   test("all queries survive one-row tables") {
     sweep("one-row", buildFixture("onerow")(_.limit(1)))
   }
+
+  test("all queries survive all-null rows") {
+    // malformed ingest records arrive with missing fields; the all-null
+    // row is the adversarial superset of every per-field-null shape. A
+    // query may legitimately produce nothing from such rows — it may not
+    // crash on them.
+    sweep("all-null", buildFixture("nulled") { df =>
+      df.limit(5).select(df.schema.fields.map(f =>
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    })
+  }
 }
