@@ -1,0 +1,272 @@
+package graft
+
+import java.util.Locale
+import java.util.concurrent.atomic.LongAdder
+import graft.operators.CodecQueries
+import graft.sources.{MessageSource, MsgBroker}
+import graft.streaming.{BatchedSink, MetricSink, MsgPipeline, Transport}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Single-node streaming THROUGHPUT benchmark over the reference's deployed
+  * topology — the one number the batch benches cannot produce.
+  *
+  * The reference is a streaming engine (`DataStreamProcessingJob.java`):
+  * 3-topic Pulsar fan-in (`run_datastream_job.sh:17,25`), fixed-width parse,
+  * side-output fan-out, count-or-time batched sinks (1000 msgs / 5 s,
+  * `:157-158`), 5 s EXACTLY_ONCE checkpoints (`:104-112`), parallelism 16
+  * (`run_datastream_job.sh:25`). It publishes no throughput numbers
+  * (BASELINE.md), so this bench RECORDS ours under the same topology:
+  *
+  *   - leg `fanout` — the full reference dataflow: DSv2 broker source
+  *     (3 topics × 8 partitions, checkpoint-coupled ack) → guard+parse →
+  *     one-pass fan-out → BatchedSink (1000/5 s thresholds) + per-batch
+  *     delay aggregate. Every micro-batch commits its offsets — a STRICTER
+  *     checkpoint cadence than the reference's 5 s interval.
+  *   - leg `stateful` — the same source and parse feeding the watermarked
+  *     10 s-window delay aggregate ([[MetricSink.windowedAvg]]) on the
+  *     RocksDB state store: prices the stateful path the reference runs as
+  *     a remote AVG (`ZhiYanSink.java:106`).
+  *
+  * Exactly-once accounting is asserted, not assumed: the count of records
+  * entering the sink must equal the published session-message count — a
+  * replayed or dropped batch fails the run. Three rates per leg:
+  * `rows_per_sec` (wall-clock, includes planning + checkpoint I/O),
+  * `engine_rows_per_sec` (Σ inputRows / Σ trigger-execution, excludes
+  * inter-batch idle), and the headline `steady_rows_per_sec` (median of
+  * per-batch rates — robust to the sandbox's contiguous stall windows the
+  * way Bench's min-of-attempts is). The host-speed calibration probe
+  * (BASELINE.md round 12+) brackets the run; normalization uses the BETTER
+  * bracket reading so a window that degrades at one end doesn't overstate
+  * hot-host throughput.
+  *
+  * Scale shape: the source is partition-parallel (24 input partitions →
+  * local[32] threads; a cluster scales by adding broker partitions and
+  * executors — nothing here is driver-bound: publish happens before the
+  * clock starts, sinks run `foreachPartition` on executors, the per-batch
+  * metric collect is a 1-row aggregate).
+  *
+  * Usage: `runMain graft.StreamThroughputBench [sfDir]`; env
+  * `GRAFT_STREAM_MSGS` (default 2,000,000), `GRAFT_STREAM_JSON`
+  * (default `bench_stream_r13.json`).
+  */
+object StreamThroughputBench {
+
+  /** Same-JVM (local-mode) sink accounting: executors add, driver reads. */
+  private val bulkPosts = new LongAdder
+
+  private class CountingTransport extends Transport {
+    override def send(payload: String): Unit = bulkPosts.increment()
+  }
+
+  final case class LegResult(
+      name: String,
+      msgs: Long,
+      wallSec: Double,
+      batches: Int,
+      engineRowsPerSec: Double,
+      steadyRowsPerSec: Double,
+      batchMs: Seq[Long],
+      deliveredLines: Long,
+      posts: Long) {
+    def rowsPerSec: Double = if (wallSec > 0) msgs / wallSec else 0.0
+  }
+
+  /** Publish `n` messages round-robin across fresh brokers for `topics`
+    * (3-topic fan-in, 8 partitions each — the deployed topology at the
+    * bench's core count). Returns the published session-message count (the
+    * fan-out's expected sink-visible lines). Cycling the base corpus reuses
+    * string references, so broker memory is O(base), not O(n). */
+  def publishCorpus(base: Array[String], topics: Seq[String], n: Long): Long = {
+    val brokers = topics.map(t => MsgBroker.create(t, numPartitions = 8))
+    var sessions = 0L
+    var i = 0L
+    while (i < n) {
+      val m = base(((i % base.length)).toInt)
+      if (m.startsWith("session")) sessions += 1
+      brokers((i % brokers.length).toInt).publish(m)
+      i += 1
+    }
+    sessions
+  }
+
+  /** (batches, engine rate = Σrows/Σexec, steady rate = median of per-batch
+    * rates, per-batch exec ms). The median rate is the stall-robust number:
+    * the sandbox's documented CPU-starvation windows inflate a contiguous
+    * run of batches (PERF_NOTES), which a median ignores but any total —
+    * wall or engine — absorbs. The streaming analog of Bench's
+    * min-of-attempts methodology. */
+  private def progressStats(q: org.apache.spark.sql.streaming.StreamingQuery): (Int, Double, Double, Seq[Long]) = {
+    val ps = q.recentProgress.filter(_.numInputRows > 0)
+    val rows = ps.map(_.numInputRows).sum
+    val perBatch = ps.toSeq.flatMap(p =>
+      Option(p.durationMs.get("triggerExecution")).map(ms =>
+        (p.numInputRows, ms.toLong)))
+    val batchMs = perBatch.map(_._2)
+    val execMs = batchMs.sum
+    val rates = perBatch.collect { case (r, ms) if ms > 0 => r * 1000.0 / ms }.sorted
+    val steady = if (rates.isEmpty) 0.0 else rates(rates.size / 2)
+    (ps.length, if (execMs > 0) rows * 1000.0 / execMs else 0.0, steady, batchMs)
+  }
+
+  /** The reference dataflow, timed end-to-end: source → parse → fan-out →
+    * batched sink + per-batch delay aggregate. */
+  def runFanoutLeg(spark: SparkSession, topics: Seq[String], n: Long,
+      perTrigger: Long, ckpt: String, name: String = "fanout"): LegResult = {
+    bulkPosts.reset()
+    val sink = new BatchedSink(() => new CountingTransport, batchNum = 1000, batchTimeSec = 5)
+    // record-exact sink accounting (line counts would miscount payloads
+    // with embedded newlines): every record entering the sink increments
+    val sunk = spark.sparkContext.longAccumulator(s"$name-sunk")
+    val src = MessageSource.brokerStream(spark, topics.mkString(","), Some(perTrigger))
+    val t0 = System.nanoTime()
+    val q = MsgPipeline.runFanOut(
+      src, ckpt, () => CodecQueries.NowMs,
+      (ds, id) => { import ds.sparkSession.implicits._
+        sink.write(ds.map { s => sunk.add(1L); s + "\n" }, id) },
+      // the ZhiYan-shape report: one 1-row aggregate per micro-batch
+      (df, _) => { df.agg(count(lit(1)), avg("delay_ms")).collect(); () })
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val (batches, engineRate, steady, batchMs) = progressStats(q)
+    q.stop()
+    LegResult(name, n, wall, batches, engineRate, steady, batchMs,
+      sunk.value, bulkPosts.sum())
+  }
+
+  /** The stateful path: watermarked 10 s tumbling delay windows on RocksDB,
+    * update-mode, counted (not stored) per micro-batch. */
+  def runStatefulLeg(spark: SparkSession, topics: Seq[String], n: Long,
+      perTrigger: Long, ckpt: String, name: String = "stateful"): LegResult = {
+    // RocksDB for the timed query only (the scale-path store); restore the
+    // caller's provider after — a shared test session must not inherit it
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    graft.streaming.StatefulOps.useRocksDbStateStore(spark)
+    val windowRows = new LongAdder
+    val src = MessageSource.brokerStream(spark, topics.mkString(","), Some(perTrigger))
+    val win = MetricSink.windowedAvg(
+      MsgPipeline.delayStream(MsgPipeline.parse(src), CodecQueries.NowMs))
+    val t0 = System.nanoTime()
+    val q = win.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) => windowRows.add(b.count()); () }
+      .start()
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val (batches, engineRate, steady, batchMs) = progressStats(q)
+    q.stop()
+    prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    LegResult(name, n, wall, batches, engineRate, steady, batchMs, windowRows.sum(), 0L)
+  }
+
+  private def num(v: Double, dp: Int): String =
+    String.format(Locale.ROOT, s"%.${dp}f", Double.box(v))
+
+  private def legJson(r: LegResult): String =
+    s"""{"msgs": ${r.msgs}, "wall_sec": ${num(r.wallSec, 3)}, """ +
+      s""""rows_per_sec": ${num(r.rowsPerSec, 0)}, """ +
+      s""""engine_rows_per_sec": ${num(r.engineRowsPerSec, 0)}, """ +
+      s""""steady_rows_per_sec": ${num(r.steadyRowsPerSec, 0)}, """ +
+      s""""batches": ${r.batches}, "batch_ms": [${r.batchMs.mkString(", ")}], """ +
+      s""""delivered": ${r.deliveredLines}, "posts": ${r.posts}}"""
+
+  def main(args: Array[String]): Unit = {
+    val cfg = GraftConfig.load(args, defaults = GraftConfig.Default.copy(
+      parallelism = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt))
+    val n = sys.env.getOrElse("GRAFT_STREAM_MSGS", "2000000").toLong
+    val spark = cfg.sessionBuilder("graft-stream-bench")
+      // same single-JVM tuning as graft.Bench (profiled there): small
+      // buffer pages (64 MB default pages GC-storm 32 task threads),
+      // non-blocking ref cleanup, shuffle scratch on tmpfs
+      .config("spark.buffer.pageSize", "2m")
+      .config("spark.cleaner.referenceTracking.blocking", "false")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // the fixed-width parse path touches collation-aware string ops; pay
+    // ICU's slow <clinit> before any timing (see Bench for the profile)
+    Class.forName("org.apache.spark.sql.catalyst.util.CollationAwareUTF8String")
+
+    // checkpoints on tmpfs: the per-batch offset/commit WAL writes are on
+    // the timed path, and the sandbox disk has multi-second write-burst
+    // stalls (PERF_NOTES) that would price the disk, not the engine. A
+    // production deployment puts this WAL on HDFS/S3 and pays its real
+    // latency knowingly.
+    val ckptBase = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"), "stb-ckpt")
+    java.nio.file.Files.createDirectories(ckptBase)
+    def tmp(tag: String): String =
+      java.nio.file.Files.createTempDirectory(ckptBase, tag).toString
+
+    // base corpus: the events-derived wire format at the bench SF
+    val base = CodecQueries.rawMessages(spark, cfg.sfDir)
+      .select("value").collect().map(_.getString(0))
+    require(base.nonEmpty, s"empty corpus from ${cfg.sfDir}")
+
+    Bench.calibProbe(spark) // JIT-warm the probe before the first reading
+    val calibPre = Bench.calibrate(spark)
+
+    // untimed warmup: JIT the parse expressions, sink path, DSv2 planning
+    val warmN = math.min(100000L, n)
+    publishCorpus(base, Seq("stb-w0", "stb-w1", "stb-w2"), warmN)
+    runFanoutLeg(spark, Seq("stb-w0", "stb-w1", "stb-w2"), warmN,
+      perTrigger = math.max(warmN / 4, 1), ckpt = tmp("warm"), name = "warmup")
+    publishCorpus(base, Seq("stb-x0", "stb-x1", "stb-x2"), warmN)
+    runStatefulLeg(spark, Seq("stb-x0", "stb-x1", "stb-x2"), warmN,
+      perTrigger = math.max(warmN / 4, 1), ckpt = tmp("warmstate"), name = "warmup")
+
+    // timed leg A: the full reference dataflow
+    // 100k-msg triggers at the 2M default: ~0.3-0.4 s per batch steady —
+    // an even stricter commit cadence than the reference's 5 s interval,
+    // with enough batches (20) for the median to shake off stall windows
+    val perTrigger = sys.env.get("GRAFT_STREAM_TRIGGER").map(_.toLong)
+      .getOrElse(math.max(n / 20, 1L))
+    val fanTopics = Seq("stb-f0", "stb-f1", "stb-f2")
+    val expectSessions = publishCorpus(base, fanTopics, n)
+    System.gc() // drop publish garbage before the clock starts
+    val fan = runFanoutLeg(spark, fanTopics, n, perTrigger, tmp("fan"))
+    require(fan.deliveredLines == expectSessions,
+      s"sink accounting broken: delivered ${fan.deliveredLines} != published sessions $expectSessions")
+
+    // timed leg B: watermarked windowed aggregate on RocksDB
+    val stTopics = Seq("stb-s0", "stb-s1", "stb-s2")
+    publishCorpus(base, stTopics, n)
+    System.gc()
+    val st = runStatefulLeg(spark, stTopics, n, perTrigger, tmp("state"))
+
+    val calibPost = Bench.calibrate(spark)
+    val calibRef = 0.046
+    // normalize by the BETTER bracket reading: a probe that degrades only
+    // at one end of the run would otherwise overstate hot-host throughput
+    val calibBest = math.min(if (calibPre > 0) calibPre else Double.MaxValue,
+      if (calibPost > 0) calibPost else Double.MaxValue)
+    val normMul = if (calibBest != Double.MaxValue) calibBest / calibRef else 1.0
+
+    val doc =
+      s"""{
+  "n_msgs": $n,
+  "sf": "${cfg.sfDir}",
+  "topology": {"topics": 3, "partitions_per_topic": 8, "cores": ${cfg.parallelism}},
+  "calib_pre_sec": ${num(calibPre, 4)},
+  "calib_post_sec": ${num(calibPost, 4)},
+  "calib_ref_sec": ${num(calibRef, 4)},
+  "fanout": ${legJson(fan)},
+  "fanout_steady_norm": ${num(fan.steadyRowsPerSec * normMul, 0)},
+  "stateful": ${legJson(st)},
+  "stateful_steady_norm": ${num(st.steadyRowsPerSec * normMul, 0)},
+  "reference_envelope": "parallelism 16, 5s EXACTLY_ONCE checkpoints, sink flush 1000 msgs/5s (BASELINE.md); reference publishes no throughput numbers",
+  "notes": "every micro-batch commits offsets (stricter than the 5s reference cadence); delivered==published-sessions asserted (exactly-once sink accounting)"
+}
+"""
+    val out = sys.env.getOrElse("GRAFT_STREAM_JSON", "bench_stream_r13.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc)
+    println(s"""{"metric":"stream_throughput","value":${num(fan.steadyRowsPerSec, 0)},"unit":"rows/sec","wall":${num(fan.rowsPerSec, 0)},"stateful":${num(st.steadyRowsPerSec, 0)},"n":$n,"calib_post":${num(calibPost, 4)}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.CodecQueries
+
+/** Smoke-pins for [[StreamThroughputBench]] at tiny N: the bench's wiring
+  * (publish → DSv2 fan-in → parse → fan-out/stateful legs → accounting)
+  * must hold before its numbers mean anything. The full-size run is
+  * `runMain graft.StreamThroughputBench` (artifact bench_stream_r13.json).
+  */
+class StreamBenchSpec extends SparkSpec {
+
+  private lazy val base: Array[String] =
+    CodecQueries.rawMessages(spark, sf()).select("value")
+      .limit(2000).collect().map(_.getString(0))
+
+  test("fanout leg: record-exact sink accounting across cycled corpus") {
+    val topics = Seq("stbspec-f0", "stbspec-f1", "stbspec-f2")
+    val n = 5000L // > base.length: exercises corpus cycling
+    val sessions = StreamThroughputBench.publishCorpus(base, topics, n)
+    assert(sessions > 0 && sessions < n, "corpus must mix session/non-session")
+    val ckpt = java.nio.file.Files.createTempDirectory("stbspec-f").toString
+    val r = StreamThroughputBench.runFanoutLeg(
+      spark, topics, n, perTrigger = 1700, ckpt = ckpt)
+    assert(r.deliveredLines == sessions,
+      s"sunk ${r.deliveredLines} != published sessions $sessions")
+    assert(r.batches >= 3, s"perTrigger=1700 over $n msgs should yield >=3 batches, got ${r.batches}")
+    assert(r.posts > 0 && r.wallSec > 0 && r.rowsPerSec > 0)
+    topics.foreach(graft.sources.MsgBroker.remove)
+  }
+
+  test("stateful leg: windowed delay aggregate consumes the full corpus") {
+    val topics = Seq("stbspec-s0", "stbspec-s1", "stbspec-s2")
+    val n = 4000L
+    StreamThroughputBench.publishCorpus(base, topics, n)
+    val ckpt = java.nio.file.Files.createTempDirectory("stbspec-s").toString
+    val r = StreamThroughputBench.runStatefulLeg(
+      spark, topics, n, perTrigger = 2000, ckpt = ckpt)
+    // update-mode emits at least one changed-window row once per batch
+    // that carried session data
+    assert(r.deliveredLines > 0, "no window rows emitted")
+    assert(r.batches >= 2 && r.engineRowsPerSec > 0)
+    topics.foreach(graft.sources.MsgBroker.remove)
+  }
+}
