@@ -28,6 +28,17 @@ class StreamBenchSpec extends SparkSpec {
     topics.foreach(graft.sources.MsgBroker.remove)
   }
 
+  test("latency leg: paced publisher round-trips the wire format, no loss") {
+    val topics = Seq("stbspec-l0", "stbspec-l1", "stbspec-l2")
+    val ckpt = java.nio.file.Files.createTempDirectory("stbspec-l").toString
+    val r = StreamThroughputBench.runLatencyLeg(
+      spark, topics, ratePerSec = 2000, durationSec = 3, ckpt = ckpt)
+    assert(r.msgs == 6000, s"metered ${r.msgs} != sent 6000")
+    assert(r.p50Ms > 0 && r.p50Ms <= r.p95Ms && r.p95Ms <= r.maxMs)
+    assert(r.meanMs > 0 && r.batches > 0)
+    topics.foreach(graft.sources.MsgBroker.remove)
+  }
+
   test("stateful leg: windowed delay aggregate consumes the full corpus") {
     val topics = Seq("stbspec-s0", "stbspec-s1", "stbspec-s2")
     val n = 4000L
