@@ -53,10 +53,10 @@ object Bench {
     * UTC/nanos/UI) plus the three host-quirk confs profiled in rounds
     * 10-12 (small page size, non-blocking ref cleaner, tmpfs scratch) —
     * one place to fix, three mains covered. */
-  def tunedSession(appName: String): SparkSession = {
-    val s = GraftConfig.load(Array.empty,
-        defaults = GraftConfig.Default.copy(parallelism = 32))
-      .sessionBuilder(appName)
+  /** Session builder with the single-JVM host-quirk tuning applied — the
+    * one place the trio lives; every bench main builds from here. */
+  def tunedBuilder(appName: String, cfg: GraftConfig): SparkSession.Builder =
+    cfg.sessionBuilder(appName)
       // local[32] single-JVM: default page size scales with heap and makes
       // every sort/agg task zero out ~64MB pages — GC storms (profiled)
       .config("spark.buffer.pageSize", "2m")
@@ -67,7 +67,10 @@ object Bench {
       // multi-second write-burst stalls
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
-      .getOrCreate()
+
+  def tunedSession(appName: String): SparkSession = {
+    val s = tunedBuilder(appName, GraftConfig.load(Array.empty,
+      defaults = GraftConfig.Default.copy(parallelism = 32))).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

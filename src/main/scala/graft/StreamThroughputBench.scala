@@ -1,6 +1,5 @@
 package graft
 
-import java.util.Locale
 import java.util.concurrent.atomic.LongAdder
 import graft.operators.CodecQueries
 import graft.sources.{MessageSource, MsgBroker}
@@ -75,6 +74,13 @@ object StreamThroughputBench {
     def rowsPerSec: Double = if (wallSec > 0) msgs / wallSec else 0.0
   }
 
+  /** The pipeline's routing predicate, producer-side: the same test
+    * `MsgCodec.guard` + `isSession(parseModule(...))` applies row-side, so
+    * the exactly-once accounting can never diverge from routing. */
+  def isSessionMsg(m: String): Boolean =
+    m.length > graft.operators.MsgCodec.HeaderLen &&
+      m.substring(0, graft.operators.MsgCodec.FieldLen).trim == "session"
+
   /** Publish `n` messages round-robin across fresh brokers for `topics`
     * (3-topic fan-in, 8 partitions each — the deployed topology at the
     * bench's core count). Returns the published session-message count (the
@@ -86,7 +92,32 @@ object StreamThroughputBench {
     var i = 0L
     while (i < n) {
       val m = base(((i % base.length)).toInt)
-      if (m.startsWith("session")) sessions += 1
+      if (isSessionMsg(m)) sessions += 1
+      brokers((i % brokers.length).toInt).publish(m)
+      i += 1
+    }
+    sessions
+  }
+
+  /** Publish `n` messages with MONOTONE synthetic event time (`stepMs`
+    * apart), module/tail taken from the corpus, send_ts re-stamped. The
+    * stateful leg needs this: cycling the raw corpus pins event time to
+    * its fixed range, so from the second cycle on every row falls below
+    * the 1-minute watermark and the leg would price late-row DROPPING,
+    * not state maintenance. Monotone time means every row reaches the
+    * store and windows close (eviction exercised) as the watermark
+    * advances through the leg. */
+  def publishMonotone(base: Array[String], topics: Seq[String], n: Long,
+      startMs: Long, stepMs: Long = 10L): Long = {
+    val brokers = topics.map(t => MsgBroker.create(t, numPartitions = 8))
+    val h = graft.operators.MsgCodec.HeaderLen
+    var sessions = 0L
+    var i = 0L
+    while (i < n) {
+      val src = base(((i % base.length)).toInt)
+      val m = wireMsg(src.substring(0, graft.operators.MsgCodec.FieldLen).trim,
+        startMs + i * stepMs, src.substring(h))
+      if (isSessionMsg(m)) sessions += 1
       brokers((i % brokers.length).toInt).publish(m)
       i += 1
     }
@@ -146,25 +177,26 @@ object StreamThroughputBench {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
     graft.streaming.StatefulOps.useRocksDbStateStore(spark)
-    val windowRows = new LongAdder
-    val src = MessageSource.brokerStream(spark, topics.mkString(","), Some(perTrigger))
-    val win = MetricSink.windowedAvg(
-      MsgPipeline.delayStream(MsgPipeline.parse(src), CodecQueries.NowMs))
-    val t0 = System.nanoTime()
-    val q = win.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (b: DataFrame, _: Long) => windowRows.add(b.count()); () }
-      .start()
-    q.processAllAvailable()
-    val wall = (System.nanoTime() - t0) / 1e9
-    val (batches, engineRate, steady, batchMs) = progressStats(q)
-    q.stop()
-    prevProvider match {
+    try {
+      val windowRows = new LongAdder
+      val src = MessageSource.brokerStream(spark, topics.mkString(","), Some(perTrigger))
+      val win = MetricSink.windowedAvg(
+        MsgPipeline.delayStream(MsgPipeline.parse(src), CodecQueries.NowMs))
+      val t0 = System.nanoTime()
+      val q = win.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => windowRows.add(b.count()); () }
+        .start()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (batches, engineRate, steady, batchMs) = progressStats(q)
+      q.stop()
+      LegResult(name, n, wall, batches, engineRate, steady, batchMs, windowRows.sum(), 0L)
+    } finally prevProvider match {
       case Some(p) => spark.conf.set(providerKey, p)
       case None => spark.conf.unset(providerKey)
     }
-    LegResult(name, n, wall, batches, engineRate, steady, batchMs, windowRows.sum(), 0L)
   }
 
   final case class LatencyResult(
@@ -230,8 +262,7 @@ object StreamThroughputBench {
       pct(0.5), pct(0.95), maxes.lastOption.getOrElse(0L))
   }
 
-  private def num(v: Double, dp: Int): String =
-    String.format(Locale.ROOT, s"%.${dp}f", Double.box(v))
+  private def num(v: Double, dp: Int): String = Bench.num(v, dp)
 
   private def legJson(r: LegResult): String =
     s"""{"msgs": ${r.msgs}, "wall_sec": ${num(r.wallSec, 3)}, """ +
@@ -242,17 +273,16 @@ object StreamThroughputBench {
       s""""delivered": ${r.deliveredLines}, "posts": ${r.posts}}"""
 
   def main(args: Array[String]): Unit = {
-    val cfg = GraftConfig.load(args, defaults = GraftConfig.Default.copy(
-      parallelism = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt))
+    // SPARK_GRAFT_CPUS already layers in via GraftConfig.load (env beats
+    // defaults); the tuned trio (pageSize/cleaner/tmpfs) comes from the one
+    // shared place, Bench.tunedBuilder
+    val cfg = GraftConfig.load(args,
+      defaults = GraftConfig.Default.copy(parallelism = 32))
     val n = sys.env.getOrElse("GRAFT_STREAM_MSGS", "2000000").toLong
-    val spark = cfg.sessionBuilder("graft-stream-bench")
-      // same single-JVM tuning as graft.Bench (profiled there): small
-      // buffer pages (64 MB default pages GC-storm 32 task threads),
-      // non-blocking ref cleanup, shuffle scratch on tmpfs
-      .config("spark.buffer.pageSize", "2m")
-      .config("spark.cleaner.referenceTracking.blocking", "false")
-      .config("spark.local.dir",
-        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-graft"))
+    val spark = Bench.tunedBuilder("graft-stream-bench", cfg)
+      // default progress retention is 100; a small GRAFT_STREAM_TRIGGER
+      // yields hundreds of batches and silent stat truncation without this
+      .config("spark.sql.streaming.numRecentProgressUpdates", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // the fixed-width parse path touches collation-aware string ops; pay
@@ -301,13 +331,19 @@ object StreamThroughputBench {
       sorted.last <= 2.5 * math.max(1L, sorted(sorted.size / 2))
     }
     def bestOf[T](name: String)(run: Int => T)(score: T => Double, clean: T => Boolean): T = {
+      // selection is MAX SCORE across attempts: a stall window can only
+      // deflate a per-batch-median rate (or inflate a latency p95), never
+      // the reverse, so the best score is always the honest reading. The
+      // clean flag only gates early-stopping — note a uniformly degraded
+      // window has a tight spread too ("clean" but slow), so a clean
+      // attempt that scores WORSE than a dirty one must not be adopted.
       var best: Option[T] = None
       var a = 0
       while (a < Attempts && !best.exists(clean)) {
         System.gc() // drop publish garbage before the clock starts
         val r = run(a)
         if (!best.exists(b => score(b) >= score(r))) best = Some(r)
-        if (a > 0 || !clean(r))
+        if (a > 0 || !best.exists(clean))
           println(s"[stb] $name attempt ${a + 1}: score=${num(score(r), 0)} clean=${clean(r)}")
         a += 1
       }
@@ -330,11 +366,15 @@ object StreamThroughputBench {
       r
     }(_.steadyRowsPerSec, r => cleanBatches(r.batchMs))
 
-    // timed leg B: watermarked windowed aggregate on RocksDB
+    // timed leg B: watermarked windowed aggregate on RocksDB, fed MONOTONE
+    // event time (publishMonotone) so every row reaches the state store —
+    // a cycled corpus would watermark-drop cycles 2..k before the aggregate
     val st = bestOf("stateful") { a =>
       val topics = Seq(s"stb-s$a-0", s"stb-s$a-1", s"stb-s$a-2")
-      publishCorpus(base, topics, n)
+      val sessions = publishMonotone(base, topics, n, CodecQueries.NowMs)
       val r = runStatefulLeg(spark, topics, n, perTrigger, tmp("state"))
+      require(r.deliveredLines >= sessions / 1000,
+        s"stateful leg emitted ${r.deliveredLines} window rows for $sessions session msgs — watermark-dropping?")
       topics.foreach(MsgBroker.remove)
       r
     }(_.steadyRowsPerSec, r => cleanBatches(r.batchMs))

@@ -39,16 +39,19 @@ class StreamBenchSpec extends SparkSpec {
     topics.foreach(graft.sources.MsgBroker.remove)
   }
 
-  test("stateful leg: windowed delay aggregate consumes the full corpus") {
+  test("stateful leg: monotone event time reaches the store, windows close") {
     val topics = Seq("stbspec-s0", "stbspec-s1", "stbspec-s2")
     val n = 4000L
-    StreamThroughputBench.publishCorpus(base, topics, n)
+    val sessions = StreamThroughputBench.publishMonotone(
+      base, topics, n, startMs = graft.operators.CodecQueries.NowMs)
+    assert(sessions > 0 && sessions < n)
     val ckpt = java.nio.file.Files.createTempDirectory("stbspec-s").toString
     val r = StreamThroughputBench.runStatefulLeg(
       spark, topics, n, perTrigger = 2000, ckpt = ckpt)
-    // update-mode emits at least one changed-window row once per batch
-    // that carried session data
-    assert(r.deliveredLines > 0, "no window rows emitted")
+    // 10 ms steps over 4000 msgs = 40 s of event time = >=4 distinct 10 s
+    // windows; update mode must emit each at least once — a cycled-corpus
+    // watermark bug would emit windows for only the first batch's range
+    assert(r.deliveredLines >= 4, s"only ${r.deliveredLines} window rows")
     assert(r.batches >= 2 && r.engineRowsPerSec > 0)
     topics.foreach(graft.sources.MsgBroker.remove)
   }
