@@ -48,13 +48,11 @@ object Bench {
   def num(d: Double, places: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
 
-  /** The tuned local[N] session shared by the bench and the decade
-    * scale-up mains: the GraftConfig layered builder (master/partitions/
-    * UTC/nanos/UI) plus the three host-quirk confs profiled in rounds
-    * 10-12 (small page size, non-blocking ref cleaner, tmpfs scratch) —
-    * one place to fix, three mains covered. */
-  /** Session builder with the single-JVM host-quirk tuning applied — the
-    * one place the trio lives; every bench main builds from here. */
+  /** Session builder with the single-JVM host-quirk tuning applied: the
+    * GraftConfig layered builder (master/partitions/UTC/nanos/UI) plus the
+    * three confs profiled in rounds 10-12 (small page size, non-blocking
+    * ref cleaner, tmpfs scratch) — one place to fix, every bench main
+    * builds from here. */
   def tunedBuilder(appName: String, cfg: GraftConfig): SparkSession.Builder =
     cfg.sessionBuilder(appName)
       // local[32] single-JVM: default page size scales with heap and makes

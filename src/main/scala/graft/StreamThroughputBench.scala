@@ -308,14 +308,20 @@ object StreamThroughputBench {
     Bench.calibProbe(spark) // JIT-warm the probe before the first reading
     val calibPre = Bench.calibrate(spark)
 
-    // untimed warmup: JIT the parse expressions, sink path, DSv2 planning
+    // untimed warmup: JIT the parse expressions, sink path, DSv2 planning;
+    // topics removed after, like the timed legs — warmup corpora must not
+    // sit on the heap through the measured window
     val warmN = math.min(100000L, n)
-    publishCorpus(base, Seq("stb-w0", "stb-w1", "stb-w2"), warmN)
-    runFanoutLeg(spark, Seq("stb-w0", "stb-w1", "stb-w2"), warmN,
+    val warmT = Seq("stb-w0", "stb-w1", "stb-w2")
+    publishCorpus(base, warmT, warmN)
+    runFanoutLeg(spark, warmT, warmN,
       perTrigger = math.max(warmN / 4, 1), ckpt = tmp("warm"), name = "warmup")
-    publishCorpus(base, Seq("stb-x0", "stb-x1", "stb-x2"), warmN)
-    runStatefulLeg(spark, Seq("stb-x0", "stb-x1", "stb-x2"), warmN,
+    warmT.foreach(MsgBroker.remove)
+    val warmS = Seq("stb-x0", "stb-x1", "stb-x2")
+    publishCorpus(base, warmS, warmN)
+    runStatefulLeg(spark, warmS, warmN,
       perTrigger = math.max(warmN / 4, 1), ckpt = tmp("warmstate"), name = "warmup")
+    warmS.foreach(MsgBroker.remove)
 
     // Min-of-attempts per leg (the Bench methodology, PERF_NOTES round 5):
     // measured runs show the sandbox's ~minute-scale stall windows sweeping

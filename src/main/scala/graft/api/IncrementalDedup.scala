@@ -173,8 +173,28 @@ object IncrementalDedup {
     name
   }
 
+  /** Per-root writer/vacuum arbitration: [[ingest]] and [[compactIndex]]
+    * hold the READ side from segment claim through manifest commit;
+    * [[vacuum]] holds the WRITE side. Vacuum's not-in-live-list scan
+    * cannot distinguish a crash orphan from a segment an IN-FLIGHT writer
+    * has claimed but not yet committed — unserialized, it would delete
+    * data whose manifest commit lands moments later, leaving a live list
+    * pointing at a vanished directory. In-process only, matching the
+    * documented maintenance contract (cross-process, vacuum keeps the
+    * Delta-VACUUM single-maintainer role and a retention window). */
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private def lockFor(root: String) =
+    rootLocks.computeIfAbsent(
+      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString,
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+  private def withLock[T](l: java.util.concurrent.locks.Lock)(f: => T): T = {
+    l.lock(); try f finally l.unlock()
+  }
+
   def ingest(spark: SparkSession, root: String, incBands: DataFrame,
-      maxBucket: Int = 10000, distinctCensus: Boolean = false): DataFrame = {
+      maxBucket: Int = 10000, distinctCensus: Boolean = false): DataFrame =
+      withLock(lockFor(root).readLock()) {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     val cur0 = StateManifest.current(root)
     val prior = cur0.map(_.segments).getOrElse(legacySegments(root))
@@ -312,29 +332,29 @@ object IncrementalDedup {
     * a concurrent ingest advanced the manifest mid-compaction (the
     * optimistic commit aborts rather than dropping the fresh segment —
     * re-run on the new snapshot). */
-  def compactIndex(spark: SparkSession, root: String): Option[String] = {
+  def compactIndex(spark: SparkSession, root: String): Option[String] =
+      withLock(lockFor(root).readLock()) {
     val cur = StateManifest.current(root)
     val prior = cur.map(_.segments).getOrElse(legacySegments(root))
-    if (prior.size <= 1) return None
-    val segName = claimSeg(root)
-    prior.map(sg => spark.read.parquet(s"$root/$sg")).reduce(_.unionByName(_))
-      // drop exact row duplicates: a crash-window replay of a streaming
-      // ingest (StreamIncrDedup) can double-append a batch's fingerprints,
-      // which never changes a verdict but inflates the flood-guard's
-      // row-count census — compaction is where the true census is restored
-      .dropDuplicates("id", "band", "bv")
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$root/$segName")
-    // optimistic commit: if an ingest advanced the manifest while this
-    // compaction ran, committing the stale snapshot would DROP the fresh
-    // segment from the live list — abort instead (the claimed directory
-    // becomes a vacuumable orphan) and let the caller retry on the new
-    // snapshot. Maintenance must never lose an ingest the race.
-    StateManifest.commitIf(root, cur.map(_.version), Seq(segName),
-      cur.map(_.lastBatch).getOrElse(-1L),
-      cur.map(_.schemaFp).getOrElse("")) match {
-      case Some(_) => Some(segName)
-      case None => None
+    if (prior.size <= 1) None
+    else {
+      val segName = claimSeg(root)
+      prior.map(sg => spark.read.parquet(s"$root/$sg")).reduce(_.unionByName(_))
+        // drop exact row duplicates: a crash-window replay of a streaming
+        // ingest (StreamIncrDedup) can double-append a batch's fingerprints,
+        // which never changes a verdict but inflates the flood-guard's
+        // row-count census — compaction is where the true census is restored
+        .dropDuplicates("id", "band", "bv")
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$root/$segName")
+      // optimistic commit: if an ingest advanced the manifest while this
+      // compaction ran, committing the stale snapshot would DROP the fresh
+      // segment from the live list — abort instead (the claimed directory
+      // becomes a vacuumable orphan) and let the caller retry on the new
+      // snapshot. Maintenance must never lose an ingest the race.
+      StateManifest.commitIf(root, cur.map(_.version), Seq(segName),
+        cur.map(_.lastBatch).getOrElse(-1L),
+        cur.map(_.schemaFp).getOrElse("")).map(_ => segName)
     }
   }
 
@@ -347,7 +367,8 @@ object IncrementalDedup {
     * that reference a vacuumed segment are pruned too, so [[indexAt]]
     * answers None for them instead of failing at evaluation time.
     * Returns the deleted segment names. */
-  def vacuum(root: String): Seq[String] = {
+  def vacuum(root: String): Seq[String] =
+      withLock(lockFor(root).writeLock()) {
     val live = segments(root).toSet
     val dir = java.nio.file.Paths.get(root)
     val orphans = Option(dir.toFile.list()).getOrElse(Array.empty[String])

@@ -77,12 +77,19 @@ object StateManifest {
     val kv = text.linesIterator.map(_.trim).filter(_.nonEmpty)
       .map { l => val i = l.indexOf('='); (l.take(i), l.drop(i + 1)) }.toSeq
     for {
-      v <- kv.collectFirst { case ("version", x) => x.toLong }
+      // toLongOption, not toLong: an externally corrupted numeric field
+      // must read as ABSENT like any other torn file — a thrown
+      // NumberFormatException here would escape readParsed's IOException
+      // catch and permanently wedge every reader AND the reclaim path
+      // that exists to clean such files
+      v <- kv.collectFirst { case ("version", x) => x }.flatMap(_.toLongOption)
       _ <- kv.collectFirst { case ("eof", _) => () }
+      lb <- kv.collectFirst { case ("lastBatch", x) => x }
+        .map(_.toLongOption).getOrElse(Some(-1L)) // present-but-malformed ⇒ absent
     } yield Manifest(
       version = v,
       segments = kv.collect { case ("seg", s) => s },
-      lastBatch = kv.collectFirst { case ("lastBatch", x) => x.toLong }.getOrElse(-1L),
+      lastBatch = lb,
       schemaFp = kv.collectFirst { case ("schemaFp", x) => x }.getOrElse(""))
   }
 
@@ -221,14 +228,32 @@ object StateManifest {
     * complete file, so nothing this deletes can be (or become) a commit:
     * a name that exists blocks every `link(2)`, and only this reclaim
     * removes names (serialized per root — see [[reclaimLocks]]).
-    * Returns the reclaimed version numbers. */
+    * Returns the reclaimed version numbers.
+    *
+    * Cross-process serialization comes from an exclusive `flock` on
+    * `root/_RECLAIM.lock`: ingest retry loops call reclaim inline, and a
+    * duplicate scheduler legitimately runs two ingest JVMs — without the
+    * file lock, reclaimer A's stale delete could kill a COMPLETE commit
+    * that reclaimer B's delete + a writer's fresh link placed at the same
+    * version between A's check and A's delete. The JVM-level monitor
+    * still wraps the flock (one acquisition per JVM — overlapping
+    * FileLock requests from one JVM throw rather than block). */
   def reclaimOrphans(root: String): Seq[Long] = {
     val key = java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
     reclaimLocks.computeIfAbsent(key, _ => new Object).synchronized {
-      val cur = current(root).map(_.version).getOrElse(-1L)
-      val orphans = versions(root).filter(v => v > cur && at(root, v).isEmpty)
-      orphans.foreach(v => java.nio.file.Files.deleteIfExists(hist(root, v)))
-      orphans
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(root).resolve("_RECLAIM.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock() // exclusive, blocks other processes' reclaims
+        try {
+          val cur = current(root).map(_.version).getOrElse(-1L)
+          val orphans = versions(root).filter(v => v > cur && at(root, v).isEmpty)
+          orphans.foreach(v => java.nio.file.Files.deleteIfExists(hist(root, v)))
+          orphans
+        } finally fl.release()
+      } finally ch.close()
     }
   }
 }

@@ -118,9 +118,10 @@ object IncrementalAgg {
     graft.api.StateManifest.commit(root, Seq(version), batchId, fp)
     // GC: keep the CURRENT and PREVIOUS data versions (one commit of
     // time travel for replay tests), delete older ones, and prune the
-    // manifest history to the same window — state stays O(1) in BOTH
-    // data directories and manifest files across an unbounded stream
-    graft.api.StateManifest.pruneHistory(root, keep = 8)
+    // manifest history to the SAME two-version window — a wider manifest
+    // window would retain history files whose data dirs are already gone
+    // (stateAt answers None for them anyway, misleading versions() readers)
+    graft.api.StateManifest.pruneHistory(root, keep = 2)
     val retain = Set(version) ++ prevVersion
     Option(stateDir(root).toFile.list()).getOrElse(Array.empty[String])
       .filter(n => n.startsWith("v") && !retain.contains(n))

@@ -375,7 +375,7 @@ class MaintenanceSpec extends SparkSpec {
       "vacuum must reclaim the dead claim")
   }
 
-  test("incr_dedup: ingests racing a churning compactor never lose fingerprints") {
+  test("incr_dedup: ingests racing a churning compactor AND vacuumer never lose fingerprints") {
     import graft.api.{IncrementalDedup, TextDedup}
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("incr-dedup-race").toString
@@ -406,6 +406,20 @@ class MaintenanceSpec extends SparkSpec {
     })
     compactor.setDaemon(true)
     compactor.start()
+    // vacuum churns too: it takes the per-root WRITE lock, so it can never
+    // observe (and delete) a segment an in-flight ingest/compact has
+    // claimed but not yet committed — without that lock this loop
+    // vaporizes data whose manifest commit lands moments later
+    val vacuumErrors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val vacuumer = new Thread(() => {
+      while (!stop.get()) {
+        try IncrementalDedup.vacuum(root)
+        catch { case scala.util.control.NonFatal(_) => vacuumErrors.incrementAndGet() }
+        Thread.sleep(7)
+      }
+    })
+    vacuumer.setDaemon(true)
+    vacuumer.start()
     try {
       waves.foreach { w =>
         // the ingest side of the same claim collision is also retryable
@@ -420,7 +434,10 @@ class MaintenanceSpec extends SparkSpec {
           }
         }
       }
-    } finally { stop.set(true); compactor.join(10000) }
+    } finally {
+      stop.set(true); compactor.join(10000); vacuumer.join(10000)
+      assert(vacuumErrors.get() == 0, s"vacuum threw ${vacuumErrors.get()} times")
+    }
 
     // invariant: whatever interleaving happened, the live index holds
     // EXACTLY the union of every ingested wave's band rows — compaction

@@ -33,6 +33,27 @@ class StateManifestSpec extends AnyFunSuite {
     assert(m.segments.isEmpty)
   }
 
+  test("externally corrupted numeric fields read as ABSENT, never a reader crash") {
+    val root = tmp()
+    StateManifest.commit(root, Seq("a"), 1L, "fp")
+    // corruption shapes a torn external write can leave: truncated-digit
+    // version, non-numeric version, malformed lastBatch — each must parse
+    // as "no manifest here" so current()/at()/reclaimOrphans keep working
+    // (a thrown NumberFormatException would wedge the root permanently)
+    for (bad <- Seq("version=\nseg=x\neof=1\n", "version=1x\nseg=x\neof=1\n",
+        "version=2\nlastBatch=oops\nseg=x\neof=1\n")) {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(root, "_MANIFEST.v2"), bad)
+      assert(StateManifest.at(root, 2L).isEmpty, s"parsed corrupt file: $bad")
+      assert(StateManifest.current(root).map(_.version).contains(0L))
+      assert(StateManifest.reclaimOrphans(root) == Seq(2L),
+        "reclaim must clean the corrupt file, not crash on it")
+    }
+    // progress resumes: the slot is free again for a real commit
+    assert(StateManifest.commitIf(root, Some(0L), Seq("a", "b"), 2L, "fp")
+      .map(_.version).contains(1L))
+  }
+
   test("a crashed commit (history file, no pointer) is invisible and reclaimed") {
     val root = tmp()
     StateManifest.commit(root, Seq("a"), 1L, "fp")
