@@ -106,10 +106,14 @@ object StateManifest {
     * The COMMIT POINT is the atomic appearance of a complete history file
     * ([[commitIf]] publishes one via hard link); the `_MANIFEST` pointer
     * is a read cache that trails it. So current = the highest COMPLETE
-    * history version, found by scanning the (pruned, so O(retained))
-    * version list above the cached pointer — a committer that crashed
-    * between the history link and the pointer refresh is still committed,
-    * and a stale pointer write can never regress a newer commit. */
+    * history version, found by scanning the version list above the cached
+    * pointer — a committer that crashed between the history link and the
+    * pointer refresh is still committed, and a stale pointer write can
+    * never regress a newer commit. The scan lists the root directory, so
+    * a read costs O(retained history): O(1) for pruning callers
+    * (IncrementalAgg prunes every commit); for append-only roots it grows
+    * one file per ingest until vacuum/pruneHistory — the vacuum cadence
+    * the class doc prescribes is also what bounds read cost. */
   def current(root: String): Option[Manifest] = {
     val cached = readParsed(ptr(root))
     val cachedV = cached.map(_.version).getOrElse(-1L)
