@@ -340,17 +340,28 @@ object StreamThroughputBench {
       // selection is MAX SCORE across attempts: a stall window can only
       // deflate a per-batch-median rate (or inflate a latency p95), never
       // the reverse, so the best score is always the honest reading. The
-      // clean flag only gates early-stopping — note a uniformly degraded
-      // window has a tight spread too ("clean" but slow), so a clean
-      // attempt that scores WORSE than a dirty one must not be adopted.
+      // clean flag only gates early-stopping, and a UNIFORMLY degraded
+      // window has a tight per-batch spread too ("clean" but slow — one
+      // whole run early-stopped at 131k where hot windows read 282k), so
+      // early-stop additionally requires the calibration probe to read
+      // near-hot right before the accepted attempt.
       var best: Option[T] = None
+      var bestTrusted = false
       var a = 0
-      while (a < Attempts && !best.exists(clean)) {
+      while (a < Attempts && !bestTrusted) {
         System.gc() // drop publish garbage before the clock starts
+        // BRACKET the attempt with probes: a single pre-probe certifies
+        // ~50 ms, not a 30 s leg (measured: a stall starting right after
+        // a hot pre-probe produced a "trusted" 3x-degraded stateful leg)
+        val calibA = Bench.calibrate(spark)
         val r = run(a)
-        if (!best.exists(b => score(b) >= score(r))) best = Some(r)
-        if (a > 0 || !best.exists(clean))
-          println(s"[stb] $name attempt ${a + 1}: score=${num(score(r), 0)} clean=${clean(r)}")
+        val calibB = Bench.calibrate(spark)
+        val hot = math.max(calibA, calibB) <= 2 * 0.046
+        val better = !best.exists(b => score(b) >= score(r))
+        if (better) { best = Some(r); bestTrusted = clean(r) && hot }
+        if (a > 0 || !bestTrusted)
+          println(s"[stb] $name attempt ${a + 1}: score=${num(score(r), 0)} " +
+            s"clean=${clean(r)} calib=${num(calibA, 4)}/${num(calibB, 4)}")
         a += 1
       }
       best.get
