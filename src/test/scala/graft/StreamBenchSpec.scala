@@ -28,6 +28,22 @@ class StreamBenchSpec extends SparkSpec {
     topics.foreach(graft.sources.MsgBroker.remove)
   }
 
+  test("wireMsg (producer-side) builds byte-identical messages to MsgCodec.mkMsg") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cases = Seq(
+      ("session", 1735689600123L, "{\"k\":1}"),
+      ("heartbeat", 0L, ""),
+      ("a-very-long-module-name-over-16", -42L, "tail with spaces é"))
+    val viaSql = cases.toDF("m", "ts", "t")
+      .select(graft.operators.MsgCodec.mkMsg(col("m"), col("ts"), col("t")))
+      .as[String].collect()
+    val viaDriver = cases.map { case (m, ts, t) =>
+      StreamThroughputBench.wireMsg(m, ts, t) }
+    assert(viaDriver == viaSql.toSeq,
+      "producer-side formatting drifted from the Column-side wire builder")
+  }
+
   test("latency leg: paced publisher round-trips the wire format, no loss") {
     val topics = Seq("stbspec-l0", "stbspec-l1", "stbspec-l2")
     val ckpt = java.nio.file.Files.createTempDirectory("stbspec-l").toString
