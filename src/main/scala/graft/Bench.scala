@@ -19,17 +19,27 @@ object Bench {
 
   /** One timed inventory row. `error` is the first failure message if any
     * attempt threw — the timing then prices the failed attempt(s), and the
-    * row still appears in every output map. */
+    * row still appears in every output map. `retryCalib` is the calibration
+    * probe reading that CANCELLED further retries (degraded host window);
+    * None when retries were never gated. */
   final case class QueryTiming(name: String, sec: Double, shuffleMb: Double,
-      attempts: Int, median: Double, error: Option[String])
+      attempts: Int, median: Double, error: Option[String],
+      retryCalib: Option[Double] = None)
 
   /** watchdog hooks: the currently-running query and its start nanos */
   @volatile private var current = ""
   @volatile private var started = 0L
 
+  /** Hot-host reference reading of [[calibProbe]] (BASELINE.md
+    * "Calibration normalization") — the ONE copy every normalization and
+    * degraded-window gate divides by (bench totals, the stream bench's
+    * early-stop hot gate, the retry budget below). Re-measure here if the
+    * reference host changes. */
+  val CalibRef = 0.046
+
   /** Fixed CPU-bound host-speed probe (no IO, no real shuffle): totals
     * divided by its reading are comparable across host windows. Hot-host
-    * reference: 0.046 s (BASELINE.md "Calibration normalization"). */
+    * reference: [[CalibRef]]. */
   def calibProbe(spark: SparkSession): Unit =
     spark.range(0L, 40000000L, 1L, 32)
       .selectExpr("max(xxhash64(id))").head() // max: ANSI-overflow-free
@@ -159,19 +169,32 @@ object Bench {
       if (retrySlow && error.isEmpty && sec > 1.0) readings += once()
       // readings far above the steady ceiling (~3s) get extra attempts: a
       // 6-9s reading is still overwhelmingly a steal window (q_corr_stats
-      // measured 8.6s on three consecutive attempts, then 1.9s steady)
-      while (retrySlow && error.isEmpty && sec > 3.0 &&
+      // measured 8.6s on three consecutive attempts, then 1.9s steady) —
+      // but ONLY while the host window itself reads hot. When the
+      // bracketing calibration probe is degraded, the stall the retries
+      // would wait out IS the window (r13: one query burned 5 x 40s
+      // attempts chasing a host stall — pure raw-wall inflation); stop
+      // retrying and let the calibration-normalized total carry the gate.
+      var retryCalib: Option[Double] = None
+      while (retrySlow && error.isEmpty && sec > 3.0 && retryCalib.isEmpty &&
           readings.size < (if (sec > 6.0) 5 else 3)) {
-        Thread.sleep(1500)
-        val s = once()
-        if (s < sec) System.err.println(
-          f"[bench-retry] ${q.name} attempt ${readings.size} ${sec}%.1fs, steady ${s}%.1fs")
-        readings += s
+        val probe = calibrate(spark)
+        if (probe > 1.5 * CalibRef) {
+          retryCalib = Some(probe)
+          System.err.println(f"[bench-degraded] ${q.name} ${sec}%.1fs: calib " +
+            f"$probe%.3fs > 1.5x$CalibRef%.3fs — retries skipped, normalized total carries it")
+        } else {
+          Thread.sleep(1500)
+          val s = once()
+          if (s < sec) System.err.println(
+            f"[bench-retry] ${q.name} attempt ${readings.size} ${sec}%.1fs, steady ${s}%.1fs")
+          readings += s
+        }
       }
       if (sec > 3) System.err.println(f"[bench-slow] ${q.name} ${sec}%.1fs")
       val sorted = readings.sorted
       val median = sorted((sorted.size - 1) / 2)
-      QueryTiming(q.name, sec, qShuffleMb, readings.size, median, error)
+      QueryTiming(q.name, sec, qShuffleMb, readings.size, median, error, retryCalib)
     }
 
   def main(args: Array[String]): Unit = {
@@ -336,7 +359,6 @@ object Bench {
     // without re-deriving the correction from PERF_NOTES. calib_post (not
     // pre) prices the window the inventory actually ran in; a degenerate
     // probe reading (≤0) falls back to the raw total.
-    val CalibRef = 0.046
     val totalNorm = if (calibPost > 0) total / (calibPost / CalibRef) else total
     // The driver tail-captures stdout and truncates long runs (round 11 lost
     // 52 of 140 per-query timings that way), so ALSO persist the full
@@ -350,7 +372,8 @@ object Bench {
         val err = r.error.map(e =>
           s""", "error": "${e.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)}"""")
           .getOrElse("")
-        s"""  "${r.name}": {"sec": ${num(r.sec, 4)}, "median": ${num(r.median, 4)}, "shuffle_mb": ${num(r.shuffleMb, 2)}, "attempts": ${r.attempts}$err}"""
+        val rc = r.retryCalib.map(c => s""", "retry_calib": ${num(c, 4)}""").getOrElse("")
+        s"""  "${r.name}": {"sec": ${num(r.sec, 4)}, "median": ${num(r.median, 4)}, "shuffle_mb": ${num(r.shuffleMb, 2)}, "attempts": ${r.attempts}$rc$err}"""
       }.mkString(",\n")
       val doc = s"""{
   "sf": "$sfDir",

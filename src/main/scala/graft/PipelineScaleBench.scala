@@ -178,13 +178,14 @@ object PipelineScaleBench {
       val q10 = n.where(col("id") < 10)
       val q5 = n.where(col("id") < 5)
       val cents = Similarity.ivfCents(spark, dir)
+      val nprobe = Similarity.ivfNprobe(spark, dir)
       val assigned = VS.ivfAssign(n, cents)
-      val ivf = VS.ivfTopK(assigned, cents, q10, k = 10, nprobe = 2)
+      val ivf = VS.ivfTopK(assigned, cents, q10, k = 10, nprobe = nprobe)
       val sigged = VS.signLsh(n)
       val lsh = VS.annTopK(sigged, sigged.where(col("id") < 10), k = 5)
       val books = Similarity.pqBooks(spark, dir)
       val codes = PQ.encode(n, books, Similarity.PqSub)
-      val probes = VS.ivfProbes(q5, cents, nprobe = 2)
+      val probes = VS.ivfProbes(q5, cents, nprobe = nprobe)
         .select(col("id").as("qid"), col("pcell"))
       val cand = assigned
         .join(broadcast(probes), col("cell") === col("pcell") && col("id") =!= col("qid"))

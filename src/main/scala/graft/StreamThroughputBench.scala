@@ -70,8 +70,37 @@ object StreamThroughputBench {
       steadyRowsPerSec: Double,
       batchMs: Seq[Long],
       deliveredLines: Long,
-      posts: Long) {
+      posts: Long,
+      stateProfile: String = "") {
     def rowsPerSec: Double = if (wallSec > 0) msgs / wallSec else 0.0
+  }
+
+  /** Where a stateful leg's time actually goes: per-run sums of the
+    * trigger-phase durations and the state-store operator metrics over the
+    * non-empty batches — the attribution that separates store I/O
+    * (state_commit_ms), per-key update work (state_update_ms / rows),
+    * watermark eviction (state_removal_ms), and micro-batch overhead
+    * (wal_commit + commit_offsets + planning) from the data-plane cost
+    * (add_batch minus the store times). Emitted into the leg JSON so the
+    * floor is measured, not guessed. */
+  private def statefulProfile(q: org.apache.spark.sql.streaming.StreamingQuery): String = {
+    val ps = q.recentProgress.filter(_.numInputRows > 0)
+    def phase(k: String): Long =
+      ps.flatMap(p => Option(p.durationMs.get(k)).map(_.toLong)).sum
+    val ops = ps.flatMap(_.stateOperators)
+    s"""{"trigger_ms": ${phase("triggerExecution")}, """ +
+      s""""add_batch_ms": ${phase("addBatch")}, """ +
+      s""""wal_commit_ms": ${phase("walCommit")}, """ +
+      s""""commit_offsets_ms": ${phase("commitOffsets")}, """ +
+      s""""planning_ms": ${phase("queryPlanning")}, """ +
+      s""""state_commit_ms": ${ops.map(_.commitTimeMs).sum}, """ +
+      s""""state_update_ms": ${ops.map(_.allUpdatesTimeMs).sum}, """ +
+      s""""state_removal_ms": ${ops.map(_.allRemovalsTimeMs).sum}, """ +
+      s""""state_rows_updated": ${ops.map(_.numRowsUpdated).sum}, """ +
+      s""""state_rows_last": ${ps.lastOption.flatMap(_.stateOperators.headOption)
+        .map(_.numRowsTotal).getOrElse(0L)}, """ +
+      s""""state_mem_last_bytes": ${ps.lastOption.flatMap(_.stateOperators.headOption)
+        .map(_.memoryUsedBytes).getOrElse(0L)}}"""
   }
 
   /** The pipeline's routing predicate, producer-side: the same test
@@ -157,7 +186,17 @@ object StreamThroughputBench {
     val q = MsgPipeline.runFanOut(
       src, ckpt, () => CodecQueries.NowMs,
       (ds, id) => { import ds.sparkSession.implicits._
-        sink.write(ds.map { s => sunk.add(1L); s + "\n" }, id) },
+        // count on the ACTION side (one add per partition inside the
+        // foreachPartition drain): result-stage accumulator updates apply
+        // once per partition across task retries/speculation, where a
+        // transformation-side `ds.map(add)` double-counts a retried task
+        // and fails the strict delivered==published require below (ADVICE
+        // r13). The count still meters records ENTERING the transport.
+        ds.map(_ + "\n").foreachPartition { (it: Iterator[String]) =>
+          var c = 0L
+          sink.writePartition(it.map { s => c += 1; s })
+          sunk.add(c)
+        } },
       // the ZhiYan-shape report: one 1-row aggregate per micro-batch
       (df, _) => { df.agg(count(lit(1)), avg("delay_ms")).collect(); () })
     q.processAllAvailable()
@@ -175,8 +214,16 @@ object StreamThroughputBench {
     // RocksDB for the timed query only (the scale-path store); restore the
     // caller's provider after — a shared test session must not inherit it
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevProvider = spark.conf.getOption(providerKey)
+    val prevChangelog = spark.conf.getOption(changelogKey)
     graft.streaming.StatefulOps.useRocksDbStateStore(spark)
+    // changelog checkpointing: per-batch durability = the delta file, not a
+    // full RocksDB snapshot upload (the r14 experiment knob; default ON —
+    // measured win, see PERF_NOTES; GRAFT_ROCKSDB_CHANGELOG=0 to compare)
+    spark.conf.set(changelogKey,
+      sys.env.getOrElse("GRAFT_ROCKSDB_CHANGELOG", "true"))
     try {
       val windowRows = new LongAdder
       val src = MessageSource.brokerStream(spark, topics.mkString(","), Some(perTrigger))
@@ -191,11 +238,19 @@ object StreamThroughputBench {
       q.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9
       val (batches, engineRate, steady, batchMs) = progressStats(q)
+      val profile = statefulProfile(q)
       q.stop()
-      LegResult(name, n, wall, batches, engineRate, steady, batchMs, windowRows.sum(), 0L)
-    } finally prevProvider match {
-      case Some(p) => spark.conf.set(providerKey, p)
-      case None => spark.conf.unset(providerKey)
+      LegResult(name, n, wall, batches, engineRate, steady, batchMs,
+        windowRows.sum(), 0L, profile)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+      prevChangelog match {
+        case Some(p) => spark.conf.set(changelogKey, p)
+        case None => spark.conf.unset(changelogKey)
+      }
     }
   }
 
@@ -270,6 +325,7 @@ object StreamThroughputBench {
       s""""engine_rows_per_sec": ${num(r.engineRowsPerSec, 0)}, """ +
       s""""steady_rows_per_sec": ${num(r.steadyRowsPerSec, 0)}, """ +
       s""""batches": ${r.batches}, "batch_ms": [${r.batchMs.mkString(", ")}], """ +
+      (if (r.stateProfile.nonEmpty) s""""state_profile": ${r.stateProfile}, """ else "") +
       s""""delivered": ${r.deliveredLines}, "posts": ${r.posts}}"""
 
   def main(args: Array[String]): Unit = {
@@ -356,7 +412,7 @@ object StreamThroughputBench {
         val calibA = Bench.calibrate(spark)
         val r = run(a)
         val calibB = Bench.calibrate(spark)
-        val hot = math.max(calibA, calibB) <= 2 * 0.046
+        val hot = math.max(calibA, calibB) <= 2 * Bench.CalibRef
         val better = !best.exists(b => score(b) >= score(r))
         if (better) { best = Some(r); bestTrusted = clean(r) && hot }
         if (a > 0 || !bestTrusted)
@@ -410,7 +466,7 @@ object StreamThroughputBench {
     }(r => -r.p95Ms.toDouble, r => r.maxMs <= 3 * math.max(1L, r.p50Ms))
 
     val calibPost = Bench.calibrate(spark)
-    val calibRef = 0.046
+    val calibRef = Bench.CalibRef
     // normalize by the BETTER bracket reading: a probe that degrades only
     // at one end of the run would otherwise overstate hot-host throughput
     val calibBest = math.min(if (calibPre > 0) calibPre else Double.MaxValue,
@@ -431,10 +487,11 @@ object StreamThroughputBench {
   "stateful_steady_norm": ${num(st.steadyRowsPerSec * normMul, 0)},
   "latency": {"rate_per_sec": ${lat.rate}, "duration_sec": ${lat.durationSec}, "msgs": ${lat.msgs}, "batches": ${lat.batches}, "mean_ms": ${num(lat.meanMs, 1)}, "p50_batchmax_ms": ${lat.p50Ms}, "p95_batchmax_ms": ${lat.p95Ms}, "max_ms": ${lat.maxMs}},
   "reference_envelope": "parallelism 16, 5s EXACTLY_ONCE checkpoints, sink flush 1000 msgs/5s (BASELINE.md); reference publishes no throughput numbers",
-  "notes": "every micro-batch commits offsets (stricter than the 5s reference cadence); delivered==published-sessions asserted (exactly-once sink accounting)"
+  "rocksdb_changelog_checkpointing": ${sys.env.getOrElse("GRAFT_ROCKSDB_CHANGELOG", "true")},
+  "notes": "every micro-batch commits offsets (stricter than the 5s reference cadence); delivered==published-sessions asserted (exactly-once sink accounting); stateful leg carries a state_profile phase attribution"
 }
 """
-    val out = sys.env.getOrElse("GRAFT_STREAM_JSON", "bench_stream_r13.json")
+    val out = sys.env.getOrElse("GRAFT_STREAM_JSON", "bench_stream_r14.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc)
     println(s"""{"metric":"stream_throughput","value":${num(fan.steadyRowsPerSec, 0)},"unit":"rows/sec","wall":${num(fan.rowsPerSec, 0)},"stateful":${num(st.steadyRowsPerSec, 0)},"lat_p95_ms":${lat.p95Ms},"n":$n,"calib_post":${num(calibPost, 4)}}""")
     spark.stop()

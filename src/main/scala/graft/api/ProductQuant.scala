@@ -34,6 +34,23 @@ object ProductQuant {
   /** Trained codebooks: cents(sub)(cell)(dim), each a 4 dp double. */
   type Codebooks = Array[Array[Array[Double]]]
 
+  /** [[codebookCellsFor]] clamps — also interpolated into the SQL
+    * oracles' sizing CTEs; keep the rule here the ONLY copy. */
+  val CodebookCellsMin = 8
+  val CodebookCellsMax = 256
+
+  /** Scale-adaptive codebook size: k ≈ √N cells per subspace, clamped to
+    * [[[CodebookCellsMin]], [[CodebookCellsMax]]]. Why adaptive: the r13
+    * measured decade showed FIXED 8-cell codebooks collapsing
+    * (cross-family recall 28% → 4% at 10× data) — quantization error per
+    * subspace grows with corpus spread unless the codebook grows with it.
+    * 256 is the classic one-byte-code ceiling (FAISS PQx8): past it each
+    * code no longer fits a byte and ADC LUTs stop being L1-resident, so
+    * production systems widen `m` instead. */
+  def codebookCellsFor(n: Long): Int =
+    math.max(CodebookCellsMin.toLong,
+      math.min(CodebookCellsMax.toLong, VectorSearch.isqrt(n))).toInt
+
   /** Exact-decimal squared L2 distance between v's subspace `sub` slice
     * and a centroid — [[graft.functions.PqDist2]] carries the centroid as
     * a reference array (NOT literals), so the generated class is shared

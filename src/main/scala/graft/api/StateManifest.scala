@@ -243,6 +243,10 @@ object StateManifest {
     * still wraps the flock (one acquisition per JVM — overlapping
     * FileLock requests from one JVM throw rather than block). */
   def reclaimOrphans(root: String): Seq[Long] = {
+    // a root with no directory yet has no orphans — match versions()'s
+    // tolerance instead of throwing NoSuchFileException from the lock open
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root)))
+      return Seq.empty
     val key = java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
     reclaimLocks.computeIfAbsent(key, _ => new Object).synchronized {
       val ch = java.nio.channels.FileChannel.open(
@@ -250,7 +254,15 @@ object StateManifest {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
-        val fl = ch.lock() // exclusive, blocks other processes' reclaims
+        // FileLock scope is per-JVM while the reclaimLocks monitor is
+        // per-classloader: a sibling classloader in this JVM (REPL reload,
+        // two Spark apps sharing a JVM) can already hold the lock, which
+        // surfaces as OverlappingFileLockException rather than blocking.
+        // Reclaim is best-effort maintenance — skip this pass and let the
+        // holder's reclaim (or the next call) pick the orphans up.
+        val fl = try ch.lock() // exclusive, blocks other processes' reclaims
+          catch { case _: java.nio.channels.OverlappingFileLockException =>
+            return Seq.empty }
         try {
           val cur = current(root).map(_.version).getOrElse(-1L)
           val orphans = versions(root).filter(v => v > cur && at(root, v).isEmpty)

@@ -17,6 +17,48 @@ import org.apache.spark.sql.functions._
   */
 object VectorSearch {
 
+  /** Exact integer √ (floor): `isqrt(n)² ≤ n < (isqrt(n)+1)²`. The ±1
+    * correction terms make the result independent of IEEE `sqrt` edge
+    * rounding, so a SQL engine replaying the same formula (floor(sqrt)
+    * + the two CASE corrections) derives the identical value. */
+  def isqrt(n: Long): Long = {
+    if (n <= 0) return 0
+    var r = math.floor(math.sqrt(n.toDouble)).toLong
+    if ((r + 1) * (r + 1) <= n) r += 1
+    else if (r * r > n) r -= 1
+    r
+  }
+
+  /** Smallest p with p² ≥ n (exact, the ceil companion of [[isqrt]]). */
+  def ceilSqrt(n: Long): Long = {
+    val r = isqrt(n)
+    if (r * r >= n) r else r + 1
+  }
+
+  /** [[ivfCellsFor]] clamps — also interpolated into the SQL oracles'
+    * sizing CTEs, so keep the rule here the ONLY copy. */
+  val IvfCellsMin = 8
+  val IvfCellsMax = 128
+  val NprobeMin = 2
+
+  /** Scale-adaptive IVF cell count: nCells ≈ √N (the standard IVF sizing
+    * rule), clamped to [[[IvfCellsMin]], [[IvfCellsMax]]]. Why adaptive:
+    * the measured decade (bench_pipeline_sf1.json, r13) showed FIXED
+    * 8-cell models holding recall only by accident of corpus size — cells
+    * must multiply as the corpus grows or each cell's member list (the
+    * per-probe scan) grows linearly and the quantizer under-fits the
+    * distribution. The upper clamp bounds the driver-side model
+    * (128 × dim doubles); past it, raise the clamp and move assignment to
+    * a broadcast-join against a centroid table. */
+  def ivfCellsFor(n: Long): Int =
+    math.max(IvfCellsMin.toLong, math.min(IvfCellsMax.toLong, isqrt(n))).toInt
+
+  /** Scale-adaptive probe count: nprobe ≈ √nCells (≥ [[NprobeMin]]), so
+    * the scanned fraction nprobe/nCells ≈ 1/√nCells SHRINKS as the corpus
+    * grows — the whole point of IVF at 100 TB. */
+  def nprobeFor(nCells: Int): Int =
+    math.max(NprobeMin.toLong, ceilSqrt(nCells.toLong)).toInt
+
   /** Normalize input: (id, v ARRAY<DOUBLE>, nrm, keep...). Pass-through
     * columns (labels, block keys) ride the same single scan — don't
     * re-join them on id afterwards, that re-reads the corpus. */
@@ -135,41 +177,33 @@ object VectorSearch {
     cents
   }
 
-  /** Cosine of `v` against centroid `i` — the centroid array and its norm
-    * are host-side literals (fold order matches [[VectorExprs.l2_norm]], so
-    * engines agree bitwise). */
-  private def centCos(cents: Array[Array[Double]], i: Int): Column = {
-    val c = cents(i)
-    val cn = math.sqrt(c.map(x => x * x).sum)
-    VectorExprs.dot_product(col("v"), array(c.toIndexedSeq.map(lit): _*)) / (col("nrm") * lit(cn))
-  }
-
   /** Assign each vector to its max-cosine cell (ties → lowest cell id).
-    * One narrow projection — nCells codegen'd dot products, no exchange.
-    * Degenerate models (a fit over <2 vectors — the empty-partition /
-    * first-ingest case) assign trivially: one centroid ⇒ everything in
-    * cell 0; no centroids ⇒ no assignable cells ⇒ empty result (same
-    * schema), never an analysis error. */
+    * One narrow projection — a single codegen'd [[graft.functions
+    * .IvfArgmax]] carrying the centroids by REFERENCE, so plan size and
+    * generated-class count are O(1) in nCells (the literal greatest-of-
+    * structs formulation recompiled a ~nCells×dim-literal class per Lloyd
+    * round once cells scale with √N). No exchange. Degenerate models (a
+    * fit over <2 vectors — the empty-partition / first-ingest case)
+    * assign trivially: one centroid ⇒ everything in cell 0; no centroids
+    * ⇒ no assignable cells ⇒ empty result (same schema), never an
+    * analysis error. */
   def ivfAssign(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame =
     cents.length match {
       case 0 => corpus.withColumn("cell", lit(0)).where(lit(false))
       case 1 => corpus.withColumn("cell", lit(0))
-      case _ =>
-        val scored = cents.indices.map(i =>
-          struct(centCos(cents, i).as("cos"), lit(-i).as("nc")))
-        corpus.withColumn("cell", (-greatest(scored: _*).getField("nc")).cast("int"))
+      case _ => corpus.withColumn("cell",
+        graft.functions.IvfExprs.ivf_argmax(col("v"), col("nrm"), cents))
     }
 
   /** Per-query top-`nprobe` cells by centroid cosine (ties → lowest cell):
-    * sort a literal-scored struct array, slice, explode — still no shuffle
-    * of the query side before the candidate join. */
+    * one reference-carrying [[graft.functions.IvfTopCells]] projection +
+    * explode — still no shuffle of the query side before the candidate
+    * join. */
   def ivfProbes(queries: DataFrame, cents: Array[Array[Double]], nprobe: Int): DataFrame = {
     if (cents.isEmpty) // no cells to probe (empty-corpus fit) — empty, same schema
       return queries.withColumn("pcell", lit(0)).where(lit(false))
-    val arr = array(cents.indices.map(i =>
-      struct((-centCos(cents, i)).as("negcos"), lit(i).as("cell"))): _*)
-    queries.withColumn("__p", explode(slice(sort_array(arr), 1, nprobe)))
-      .withColumn("pcell", col("__p.cell")).drop("__p")
+    queries.withColumn("pcell",
+      explode(graft.functions.IvfExprs.ivf_top_cells(col("v"), col("nrm"), cents, nprobe)))
   }
 
   /** IVF top-k: candidates come only from the query's `nprobe` probed

@@ -206,6 +206,81 @@ object Maintenance {
     q
   }
 
+  /** HAVING-over-state + re-aggregate-over-a-served-view — the two
+    * dashboard shapes above a maintained aggregate (the threshold queries
+    * the reference's monitored AVG metric stands for, ZhiYanSink.java:106):
+    * the INNER aggregate rolls up from the registered partials (same view
+    * as [[qMvRollup]]), the HAVING filter sits above it referencing its
+    * output (Filter(Aggregate) — already answered by the state, no base
+    * rescan), and an OUTER aggregate re-aggregates the served rows
+    * (nested roll-up: the outer node itself is correctly NOT rewritten —
+    * its base is the inner aggregate, not the corpus — while the rewrite
+    * still fires beneath it). The fn throws unless the plan reads state
+    * and never touches lineitem; DuckDB recomputes everything from base
+    * rows. Re-sums above the view go through DECIMAL so the 1-row output
+    * is independent of state-row vs source-row accumulation order.
+    *
+    * Scale rationale: a threshold dashboard over a 100 TB fact table is
+    * Filter ∘ Aggregate — if the rewrite only served bare aggregates, the
+    * HAVING form would silently fall back to a cluster-wide scan. */
+  val qMvHaving: QueryDef = QueryDef.sql(
+    "q_mv_having",
+    """SELECT count(*) AS n_groups,
+      |       round(CAST(sum(CAST(sum_qty AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_qty,
+      |       CAST(sum(cnt) AS BIGINT) AS total_cnt
+      |FROM (
+      |  SELECT l_returnflag,
+      |         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+      |         count(*) AS cnt
+      |  FROM lineitem
+      |  WHERE l_linestatus = 'F'
+      |  GROUP BY l_returnflag
+      |  HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) > 253970
+      |)""".stripMargin) { (s, d) =>
+    def partialsDef: DataFrame = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("p_sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("p_sum_rev"),
+        count(lit(1)).as("p_cnt"),
+        count(col("l_shipdate")).as("p_cnt_ship"))
+    val stateDir = s"${sys.props("java.io.tmpdir")}/graft-mv/" +
+      s"${java.lang.Integer.toHexString(d.hashCode)}/lineitem_partials"
+    val read = MaterializedView.refresh(s, partialsDef, stateDir)
+    MaterializedView.register(s, s"mv_lineitem_partials@$d", partialsDef, read)
+    val inner = Tables.lineitem(s, d)
+      .where(col("l_linestatus") === "F")
+      .groupBy("l_returnflag")
+      .agg(
+        round(dsum(col("l_quantity")).cast("double"), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .where(col("sum_qty") > 253970) // HAVING: filter over the agg output
+    val q = inner.agg(
+      count(lit(1)).as("n_groups"),
+      round(sum(col("sum_qty").cast("decimal(18,6)")).cast("double"), 2).as("total_qty"),
+      sum(col("cnt")).cast("long").as("total_cnt"))
+    val plan = q.queryExecution.optimizedPlan
+    val usesState = plan.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains("graft-mv"))
+        case _ => false
+      }
+      case _ => false
+    }
+    val scansBase = plan.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains("lineitem.parquet"))
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!usesState || scansBase) throw new IllegalStateException(
+      "q_mv_having: HAVING/nested shape not served from state — plan still scans lineitem")
+    q
+  }
+
   /** SCD type-2 build: per-customer order-status history as effective-dated
     * intervals. Change detection via `lag` (keep a row only when the status
     * differs from the previous one), interval close via `lead` over the
@@ -497,5 +572,5 @@ object Maintenance {
 
   val all: Seq[QueryDef] = Seq(
     qIncrAgg, qScd2, qMergeUpsert, qPitEnrich, qIncrJoin, qDqChecks,
-    qMvRewrite, qMvRollup)
+    qMvRewrite, qMvRollup, qMvHaving)
 }

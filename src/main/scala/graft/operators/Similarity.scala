@@ -76,27 +76,69 @@ object Similarity {
        |),
        |n AS (SELECT vec_id, label, v, ${normSql("v")} AS nrm FROM ec)""".stripMargin
 
-  /** Fingerprint-keyed fit cache ([[graft.api.ModelCache]]): the 8-cell
-    * coarse quantizer and the PQ codebooks are deterministic functions of
-    * the embeddings table but are consumed by six different queries — fit
-    * once per source-data fingerprint, reuse everywhere. Cached ≡ fresh is
-    * pinned by ModelCacheSpec; a regenerated dataset moves the fingerprint
-    * and re-fits. This is the production shape at 100 TB: train the
-    * quantizer once per corpus snapshot, amortize across every search. */
+  /** Fingerprint-keyed fit cache ([[graft.api.ModelCache]] in memory,
+    * [[graft.api.ModelStore]] on disk): the coarse quantizer and the PQ
+    * codebooks are deterministic functions of the embeddings table but are
+    * consumed by six different queries AND by every later process — fit
+    * once per source-data fingerprint, reuse everywhere, persist through
+    * the unified StateManifest so a NEW process loads instead of
+    * re-fitting (the production shape at 100 TB: train the quantizer once
+    * per corpus snapshot, ship the model). Cached ≡ fresh ≡ persisted is
+    * pinned by ModelCacheSpec; a regenerated dataset moves the
+    * fingerprint and re-fits under a new key.
+    *
+    * Model sizing is SCALE-ADAPTIVE (r13's one weak finding — fixed
+    * 8-cell models measured collapsing at 10× data): nCells ≈ √N
+    * ([[graft.api.VectorSearch.ivfCellsFor]]), PQ codebook cells ≈ √N
+    * ([[graft.api.ProductQuant.codebookCellsFor]]), nprobe ≈ √nCells —
+    * all exact-integer functions of the corpus row count, replayed by the
+    * oracles' `ksz` sizing CTEs so both engines derive identical models
+    * at every scale factor. The count itself is one job per fingerprint
+    * (cached alongside the models). */
   private def embFp(d: String): String =
     graft.api.ModelCache.fingerprint(d, "embeddings")
 
-  private[graft] def ivfCents(s: SparkSession, d: String): Array[Array[Double]] =
-    graft.api.ModelCache.cached(s"ivf:8:2:n:${embFp(d)}")(
-      graft.api.VectorSearch.ivfFitKMeans(normed(s, d), nCells = 8, iters = 2))
+  private def nCorpus(s: SparkSession, d: String): Long =
+    graft.api.ModelCache.cached(s"cnt:n:${embFp(d)}")(
+      java.lang.Long.valueOf(normed(s, d).count())).longValue
 
-  private def ivfCentsE(s: SparkSession, d: String): Array[Array[Double]] =
-    graft.api.ModelCache.cached(s"ivf:8:2:ec:${embFp(d)}")(
-      graft.api.VectorSearch.ivfFitKMeans(eCorpus(s, d), nCells = 8, iters = 2))
+  private def nCorpusE(s: SparkSession, d: String): Long =
+    graft.api.ModelCache.cached(s"cnt:ec:${embFp(d)}")(
+      java.lang.Long.valueOf(eCorpus(s, d).count())).longValue
 
-  private[graft] def pqBooks(s: SparkSession, d: String): graft.api.ProductQuant.Codebooks =
-    graft.api.ModelCache.cached(s"pq:$PqM:$PqSub:$PqK:$PqRounds:${embFp(d)}")(
-      graft.api.ProductQuant.fit(normed(s, d), PqM, PqSub, PqK, PqRounds))
+  private[graft] def ivfNCells(s: SparkSession, d: String): Int =
+    graft.api.VectorSearch.ivfCellsFor(nCorpus(s, d))
+
+  private[graft] def ivfNprobe(s: SparkSession, d: String): Int =
+    graft.api.VectorSearch.nprobeFor(ivfNCells(s, d))
+
+  private def pqKFor(s: SparkSession, d: String): Int =
+    graft.api.ProductQuant.codebookCellsFor(nCorpus(s, d))
+
+  /** Memory → disk → fit, all keyed by (params, source fingerprint). */
+  private def cachedMatrix(key: String)(fit: => Array[Array[Double]]): Array[Array[Double]] =
+    graft.api.ModelCache.cached(key)(
+      graft.api.ModelStore.matrix(graft.api.ModelStore.defaultRoot, key)(fit))
+
+  private[graft] def ivfCents(s: SparkSession, d: String): Array[Array[Double]] = {
+    val nc = ivfNCells(s, d)
+    cachedMatrix(s"ivf:$nc:2:n:${embFp(d)}")(
+      graft.api.VectorSearch.ivfFitKMeans(normed(s, d), nCells = nc, iters = 2))
+  }
+
+  private def ivfCentsE(s: SparkSession, d: String): Array[Array[Double]] = {
+    val nc = graft.api.VectorSearch.ivfCellsFor(nCorpusE(s, d))
+    cachedMatrix(s"ivf:$nc:2:ec:${embFp(d)}")(
+      graft.api.VectorSearch.ivfFitKMeans(eCorpus(s, d), nCells = nc, iters = 2))
+  }
+
+  private[graft] def pqBooks(s: SparkSession, d: String): graft.api.ProductQuant.Codebooks = {
+    val k = pqKFor(s, d)
+    val key = s"pq:$PqM:$PqSub:$k:$PqRounds:${embFp(d)}"
+    graft.api.ModelCache.cached(key)(
+      graft.api.ModelStore.cube(graft.api.ModelStore.defaultRoot, key)(
+        graft.api.ProductQuant.fit(normed(s, d), PqM, PqSub, k, PqRounds)))
+  }
 
   /** Embedding-cosine near-dup detection, blocked by label. The oracle
     * mirrors the Spark-side block cap (blocks > 10000 rows excluded), so
@@ -178,19 +220,46 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Scale-adaptive model sizing, replayed in SQL — the exact-integer
+    * derivation of [[graft.api.VectorSearch.ivfCellsFor]] /
+    * [[graft.api.VectorSearch.nprobeFor]] /
+    * [[graft.api.ProductQuant.codebookCellsFor]] from count(n): `isq` is
+    * the exact integer √ (floor(sqrt) with the two ±1 corrections, immune
+    * to IEEE edge rounding), clamps interpolated from the ONE Scala copy.
+    * Every fit CTE reads its size from `ksz`, so both engines derive
+    * identical models at every corpus size. */
+  private val sizingCtes: String = {
+    import graft.api.{ProductQuant => PQ, VectorSearch => VS}
+    s"""ksz0 AS (SELECT count(*) AS nn,
+       |                CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS r0 FROM n),
+       |ksz1 AS (SELECT nn, CASE WHEN (r0+1)*(r0+1) <= nn THEN r0+1
+       |                         WHEN r0*r0 > nn THEN r0-1 ELSE r0 END AS isq FROM ksz0),
+       |ksz2 AS (SELECT GREATEST(${VS.IvfCellsMin}, LEAST(${VS.IvfCellsMax}, isq)) AS ncells,
+       |                GREATEST(${PQ.CodebookCellsMin}, LEAST(${PQ.CodebookCellsMax}, isq)) AS pqk
+       |         FROM ksz1),
+       |ksz3 AS (SELECT ncells, pqk,
+       |                CAST(floor(sqrt(CAST(ncells AS DOUBLE))) AS BIGINT) AS c0 FROM ksz2),
+       |ksz AS (SELECT ncells, pqk,
+       |               GREATEST(${VS.NprobeMin},
+       |                        CASE WHEN c0*c0 >= ncells THEN c0 ELSE c0+1 END) AS np
+       |        FROM ksz3)""".stripMargin
+  }
+
   /** DuckDB CTE chain replaying the Lloyd fit ([[graft.api.VectorSearch
-    * .ivfFitKMeans]]): `cn0` = the nCells lowest-id seed vectors; each
+    * .ivfFitKMeans]]): `cn0` = the ksz.ncells lowest-id seed vectors; each
     * round t assigns every vector to its max-cosine cell (ties → lowest
-    * cell, matching Spark's `greatest(struct(cos, -i))`) and re-centroids
-    * with the DECIMAL(18,6)-exact per-dim mean rounded to 4 dp (`+ 0.0`
-    * canonicalizes −0.0) — the identical arithmetic the Spark fit runs, so
-    * both engines derive bit-identical trained centroids. Empty cells keep
-    * the previous centroid via the LEFT JOIN + COALESCE. */
-  private def kmeansCtes(nCells: Int, rounds: Int): String = {
+    * cell, matching the engine's argmax-by-Double.compare) and
+    * re-centroids with the DECIMAL(18,6)-exact per-dim mean rounded to
+    * 4 dp (`+ 0.0` canonicalizes −0.0) — the identical arithmetic the
+    * Spark fit runs, so both engines derive bit-identical trained
+    * centroids. Empty cells keep the previous centroid via the LEFT JOIN
+    * + COALESCE. Requires [[sizingCtes]] earlier in the WITH. */
+  private def kmeansCtes(rounds: Int): String = {
     val seed =
       s"""cent0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v
-         |  FROM (SELECT * FROM n ORDER BY vec_id LIMIT $nCells)
+         |  SELECT CAST(rn - 1 AS INTEGER) AS cell, v FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, v FROM n)
+         |  WHERE rn <= (SELECT ncells FROM ksz)
          |),
          |cn0 AS (SELECT cell, v, ${normSql("v")} AS nrm FROM cent0)""".stripMargin
     val iter = (1 to rounds).map { t =>
@@ -219,9 +288,9 @@ object Similarity {
     (seed +: iter).mkString(",\n")
   }
 
-  /** IVF-style ANN: an 8-cell coarse quantizer trained with two Lloyd
-    * rounds from the deterministic lowest-id seeds
-    * ([[graft.api.VectorSearch.ivfFitKMeans]]), nprobe=2 probing, exact
+  /** IVF-style ANN: a scale-adaptive (nCells ≈ √N) coarse quantizer
+    * trained with two Lloyd rounds from the deterministic lowest-id seeds
+    * ([[graft.api.VectorSearch.ivfFitKMeans]]), nprobe ≈ √nCells, exact
     * re-rank in the probed cells. The data-adaptive scale path next to the
     * fixed sign-LSH buckets: at 100 TB, the fit moves only the model
     * (cells × dims doubles per round), assignment stays a narrow
@@ -229,7 +298,8 @@ object Similarity {
   val qSimIvf: QueryDef = QueryDef.sql(
     "q_sim_ivf",
     s"""WITH $normedCte,
-       |${kmeansCtes(nCells = 8, rounds = 2)},
+       |$sizingCtes,
+       |${kmeansCtes(rounds = 2)},
        |cc AS (
        |  SELECT n.vec_id, c.cell, ${dotSql("n.v", "c.v")} / (n.nrm * c.nrm) AS ccos
        |  FROM n, cn2 c
@@ -246,7 +316,7 @@ object Similarity {
        |    SELECT vec_id, cell,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
        |    FROM cc WHERE vec_id < 10)
-       |  WHERE rn <= 2
+       |  WHERE rn <= (SELECT np FROM ksz)
        |),
        |s AS (
        |  SELECT p.qid, a.vec_id AS nid, ${dotSql("q.v", "t.v")} / (q.nrm * t.nrm) AS cos
@@ -265,7 +335,7 @@ object Similarity {
     val cents = ivfCents(s, d)
     val assigned = graft.api.VectorSearch.ivfAssign(n, cents)
     graft.api.VectorSearch
-      .ivfTopK(assigned, cents, n.where(col("id") < 10), k = 5, nprobe = 2)
+      .ivfTopK(assigned, cents, n.where(col("id") < 10), k = 5, nprobe = ivfNprobe(s, d))
       .orderBy("qid", "rnk")
   }
 
@@ -285,7 +355,8 @@ object Similarity {
   val qAnnRecall: QueryDef = QueryDef.sql(
     "q_ann_recall",
     s"""WITH $normedCte,
-       |${kmeansCtes(nCells = 8, rounds = 2)},
+       |$sizingCtes,
+       |${kmeansCtes(rounds = 2)},
        |brute AS (
        |  SELECT qid, nid FROM (
        |    SELECT q.vec_id AS qid, n.vec_id AS nid,
@@ -310,7 +381,7 @@ object Similarity {
        |    SELECT vec_id, cell,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
        |    FROM cc WHERE vec_id < 10)
-       |  WHERE rn <= 2
+       |  WHERE rn <= (SELECT np FROM ksz)
        |),
        |ivf AS (
        |  SELECT qid, nid FROM (
@@ -342,7 +413,7 @@ object Similarity {
     val cents = ivfCents(s, d)
     val assigned = graft.api.VectorSearch.ivfAssign(n, cents)
     val ivf = graft.api.VectorSearch
-      .ivfTopK(assigned, cents, qs, k = 10, nprobe = 2).select("qid", "nid")
+      .ivfTopK(assigned, cents, qs, k = 10, nprobe = ivfNprobe(s, d)).select("qid", "nid")
     val hits = brute.join(ivf, Seq("qid", "nid"))
       .groupBy("qid").agg(count(lit(1)).as("hits"))
     qs.select(col("id").cast("long").as("qid"))
@@ -365,7 +436,8 @@ object Similarity {
   val qKmeansFit: QueryDef = QueryDef.sql(
     "q_kmeans_fit",
     s"""WITH $normedCte,
-       |${kmeansCtes(nCells = 8, rounds = 2)},
+       |$sizingCtes,
+       |${kmeansCtes(rounds = 2)},
        |asgf AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT n.vec_id, c.cell,
@@ -419,9 +491,11 @@ object Similarity {
 
   // ---- product quantization (q_pq_ann) ------------------------------------
 
-  private val PqM = 4        // subspaces
+  private val PqM = 4        // subspaces (dimension-driven: 64 = 4 × 16)
   private[graft] val PqSub = 16     // dims per subspace
-  private val PqK = 8        // centroids per codebook
+  // centroids per codebook are SCALE-ADAPTIVE (≈ √N, see pqKFor /
+  // ProductQuant.codebookCellsFor) — the r13 decade measured the old
+  // fixed k=8 collapsing at 10× data
   private val PqRounds = 2   // Lloyd rounds per codebook
 
   /** Exact-decimal squared L2 between v's subspace slice (0-based `off`)
@@ -434,14 +508,17 @@ object Similarity {
       "(acc, x) -> acc + x)"
 
   /** One subspace's Lloyd fit + final code assignment + query LUT, as CTEs
-    * (the [[kmeansCtes]] pattern on the slice, L2 instead of cosine). */
+    * (the [[kmeansCtes]] pattern on the slice, L2 instead of cosine).
+    * Codebook size comes from the shared `ksz` sizing CTE — requires
+    * [[sizingCtes]] earlier in the WITH. */
   private def pqCtes(s: Int): String = {
     val off = s * PqSub
     val seed =
       s"""pq${s}c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-         |         v[${off + 1}:${off + PqSub}] AS cv
-         |  FROM (SELECT * FROM n ORDER BY vec_id LIMIT $PqK)
+         |  SELECT CAST(rn - 1 AS INTEGER) AS cell, cv FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) AS rn,
+         |           v[${off + 1}:${off + PqSub}] AS cv FROM n)
+         |  WHERE rn <= (SELECT pqk FROM ksz)
          |)""".stripMargin
     val iters = (1 to PqRounds).map { t =>
       val p = t - 1
@@ -481,7 +558,7 @@ object Similarity {
   }
 
   /** PQ-ADC approximate nearest neighbor ([[graft.api.ProductQuant]]):
-    * 4×16-dim codebooks (8 cells, 2 Lloyd rounds), corpus compressed to 4
+    * 4×16-dim codebooks (≈√N cells each, 2 Lloyd rounds), corpus compressed to 4
     * codes/vector, query distance = 4 LUT lookups. Entirely decimal-exact
     * — fit, codes, and ADC scores replay in the oracle bit-for-bit. The
     * memory-scale ANN path: the scored representation is 4 B/vector, so a
@@ -490,6 +567,7 @@ object Similarity {
   val qPqAnn: QueryDef = QueryDef.sql(
     "q_pq_ann",
     s"""WITH $normedCte,
+       |$sizingCtes,
        |${(0 until PqM).map(pqCtes).mkString(",\n")},
        |k AS (${(0 until PqM).map(s => s"SELECT vec_id, $s AS sub, cell FROM pq${s}code").mkString("\n  UNION ALL ")}),
        |l AS (${(0 until PqM).map(s => s"SELECT qid, $s AS sub, cell, d2 FROM pq${s}lut").mkString("\n  UNION ALL ")}),
@@ -515,7 +593,7 @@ object Similarity {
   }
 
   /** IVF-PQ composition — the FAISS-style production ANN shape: the IVF
-    * coarse quantizer (trained, nprobe=2) decides WHICH vectors a query
+    * coarse quantizer (trained, nprobe ≈ √nCells) decides WHICH vectors a query
     * scores, and PQ codes decide how cheaply each candidate is scored
     * (4 LUT lookups, no raw floats). At 10⁹ vectors this is the
     * difference between scanning 256 B/vector over 1/nCells of the corpus
@@ -526,7 +604,8 @@ object Similarity {
   val qIvfPqAnn: QueryDef = QueryDef.sql(
     "q_ivfpq_ann",
     s"""WITH $normedCte,
-       |${kmeansCtes(nCells = 8, rounds = 2)},
+       |$sizingCtes,
+       |${kmeansCtes(rounds = 2)},
        |${(0 until PqM).map(pqCtes).mkString(",\n")},
        |cc AS (
        |  SELECT n.vec_id, c.cell, ${dotSql("n.v", "c.v")} / (n.nrm * c.nrm) AS ccos
@@ -544,7 +623,7 @@ object Similarity {
        |    SELECT vec_id, cell,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
        |    FROM cc WHERE vec_id < 5)
-       |  WHERE rn <= 2
+       |  WHERE rn <= (SELECT np FROM ksz)
        |),
        |cand AS (
        |  SELECT p.qid, a.vec_id AS nid
@@ -572,7 +651,7 @@ object Similarity {
     val books = pqBooks(s, d)
     val codes = ProductQuant.encode(n, books, PqSub)
     val q = n.where(col("id") < 5)
-    val probes = VectorSearch.ivfProbes(q, cents, nprobe = 2)
+    val probes = VectorSearch.ivfProbes(q, cents, nprobe = ivfNprobe(s, d))
       .select(col("id").as("qid"), col("pcell"))
     val cand = assigned
       .join(broadcast(probes), col("cell") === col("pcell") && col("id") =!= col("qid"))
@@ -598,7 +677,8 @@ object Similarity {
   val qAnnPqRecall: QueryDef = QueryDef.sql(
     "q_annpq_recall",
     s"""WITH $normedCte,
-       |${kmeansCtes(nCells = 8, rounds = 2)},
+       |$sizingCtes,
+       |${kmeansCtes(rounds = 2)},
        |${(0 until PqM).map(pqCtes).mkString(",\n")},
        |brute AS (
        |  SELECT qid, nid FROM (
@@ -624,7 +704,7 @@ object Similarity {
        |    SELECT vec_id, cell,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
        |    FROM cc WHERE vec_id < 5)
-       |  WHERE rn <= 2
+       |  WHERE rn <= (SELECT np FROM ksz)
        |),
        |cand AS (
        |  SELECT p.qid, a.vec_id AS nid
@@ -666,7 +746,7 @@ object Similarity {
     val assigned = VectorSearch.ivfAssign(n, cents)
     val books = pqBooks(s, d)
     val codes = ProductQuant.encode(n, books, PqSub)
-    val probes = VectorSearch.ivfProbes(qs, cents, nprobe = 2)
+    val probes = VectorSearch.ivfProbes(qs, cents, nprobe = ivfNprobe(s, d))
       .select(col("id").as("qid"), col("pcell"))
     val cand = assigned
       .join(broadcast(probes), col("cell") === col("pcell") && col("id") =!= col("qid"))
@@ -705,7 +785,8 @@ object Similarity {
   val qSemanticDedup: QueryDef = QueryDef.sql(
     "q_semantic_dedup",
     s"""WITH $eCorpusCte,
-       |${kmeansCtes(nCells = 8, rounds = 2)},
+       |$sizingCtes,
+       |${kmeansCtes(rounds = 2)},
        |asgf AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT n.vec_id, c.cell,

@@ -871,12 +871,34 @@ class MaintenanceSpec extends SparkSpec {
       Some(defCut),
       Some(defCut && col("l_returnflag") === "A"))
 
-    final case class Shape(keys: Int, aggs: Seq[Int], filter: Int) {
+    // first(l_linestatus)'s index — needed by the shape builder (string
+    // HAVING comparisons) and the sanitizer below
+    val firstIdx = aggChoices.indexWhere(_._1 == "f_ls")
+
+    // post-stages above the aggregate — the round-14 algebra extension:
+    // 1 = HAVING (a Filter over the aggregate's own output — the rewrite
+    // fires BENEATH it because the replacement pins output attr ids);
+    // 2 = HAVING + an OUTER re-aggregate over the (possibly state-served)
+    // inner rows — the outer node must refuse its own rewrite (its base is
+    // the inner aggregate) while the inner one still fires. Outer
+    // aggregates are order-independent (count/min/max) because state-row
+    // order differs from source-row order.
+    final case class Shape(keys: Int, aggs: Seq[Int], filter: Int, post: Int = 0) {
       def mk(): DataFrame = {
         val base = filterChoices(filter).map(li.where).getOrElse(li)
         val as = aggs.map(i => { val (n, c) = aggChoices(i); c.as(s"a$i$n") })
-        if (keyChoices(keys).isEmpty) base.agg(as.head, as.tail: _*)
-        else base.groupBy(keyChoices(keys): _*).agg(as.head, as.tail: _*)
+        val grouped =
+          if (keyChoices(keys).isEmpty) base.agg(as.head, as.tail: _*)
+          else base.groupBy(keyChoices(keys): _*).agg(as.head, as.tail: _*)
+        if (post == 0) return grouped
+        val hIdx = aggs.head
+        val hCol = col(s"a$hIdx${aggChoices(hIdx)._1}")
+        // string-typed first(key) outputs compare lexicographically
+        val having = grouped.where(
+          if (hIdx == firstIdx) hCol >= lit("A") else hCol >= lit(0))
+        if (post == 1) having
+        else having.agg(count(lit(1)).as("n_groups"),
+          min(hCol).as("mn_h"), max(hCol).as("mx_h"))
       }
     }
     val rng = new scala.util.Random(42)
@@ -886,12 +908,12 @@ class MaintenanceSpec extends SparkSpec {
     // themselves vary run-to-run, so such shapes are sanitized out. The
     // first-on-non-grouped-key REFUSAL is pinned by the subset test via
     // plan assertion instead.
-    val firstIdx = aggChoices.indexWhere(_._1 == "f_ls")
     val firstOkKeys = Set(2, 3, 5)
     val shapes = Seq.fill(60)(Shape(
       rng.nextInt(keyChoices.size),
       Seq.fill(1 + rng.nextInt(3))(rng.nextInt(aggChoices.size)).distinct,
-      rng.nextInt(filterChoices.size))).map { sh =>
+      rng.nextInt(filterChoices.size),
+      rng.nextInt(3))).map { sh =>
       if (sh.aggs.contains(firstIdx) && !firstOkKeys(sh.keys)) {
         val pruned = sh.aggs.filterNot(_ == firstIdx)
         sh.copy(aggs = if (pruned.nonEmpty) pruned else Seq(1))
@@ -900,11 +922,17 @@ class MaintenanceSpec extends SparkSpec {
       // deterministic coverage floor — the random draws shift whenever the
       // algebra grows, so pin one servable shape per pass: concat key
       // (complex pass), count(col) + first(grouped key), def-cut filter
-      // (filtered pass), first(key) beside a key residual
+      // (filtered pass), first(key) beside a key residual, and the
+      // round-14 post-stages over servable bases: HAVING-over-state and
+      // the nested re-aggregate (with and without the def-cut filter)
       Shape(5, Seq(0, 7), 0),
       Shape(2, Seq(7, 9), 0),
       Shape(3, Seq(1, 7), 6),
-      Shape(2, Seq(9, 1), 1))
+      Shape(2, Seq(9, 1), 1),
+      Shape(1, Seq(0, 1), 0, post = 1),
+      Shape(1, Seq(0, 1), 0, post = 2),
+      Shape(3, Seq(1, 7), 6, post = 1),
+      Shape(3, Seq(0), 6, post = 2))
 
     // outcome = rows (order-independent) OR the failure class; the rewrite
     // must preserve whichever the unregistered plan produces

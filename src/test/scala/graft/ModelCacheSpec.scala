@@ -49,6 +49,68 @@ class ModelCacheSpec extends SparkSpec {
     assert(ModelCache.fingerprint(tmp, "documents") == fp2, "stable otherwise")
   }
 
+  test("ModelStore: persisted fit is bit-identical and a fresh process loads, not re-fits") {
+    import graft.api.ModelStore
+    val root = java.nio.file.Files.createTempDirectory("graft-ms").toString
+    val d = sf("sf0.001")
+    var fits = 0
+    def fit() = { fits += 1
+      VectorSearch.ivfFitKMeans(normed(d), nCells = 8, iters = 2) }
+    val first = ModelStore.matrix(root, "spec-ivf-8")(fit())
+    assert(fits == 1)
+    // a NEW process has an empty ModelCache but the same store: the load
+    // path must serve the identical model without invoking the fit
+    val loaded = ModelStore.matrix(root, "spec-ivf-8")(fit())
+    assert(fits == 1, "persisted model must be loaded, not re-fit")
+    assert(loaded.length == first.length)
+    loaded.zip(first).foreach { case (l, f) =>
+      assert(l.sameElements(f), "persisted != fresh (raw-bits round-trip broken)") }
+    // negative components / -0.0 / seeds with full mantissas all round-trip
+    // through the raw-bits codec exactly
+    first.iterator.flatten.zip(loaded.iterator.flatten).foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToRawLongBits(a)
+        == java.lang.Double.doubleToRawLongBits(b)) }
+  }
+
+  test("ModelStore: codebooks (3-D) round-trip; a corrupt artifact re-fits") {
+    import graft.api.ModelStore
+    val root = java.nio.file.Files.createTempDirectory("graft-ms3").toString
+    val d = sf("sf0.001")
+    var fits = 0
+    def fit() = { fits += 1
+      ProductQuant.fit(normed(d), m = 2, subDim = 32, k = 4, iters = 1) }
+    val first = ModelStore.cube(root, "spec-pq")(fit())
+    val loaded = ModelStore.cube(root, "spec-pq")(fit())
+    assert(fits == 1, "persisted codebooks must load, not re-fit")
+    for (s0 <- first.indices; c <- first(s0).indices)
+      assert(loaded(s0)(c).sameElements(first(s0)(c)))
+    // corrupt the committed artifact in place: the parse treats it as
+    // ABSENT and the next read re-fits + commits a NEW manifest version
+    val cur = graft.api.StateManifest.current(s"$root/spec-pq").get
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      s"$root/spec-pq/${cur.segments.head}/model.txt"), "books=garbage")
+    val refit = ModelStore.cube(root, "spec-pq")(fit())
+    assert(fits == 2, "corrupt artifact must re-fit")
+    for (s0 <- first.indices; c <- first(s0).indices)
+      assert(refit(s0)(c).sameElements(first(s0)(c)), "re-fit differs (determinism)")
+    val v2 = graft.api.StateManifest.current(s"$root/spec-pq").get
+    assert(v2.version == cur.version + 1, "re-fit must commit a new version")
+  }
+
+  test("ModelStore: type tag mismatch is a miss, not a mis-parse") {
+    import graft.api.ModelStore
+    val root = java.nio.file.Files.createTempDirectory("graft-mst").toString
+    val m = ModelStore.matrix(root, "k")(Array(Array(1.5, -0.0)))
+    assert(java.lang.Double.doubleToRawLongBits(m(0)(1))
+      == java.lang.Double.doubleToRawLongBits(-0.0))
+    // same key, cube type: the schemaFp tag differs -> treated as a miss
+    // (never parse matrix bytes as a cube); the fresh cube commits as the
+    // next manifest version
+    val c = ModelStore.cube(root, "k")(Array(Array(Array(2.0))))
+    assert(c(0)(0)(0) == 2.0)
+    assert(graft.api.StateManifest.current(s"$root/k").get.schemaFp == "cube")
+  }
+
   test("copyTree reproduces a directory byte-for-byte and isolates mutation") {
     val src = java.nio.file.Files.createTempDirectory("graft-ct-src")
     java.nio.file.Files.createDirectories(src.resolve("seg-0/bkt=3"))

@@ -246,6 +246,41 @@ class StateManifestSpec extends AnyFunSuite {
       .map(_.toString).count(_.endsWith(".tmp")) == 0, "no temp debris")
   }
 
+  test("two-JVM contention drill: no lost segment across 100 commits from " +
+      "two real processes") {
+    // The in-process fuzz above shares one JVM, so its FileLocks and
+    // monitors never cross a process boundary. This is the actual
+    // duplicate-scheduler story the scaladoc tells: a SECOND JVM
+    // ([[ManifestStressChild]], spawned with this test JVM's classpath)
+    // races 50 optimistic ingest commits against 50 from this process,
+    // both sides also running the flock'd reclaimOrphans. Exactly one
+    // writer wins each version; the final manifest must carry every
+    // segment from BOTH processes — the silently-dropped-segment failure
+    // commitIf exists to prevent, now pinned across real process and
+    // file-lock scope boundaries.
+    val root = tmp()
+    val commitsPer = 50
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val child = new ProcessBuilder(
+      javaBin, "-cp", System.getProperty("java.class.path"),
+      "graft.ManifestStressChild", root, "B", commitsPer.toString)
+      .redirectErrorStream(true).start()
+    ManifestStressChild.writerLoop(root, "A", commitsPer)
+    val out = new String(child.getInputStream.readAllBytes())
+    assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+      s"child JVM did not finish:\n$out")
+    assert(child.exitValue() == 0, s"child JVM failed:\n$out")
+    val cur = StateManifest.current(root).get
+    val expected = (0 until commitsPer).flatMap(i => Seq(s"A-$i", s"B-$i")).toSet
+    assert(cur.version == (2 * commitsPer - 1).toLong,
+      s"head must be v${2 * commitsPer - 1}, got ${cur.version}")
+    assert(cur.segments.toSet == expected && cur.segments.size == expected.size,
+      s"lost/duplicated segment across processes: ${cur.segments.sorted}")
+    val retained = StateManifest.versions(root)
+    assert(retained == (retained.min to cur.version),
+      s"history must be gap-free, got $retained")
+  }
+
   test("decimal precision widening does not move the schema fingerprint") {
     import org.apache.spark.sql.types._
     val narrow = StructType(Seq(StructField("s", DecimalType(18, 6)),
