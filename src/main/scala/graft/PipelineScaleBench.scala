@@ -184,15 +184,21 @@ object PipelineScaleBench {
       val sigged = VS.signLsh(n)
       val lsh = VS.annTopK(sigged, sigged.where(col("id") < 10), k = 5)
       val books = Similarity.pqBooks(spark, dir)
-      val codes = PQ.encode(n, books, Similarity.PqSub)
+      // the PQ route trains/encodes/scores on the unit sphere (round 14)
+      val nu = Similarity.unitized(n)
+      val codes = PQ.encode(nu, books, Similarity.PqSub)
       val probes = VS.ivfProbes(q5, cents, nprobe = nprobe)
         .select(col("id").as("qid"), col("pcell"))
       val cand = assigned
         .join(broadcast(probes), col("cell") === col("pcell") && col("id") =!= col("qid"))
         .select(col("qid"), col("id"))
-      val pq = PQ.adcTopKCandidates(codes, PQ.lut(q5, books, Similarity.PqSub), cand, k = 10)
-      // the ADC route ranks by quantized distance; score its picks by
-      // their EXACT cosine so regret compares like with like
+      // the shipped route: ADC shortlist + exact re-rank (q_ivfpq_ann)
+      val pq = PQ.adcRefineTopK(codes,
+        PQ.lut(nu.where(col("id") < 5), books, Similarity.PqSub), cand,
+        corpus = n, k = 10, shortlist = graft.operators.Similarity.PqShortlist)
+      // score its picks by their EXACT cosine so regret compares like
+      // with like (the refined route already ranks by exact cosine; the
+      // re-join keeps the rounding identical to the brute leg)
       val pqCos = pq.select("qid", "nid")
         .join(n.select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn")), "nid")
         .join(broadcast(q5.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))), "qid")

@@ -148,6 +148,44 @@ object ProductQuant {
     rank(scored, k)
   }
 
+  /** IVF-PQ with EXACT re-rank refinement — the production retrieval
+    * shape (FAISS `refine`): the 8 B/vector ADC scan ranks the probed
+    * candidates, the top-`shortlist` per query are re-scored by exact
+    * cosine against the raw vectors, and the final top-k is exact-cosine
+    * ordered. Compression decides WHAT gets exact-scored (k·C rows per
+    * query — model-sized), never the final order, so near-tie corpora
+    * stop costing recall: quantization error only matters if it pushes a
+    * true neighbor out of the C-deep shortlist. `corpus` is the normed
+    * (id, v, nrm) frame; queries are its `qid` rows (broadcast — the
+    * corpus never shuffles). */
+  def adcRefineTopK(codes: DataFrame, lutDf: DataFrame, cand: DataFrame,
+      corpus: DataFrame, k: Int, shortlist: Int): DataFrame = {
+    val adc = cand.join(codes, "id")
+      .join(broadcast(lutDf), Seq("qid", "sub", "cell"))
+      .groupBy("qid", "id")
+      .agg(sum(col("d2")).as("d2"))
+    val short = adc.groupBy("qid")
+      .agg(graft.functions.TopKAgg.top_k_agg(
+        (-col("d2")).cast("double"), col("id"), shortlist).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("x"))
+      .select(col("qid"), col("x.id").as("nid"))
+    val qs = corpus.join(broadcast(short.select("qid").distinct()),
+        col("id") === col("qid"))
+      .select(col("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val cos = graft.functions.VectorExprs.dot_product(col("qv"), col("nv")) /
+      (col("qn") * col("nn"))
+    val scored = corpus.select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(short), "nid")
+      .join(broadcast(qs), "qid")
+      .select(col("qid"), col("nid"), cos.as("cos"))
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKAgg.top_k_agg(col("cos"), col("nid"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "x")))
+      .select(col("qid"), col("x.id").as("nid"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        round(col("x.score"), 4).as("cos"))
+  }
+
   /** Bounded-heap finalization shared by both search shapes: heap wants
     * DESC score, so the (exact) distance is negated for ranking only. */
   private def rank(scored: DataFrame, k: Int): DataFrame =

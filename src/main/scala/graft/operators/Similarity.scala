@@ -134,10 +134,12 @@ object Similarity {
 
   private[graft] def pqBooks(s: SparkSession, d: String): graft.api.ProductQuant.Codebooks = {
     val k = pqKFor(s, d)
-    val key = s"pq:$PqM:$PqSub:$k:$PqRounds:${embFp(d)}"
+    // "u" = unit-sphere fit (round 14): codebooks train on v/‖v‖ so ADC
+    // squared-L2 is 2−2·cos — monotone in the cosine ground truth
+    val key = s"pq:u:$PqM:$PqSub:$k:$PqRounds:${embFp(d)}"
     graft.api.ModelCache.cached(key)(
       graft.api.ModelStore.cube(graft.api.ModelStore.defaultRoot, key)(
-        graft.api.ProductQuant.fit(normed(s, d), PqM, PqSub, k, PqRounds)))
+        graft.api.ProductQuant.fit(unitized(normed(s, d)), PqM, PqSub, k, PqRounds)))
   }
 
   /** Embedding-cosine near-dup detection, blocked by label. The oracle
@@ -491,12 +493,35 @@ object Similarity {
 
   // ---- product quantization (q_pq_ann) ------------------------------------
 
-  private val PqM = 4        // subspaces (dimension-driven: 64 = 4 × 16)
-  private[graft] val PqSub = 16     // dims per subspace
+  // PQ layout: 8 subspaces × 8 dims = the classic 8 B/vector code (FAISS
+  // PQ8x8 shape) — dimension-driven statics. Round 14 widened m 4→8: the
+  // measured decade showed 4×16 codebooks (≈28 quantization bits) could
+  // not separate near-tie copy families at 10× data even after k scaled
+  // with √N; 8 codes double the bit budget at 2× ADC cost.
+  private val PqM = 8        // subspaces (64 = 8 × 8)
+  private[graft] val PqSub = 8      // dims per subspace
   // centroids per codebook are SCALE-ADAPTIVE (≈ √N, see pqKFor /
   // ProductQuant.codebookCellsFor) — the r13 decade measured the old
   // fixed k=8 collapsing at 10× data
   private val PqRounds = 2   // Lloyd rounds per codebook
+  // ADC shortlist depth for the exact re-rank (10·k at k=10 — FAISS refine kFactor 10): compression
+  // decides what gets exact-scored, the refine decides the final order
+  private[graft] val PqShortlist = 100
+
+  /** UNIT-SPHERE projection of the normed corpus — the PQ route trains,
+    * encodes, and scores on v/‖v‖: squared L2 between unit vectors is
+    * 2−2·cos, so the ADC ranking is monotone in the exact-cosine ground
+    * truth the recall gauges grade against. Encoding raw vectors (pre
+    * round 14) made ADC rank by unnormalized L2 — a metric MISMATCH that
+    * capped recall regardless of codebook size. One narrow projection;
+    * both engines divide the identical doubles. */
+  private[graft] def unitized(n: DataFrame): DataFrame =
+    n.select(col("id"), transform(col("v"), x => x / col("nrm")).as("v"))
+
+  /** The unit-sphere CTE (`nu`) the PQ oracle CTEs read — mirror of
+    * [[unitized]]. */
+  private val pqUnitCte: String =
+    "nu AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM n)"
 
   /** Exact-decimal squared L2 between v's subspace slice (0-based `off`)
     * and centroid list `c` — scale-12 decimal, associative, so a
@@ -508,16 +533,18 @@ object Similarity {
       "(acc, x) -> acc + x)"
 
   /** One subspace's Lloyd fit + final code assignment + query LUT, as CTEs
-    * (the [[kmeansCtes]] pattern on the slice, L2 instead of cosine).
-    * Codebook size comes from the shared `ksz` sizing CTE — requires
-    * [[sizingCtes]] earlier in the WITH. */
+    * (the [[kmeansCtes]] pattern on the slice, L2 instead of cosine) —
+    * over the UNIT-SPHERE corpus `nu` ([[pqUnitCte]]), so ADC distance is
+    * monotone in exact cosine. Codebook size comes from the shared `ksz`
+    * sizing CTE — requires [[sizingCtes]] and [[pqUnitCte]] earlier in
+    * the WITH. */
   private def pqCtes(s: Int): String = {
     val off = s * PqSub
     val seed =
       s"""pq${s}c0 AS (
          |  SELECT CAST(rn - 1 AS INTEGER) AS cell, cv FROM (
          |    SELECT row_number() OVER (ORDER BY vec_id) AS rn,
-         |           v[${off + 1}:${off + PqSub}] AS cv FROM n)
+         |           v[${off + 1}:${off + PqSub}] AS cv FROM nu)
          |  WHERE rn <= (SELECT pqk FROM ksz)
          |)""".stripMargin
     val iters = (1 to PqRounds).map { t =>
@@ -527,12 +554,12 @@ object Similarity {
          |    SELECT n.vec_id, c.cell,
          |           row_number() OVER (PARTITION BY n.vec_id
          |             ORDER BY ${pqDistSql("n.v", off, "c.cv")} ASC, c.cell) AS rn
-         |    FROM n, pq${s}c$p c) WHERE rn = 1
+         |    FROM nu n, pq${s}c$p c) WHERE rn = 1
          |),
          |pq${s}m$t AS (
          |  SELECT a.cell, CAST(g.dim AS INTEGER) AS dim,
          |         round(CAST(sum(CAST(n.v[$off + g.dim + 1] AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) + 0.0 AS c
-         |  FROM pq${s}a$t a JOIN n ON n.vec_id = a.vec_id, (SELECT unnest(range(0, $PqSub)) AS dim) g
+         |  FROM pq${s}a$t a JOIN nu n ON n.vec_id = a.vec_id, (SELECT unnest(range(0, $PqSub)) AS dim) g
          |  GROUP BY a.cell, g.dim
          |),
          |pq${s}c$t AS (
@@ -548,26 +575,28 @@ object Similarity {
          |    SELECT n.vec_id, c.cell,
          |           row_number() OVER (PARTITION BY n.vec_id
          |             ORDER BY ${pqDistSql("n.v", off, "c.cv")} ASC, c.cell) AS rn
-         |    FROM n, pq${s}c$PqRounds c) WHERE rn = 1
+         |    FROM nu n, pq${s}c$PqRounds c) WHERE rn = 1
          |),
          |pq${s}lut AS (
          |  SELECT q.vec_id AS qid, c.cell, ${pqDistSql("q.v", off, "c.cv")} AS d2
-         |  FROM (SELECT * FROM n WHERE vec_id < 5) q, pq${s}c$PqRounds c
+         |  FROM (SELECT * FROM nu WHERE vec_id < 5) q, pq${s}c$PqRounds c
          |)""".stripMargin
     (seed +: iters :+ fin).mkString(",\n")
   }
 
   /** PQ-ADC approximate nearest neighbor ([[graft.api.ProductQuant]]):
-    * 4×16-dim codebooks (≈√N cells each, 2 Lloyd rounds), corpus compressed to 4
-    * codes/vector, query distance = 4 LUT lookups. Entirely decimal-exact
-    * — fit, codes, and ADC scores replay in the oracle bit-for-bit. The
-    * memory-scale ANN path: the scored representation is 4 B/vector, so a
-    * 10⁹-vector corpus scans from RAM; compose with IVF cells to also cut
-    * the candidate count. */
+    * 8×8-dim codebooks (≈√N cells each, 2 Lloyd rounds) trained on the
+    * unit sphere, corpus compressed to 8 codes/vector, query distance = 8
+    * LUT lookups monotone in cosine. Entirely decimal-exact — fit, codes,
+    * and ADC scores replay in the oracle bit-for-bit. The memory-scale
+    * ANN path: the scored representation is 8 B/vector (the classic PQ8
+    * point), so a 10⁹-vector corpus scans from RAM; compose with IVF
+    * cells to also cut the candidate count. */
   val qPqAnn: QueryDef = QueryDef.sql(
     "q_pq_ann",
     s"""WITH $normedCte,
        |$sizingCtes,
+       |$pqUnitCte,
        |${(0 until PqM).map(pqCtes).mkString(",\n")},
        |k AS (${(0 until PqM).map(s => s"SELECT vec_id, $s AS sub, cell FROM pq${s}code").mkString("\n  UNION ALL ")}),
        |l AS (${(0 until PqM).map(s => s"SELECT qid, $s AS sub, cell, d2 FROM pq${s}lut").mkString("\n  UNION ALL ")}),
@@ -584,27 +613,31 @@ object Similarity {
        |WHERE rnk <= 10
        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     import graft.api.ProductQuant
-    val n = graft.Persisting.maybe(normed(s, d))
+    val nu = graft.Persisting.maybe(unitized(normed(s, d)))
     val books = pqBooks(s, d)
-    val codes = ProductQuant.encode(n, books, PqSub)
-    val lutDf = ProductQuant.lut(n.where(col("id") < 5), books, PqSub)
+    val codes = ProductQuant.encode(nu, books, PqSub)
+    val lutDf = ProductQuant.lut(nu.where(col("id") < 5), books, PqSub)
     ProductQuant.adcTopK(codes, lutDf, k = 10)
       .orderBy("qid", "rnk")
   }
 
-  /** IVF-PQ composition — the FAISS-style production ANN shape: the IVF
-    * coarse quantizer (trained, nprobe ≈ √nCells) decides WHICH vectors a query
-    * scores, and PQ codes decide how cheaply each candidate is scored
-    * (4 LUT lookups, no raw floats). At 10⁹ vectors this is the
-    * difference between scanning 256 B/vector over 1/nCells of the corpus
-    * and scanning 4 B/vector over it. Both trained models and the ADC
-    * ranking replay in the oracle: IVF cells via the cosine k-means CTEs,
-    * PQ codebooks via the decimal Lloyd CTEs, candidates = probed-cell
-    * members, distances = exact-decimal LUT sums. */
+  /** IVF-PQ composition with exact re-rank — the FAISS-style production
+    * ANN shape (`IVF,PQ8` + refine): the IVF coarse quantizer (trained,
+    * nprobe ≈ √nCells) decides WHICH vectors a query scores, PQ codes
+    * decide how cheaply each candidate is scored (8 LUT lookups on the
+    * unit sphere — monotone in cosine), and the ADC top-`10k` shortlist is
+    * re-scored by EXACT cosine so compression decides what gets
+    * exact-scored, never the final order. At 10⁹ vectors this scans
+    * 8 B/vector over 1/nCells of the corpus and touches raw floats for
+    * only 10k rows per query. Every stage replays in the oracle: IVF cells
+    * via the cosine k-means CTEs, PQ codebooks via the decimal Lloyd CTEs
+    * over `nu`, candidates = probed-cell members, ADC = exact-decimal LUT
+    * sums, refine = the brute-force cosine over the shortlist. */
   val qIvfPqAnn: QueryDef = QueryDef.sql(
     "q_ivfpq_ann",
     s"""WITH $normedCte,
        |$sizingCtes,
+       |$pqUnitCte,
        |${kmeansCtes(rounds = 2)},
        |${(0 until PqM).map(pqCtes).mkString(",\n")},
        |cc AS (
@@ -637,37 +670,57 @@ object Similarity {
        |  JOIN k ON k.vec_id = c.nid
        |  JOIN l ON l.qid = c.qid AND l.sub = k.sub AND l.cell = k.cell
        |  GROUP BY c.qid, c.nid
+       |),
+       |short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, nid) AS rnk
+       |    FROM sc)
+       |  WHERE rnk <= $PqShortlist
+       |),
+       |ref AS (
+       |  SELECT s.qid, s.nid, ${dotSql("q.v", "t.v")} / (q.nrm * t.nrm) AS cos
+       |  FROM short s
+       |  JOIN n q ON q.vec_id = s.qid
+       |  JOIN n t ON t.vec_id = s.nid
        |)
-       |SELECT qid, nid, rnk, round(CAST(d2 AS DOUBLE), 4) + 0.0 AS dist2
-       |FROM (SELECT qid, nid, d2,
-       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, nid) AS INTEGER) AS rnk
-       |      FROM sc)
+       |SELECT qid, nid, rnk, round(cos, 4) AS cos
+       |FROM (SELECT qid, nid, cos,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rnk
+       |      FROM ref)
        |WHERE rnk <= 10
        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     import graft.api.{ProductQuant, VectorSearch}
     val n = graft.Persisting.maybe(normed(s, d))
+    val nu = unitized(n)
     val cents = ivfCents(s, d)
     val assigned = VectorSearch.ivfAssign(n, cents)
     val books = pqBooks(s, d)
-    val codes = ProductQuant.encode(n, books, PqSub)
+    val codes = ProductQuant.encode(nu, books, PqSub)
     val q = n.where(col("id") < 5)
     val probes = VectorSearch.ivfProbes(q, cents, nprobe = ivfNprobe(s, d))
       .select(col("id").as("qid"), col("pcell"))
     val cand = assigned
       .join(broadcast(probes), col("cell") === col("pcell") && col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
-    ProductQuant.adcTopKCandidates(codes, ProductQuant.lut(q, books, PqSub), cand, k = 10)
+    ProductQuant.adcRefineTopK(codes,
+      ProductQuant.lut(nu.where(col("id") < 5), books, PqSub), cand,
+      corpus = n, k = 10, shortlist = PqShortlist)
       .orderBy("qid", "rnk")
   }
 
   /** Recall@10 of the IVF-PQ route against brute-force ground truth — the
     * companion of [[qAnnRecall]] for the COMPRESSED path: [[qAnnRecall]]
     * grades only the coarse quantizer (exact distances over probed cells);
-    * this grades the full production stack, where candidates come from the
-    * probed cells AND every distance is a 4-lookup ADC approximation. The
-    * two recall numbers bracket the loss budget: IVF recall - IVFPQ recall
-    * is the cost of 4 B/vector compression, the number that decides m/k
-    * sizing before anyone ships the index.
+    * this grades the full production stack — candidates from the probed
+    * cells, every candidate scored by the 8-lookup unit-sphere ADC
+    * approximation, and the ADC top-10k shortlist exact-re-ranked (the
+    * shipped [[qIvfPqAnn]] pipeline, stage for stage). The two recall
+    * numbers bracket the loss budget: IVF recall - IVFPQ recall is the
+    * cost of scanning 8 B/vector codes instead of raw floats — nonzero
+    * exactly when quantization pushes a true neighbor out of the
+    * shortlist — the number that decides m/k/shortlist sizing before
+    * anyone ships the index.
     *
     * Both legs use deterministic tie-breaks (brute: cos DESC, nid; ADC:
     * d2 ASC, nid), so the top-10 sets replay exactly and recall is an
@@ -678,6 +731,7 @@ object Similarity {
     "q_annpq_recall",
     s"""WITH $normedCte,
        |$sizingCtes,
+       |$pqUnitCte,
        |${kmeansCtes(rounds = 2)},
        |${(0 until PqM).map(pqCtes).mkString(",\n")},
        |brute AS (
@@ -719,11 +773,24 @@ object Similarity {
        |  JOIN l ON l.qid = c.qid AND l.sub = k.sub AND l.cell = k.cell
        |  GROUP BY c.qid, c.nid
        |),
-       |ipq AS (
+       |short AS (
        |  SELECT qid, nid FROM (
        |    SELECT qid, nid,
        |           row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, nid) AS rnk
        |    FROM sc)
+       |  WHERE rnk <= $PqShortlist
+       |),
+       |ref AS (
+       |  SELECT s.qid, s.nid, ${dotSql("q.v", "t.v")} / (q.nrm * t.nrm) AS cos
+       |  FROM short s
+       |  JOIN n q ON q.vec_id = s.qid
+       |  JOIN n t ON t.vec_id = s.nid
+       |),
+       |ipq AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+       |    FROM ref)
        |  WHERE rnk <= 10
        |),
        |h AS (
@@ -745,14 +812,17 @@ object Similarity {
     val cents = ivfCents(s, d)
     val assigned = VectorSearch.ivfAssign(n, cents)
     val books = pqBooks(s, d)
-    val codes = ProductQuant.encode(n, books, PqSub)
+    val nu = unitized(n)
+    val codes = ProductQuant.encode(nu, books, PqSub)
     val probes = VectorSearch.ivfProbes(qs, cents, nprobe = ivfNprobe(s, d))
       .select(col("id").as("qid"), col("pcell"))
     val cand = assigned
       .join(broadcast(probes), col("cell") === col("pcell") && col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
     val ipq = ProductQuant
-      .adcTopKCandidates(codes, ProductQuant.lut(qs, books, PqSub), cand, k = 10)
+      .adcRefineTopK(codes,
+        ProductQuant.lut(nu.where(col("id") < 5), books, PqSub), cand,
+        corpus = n, k = 10, shortlist = PqShortlist)
       .select("qid", "nid")
     val hits = brute.join(ipq, Seq("qid", "nid"))
       .groupBy("qid").agg(count(lit(1)).as("hits"))

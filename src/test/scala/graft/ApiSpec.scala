@@ -515,4 +515,44 @@ class ApiSpec extends SparkSpec {
     }
     n.unpersist()
   }
+
+  test("ADC refine: final order is EXACT cosine; hits confined to the ADC shortlist") {
+    import graft.api.ProductQuant
+    import graft.functions.VectorExprs
+    val n = VectorSearch.withNorm(
+      Tables.embeddings(spark, sf()), col("vec_id"), col("embedding")).cache()
+    // unit-sphere PQ (the shipped route): ADC squared-L2 ≡ 2-2cos ordering
+    val nu = n.select(col("id"),
+      transform(col("v"), x => x / col("nrm")).as("v"))
+    val books = ProductQuant.fit(nu, m = 8, subDim = 8, k = 8, iters = 2)
+    val codes = ProductQuant.encode(nu, books, 8)
+    val q = n.where(col("id") < 3)
+    val cand = n.select(col("id")).crossJoin(
+        broadcast(q.select(col("id").as("qid"))))
+      .where(col("id") =!= col("qid")).select("qid", "id")
+    val lut = ProductQuant.lut(nu.where(col("id") < 3), books, 8)
+    val refined = ProductQuant.adcRefineTopK(codes, lut, cand, n, k = 5, shortlist = 20)
+      .collect()
+    assert(refined.nonEmpty)
+    // (a) within each query, ranks follow exact cosine DESC (ties nid ASC)
+    refined.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rnk"))
+      val cs = byRank.map(r => (r.getAs[Double]("cos"), r.getAs[Long]("nid")))
+      // display cos is rounded to 4dp while ranking uses the unrounded
+      // value, so only non-increasing rounded cos is assertable here
+      cs.sliding(2).foreach { case Array((c1, n1), (c2, n2)) =>
+        assert(c1 >= c2,
+          s"refined order not exact-cosine: ($c1,$n1) before ($c2,$n2)")
+      case _ => ()
+      }
+    }
+    // (b) every hit is in the ADC top-20 shortlist for its query
+    val adc = ProductQuant.adcTopKCandidates(codes, lut, cand, k = 20).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    refined.foreach { r =>
+      assert(adc.contains((r.getAs[Long]("qid"), r.getAs[Long]("nid"))),
+        s"refined hit outside the ADC shortlist: $r")
+    }
+    n.unpersist()
+  }
 }
