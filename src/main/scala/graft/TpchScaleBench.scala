@@ -78,6 +78,26 @@ object TpchScaleBench {
 
     scaleUp(spark, src, dst)
 
+    // plan-audit mode: GRAFT_TPCH_EXPLAIN=q_a,q_b prints the FORMATTED
+    // physical plan of the named queries at the SCALED dir (AQE off so
+    // exchanges/strategies are the static plan the census diffs), then
+    // exits — the cheap way to re-read one decade plan without a timing
+    // run (r13 verdict item 3).
+    sys.env.get("GRAFT_TPCH_EXPLAIN").foreach { names =>
+      val want = names.split(",").toSet
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        SparkEntry.defs.filter(q => want(q.name)).foreach { q =>
+          println(s"==== ${q.name} @ $dst ====")
+          println(q.fn(spark, dst).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.stop()
+      return
+    }
+
     val tpch = SparkEntry.defs.filter(_.name.startsWith("q_tpch_"))
       .sortBy(_.name)
     val tables = fixedTables ++ scaledTables
