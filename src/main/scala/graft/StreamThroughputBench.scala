@@ -216,14 +216,26 @@ object StreamThroughputBench {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val changelogKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
     val prevProvider = spark.conf.getOption(providerKey)
     val prevChangelog = spark.conf.getOption(changelogKey)
+    val prevParts = spark.conf.getOption(partsKey)
     graft.streaming.StatefulOps.useRocksDbStateStore(spark)
     // changelog checkpointing: per-batch durability = the delta file, not a
     // full RocksDB snapshot upload (the r14 experiment knob; default ON —
     // measured win, see PERF_NOTES; GRAFT_ROCKSDB_CHANGELOG=0 to compare)
     spark.conf.set(changelogKey,
       sys.env.getOrElse("GRAFT_ROCKSDB_CHANGELOG", "true"))
+    // state-store COUNT tracks the state, not the core count: the r14
+    // state_profile measured per-store COMMIT fixed cost dominating the
+    // leg (32 stores × 20 batches ≈ 640 commits for ~7 live window rows —
+    // state_commit_ms ~80× state_update_ms). The stateful agg's partials
+    // are map-side combined at full parallelism BEFORE this exchange, so
+    // fewer final partitions shrink commit count without starving the
+    // scan stage. A deployment sizes this to |windows in horizon|, not
+    // cores.
+    spark.conf.set(partsKey,
+      sys.env.getOrElse("GRAFT_STATE_PARTITIONS", "8"))
     try {
       val windowRows = new LongAdder
       val src = MessageSource.brokerStream(spark, topics.mkString(","), Some(perTrigger))
@@ -250,6 +262,10 @@ object StreamThroughputBench {
       prevChangelog match {
         case Some(p) => spark.conf.set(changelogKey, p)
         case None => spark.conf.unset(changelogKey)
+      }
+      prevParts match {
+        case Some(p) => spark.conf.set(partsKey, p)
+        case None => spark.conf.unset(partsKey)
       }
     }
   }
