@@ -109,7 +109,12 @@ object ProductQuant {
         assign(col("v"), s, subDim, books(s)).cast("int")): _*)).as(Seq("sub", "cell")))
 
   /** ADC lookup table: (qid, sub, cell, d2) — m × k exact-decimal entries
-    * per query, computed from the query's raw slices. */
+    * per query, computed from the query's raw slices by ONE
+    * reference-carrying expression ([[graft.functions.PqLut]]): plan size
+    * and generated-class count stay O(1) as the scale-adaptive codebook
+    * grows (the literal m×k struct array recompiled a ~350-entry class
+    * per plan at sf0.1 — measured as the dominant cost of the PQ family
+    * after the √N sizing landed). */
   def lut(queries: DataFrame, books: Codebooks, subDim: Int): DataFrame = {
     if (books.forall(_.isEmpty)) // empty-corpus fit: no codes ⇒ empty LUT,
       return queries.select(col("id").as("qid"), // same schema (d2 typed
@@ -117,11 +122,7 @@ object ProductQuant {
         dist2(col("v"), 0, subDim, Array.fill(subDim)(0.0)).as("d2"))
         .where(lit(false))
     queries.select(col("id").as("qid"),
-      explode(array((for {
-        s <- books.indices
-        c <- books(s).indices
-      } yield struct(lit(s).as("sub"), lit(c).as("cell"),
-        dist2(col("v"), s, subDim, books(s)(c)).as("d2"))): _*)).as("e"))
+      explode(graft.functions.PqExprs.pq_lut(col("v"), books, subDim)).as("e"))
       .select(col("qid"), col("e.sub"), col("e.cell"), col("e.d2"))
   }
 
