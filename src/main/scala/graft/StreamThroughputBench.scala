@@ -54,6 +54,16 @@ import org.apache.spark.sql.functions._
   */
 object StreamThroughputBench {
 
+  /** GRAFT_ROCKSDB_CHANGELOG normalized ONCE to "true"/"false": the value
+    * feeds both a boolean Spark conf (which throws on "0") and a raw JSON
+    * field (which any other spelling would corrupt). "0"/"false"/"off"/"no"
+    * disable; everything else — including unset — keeps the measured-win
+    * default ON. */
+  private val ChangelogEnabled: String = {
+    val v = sys.env.getOrElse("GRAFT_ROCKSDB_CHANGELOG", "true").trim.toLowerCase
+    if (Set("0", "false", "off", "no").contains(v)) "false" else "true"
+  }
+
   /** Same-JVM (local-mode) sink accounting: executors add, driver reads. */
   private val bulkPosts = new LongAdder
 
@@ -224,8 +234,7 @@ object StreamThroughputBench {
     // changelog checkpointing: per-batch durability = the delta file, not a
     // full RocksDB snapshot upload (the r14 experiment knob; default ON —
     // measured win, see PERF_NOTES; GRAFT_ROCKSDB_CHANGELOG=0 to compare)
-    spark.conf.set(changelogKey,
-      sys.env.getOrElse("GRAFT_ROCKSDB_CHANGELOG", "true"))
+    spark.conf.set(changelogKey, ChangelogEnabled)
     // state-store COUNT tracks the state, not the core count: the r14
     // state_profile measured per-store COMMIT fixed cost dominating the
     // leg (32 stores × 20 batches ≈ 640 commits for ~7 live window rows —
@@ -503,11 +512,11 @@ object StreamThroughputBench {
   "stateful_steady_norm": ${num(st.steadyRowsPerSec * normMul, 0)},
   "latency": {"rate_per_sec": ${lat.rate}, "duration_sec": ${lat.durationSec}, "msgs": ${lat.msgs}, "batches": ${lat.batches}, "mean_ms": ${num(lat.meanMs, 1)}, "p50_batchmax_ms": ${lat.p50Ms}, "p95_batchmax_ms": ${lat.p95Ms}, "max_ms": ${lat.maxMs}},
   "reference_envelope": "parallelism 16, 5s EXACTLY_ONCE checkpoints, sink flush 1000 msgs/5s (BASELINE.md); reference publishes no throughput numbers",
-  "rocksdb_changelog_checkpointing": ${sys.env.getOrElse("GRAFT_ROCKSDB_CHANGELOG", "true")},
+  "rocksdb_changelog_checkpointing": $ChangelogEnabled,
   "notes": "every micro-batch commits offsets (stricter than the 5s reference cadence); delivered==published-sessions asserted (exactly-once sink accounting); stateful leg carries a state_profile phase attribution"
 }
 """
-    val out = sys.env.getOrElse("GRAFT_STREAM_JSON", "bench_stream_r14.json")
+    val out = sys.env.getOrElse("GRAFT_STREAM_JSON", "bench_stream_r15.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc)
     println(s"""{"metric":"stream_throughput","value":${num(fan.steadyRowsPerSec, 0)},"unit":"rows/sec","wall":${num(fan.rowsPerSec, 0)},"stateful":${num(st.steadyRowsPerSec, 0)},"lat_p95_ms":${lat.p95Ms},"n":$n,"calib_post":${num(calibPost, 4)}}""")
     spark.stop()

@@ -41,11 +41,19 @@ object ModelStore {
     (s"rows=${m.length}" +: m.toSeq.map(r => s"row=${r.map(bits).mkString(",")}"))
       .mkString("", "\n", "\n")
 
+  /** Upper bound on a parsed row/book count. A corrupt header must parse as
+    * ABSENT (refit), never as a crash: a negative count would throw
+    * NegativeArraySizeException and a huge one would attempt an OOM-sized
+    * allocation before any row is read. Real models are ≤ thousands of rows. */
+  private val MaxParsedCount = 1 << 24
+
+  private def saneCount(n: Int): Boolean = n >= 0 && n <= MaxParsedCount
+
   private def parseMatrix(lines: Iterator[String]): Option[Array[Array[Double]]] = {
     if (!lines.hasNext) return None
     val h = lines.next()
     if (!h.startsWith("rows=")) return None
-    h.drop(5).toIntOption.flatMap { n =>
+    h.drop(5).toIntOption.filter(saneCount).flatMap { n =>
       val rows = new Array[Array[Double]](n)
       var i = 0
       while (i < n) {
@@ -71,7 +79,7 @@ object ModelStore {
     if (!lines.hasNext) return None
     val h = lines.next()
     if (!h.startsWith("books=")) return None
-    h.drop(6).toIntOption.flatMap { n =>
+    h.drop(6).toIntOption.filter(saneCount).flatMap { n =>
       val books = new Array[Array[Array[Double]]](n)
       var i = 0
       while (i < n) {
@@ -101,12 +109,19 @@ object ModelStore {
       }
     StateManifest.current(dirRoot).flatMap(load).getOrElse {
       val model = fit
-      // segment named by version attempt; commitIf publishes exactly one
+      // Segment name is WRITER-UNIQUE (pid+nonce): two processes racing the
+      // same first fit write disjoint paths, so a published segment is never
+      // concurrently written by the commitIf loser. Belt-and-braces, the
+      // bytes also land via temp file + ATOMIC_MOVE — a reader can never
+      // observe a half-written model.txt even mid-write.
       val cur = StateManifest.current(dirRoot)
-      val seg = s"fit-v${cur.map(_.version + 1).getOrElse(0L)}"
+      val seg = s"fit-v${cur.map(_.version + 1).getOrElse(0L)}-" +
+        s"${ProcessHandle.current.pid}-${java.lang.Long.toHexString(System.nanoTime())}"
       val f = modelFile(root, key, seg)
       Files.createDirectories(f.getParent)
-      Files.writeString(f, render(model))
+      val tmp = f.resolveSibling("model.txt.tmp")
+      Files.writeString(tmp, render(model))
+      Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       StateManifest.commitIf(dirRoot, cur.map(_.version), Seq(seg),
         lastBatch = -1L, schemaFp = schemaFp) match {
         case Some(_) => model

@@ -97,6 +97,29 @@ class ModelCacheSpec extends SparkSpec {
     assert(v2.version == cur.version + 1, "re-fit must commit a new version")
   }
 
+  test("ModelStore: negative / absurd counts in a corrupt header re-fit, never crash") {
+    import graft.api.ModelStore
+    val root = java.nio.file.Files.createTempDirectory("graft-msc").toString
+    var fits = 0
+    def fit() = { fits += 1; Array(Array(1.0, 2.0)) }
+    ModelStore.matrix(root, "k")(fit())
+    assert(fits == 1)
+    def segFile() = {
+      val cur = graft.api.StateManifest.current(s"$root/k").get
+      java.nio.file.Paths.get(s"$root/k/${cur.segments.head}/model.txt")
+    }
+    // rows=-1 would NegativeArraySizeException and rows=2000000000 would
+    // attempt an OOM-sized allocation if counts reached `new Array` raw;
+    // both must parse as ABSENT -> refit + new manifest version
+    for (corrupt <- Seq("rows=-1\n", s"rows=${Int.MaxValue}\n")) {
+      java.nio.file.Files.writeString(segFile(), corrupt)
+      val before = fits
+      val m = ModelStore.matrix(root, "k")(fit())
+      assert(fits == before + 1, s"header '$corrupt' must re-fit")
+      assert(m(0).sameElements(Array(1.0, 2.0)))
+    }
+  }
+
   test("ModelStore: type tag mismatch is a miss, not a mis-parse") {
     import graft.api.ModelStore
     val root = java.nio.file.Files.createTempDirectory("graft-mst").toString
