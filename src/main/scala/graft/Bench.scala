@@ -21,10 +21,30 @@ object Bench {
     * attempt threw — the timing then prices the failed attempt(s), and the
     * row still appears in every output map. `retryCalib` is the calibration
     * probe reading that CANCELLED further retries (degraded host window);
-    * None when retries were never gated. */
+    * None when retries were never gated. `winCalib` is the query's NEAREST
+    * calibration probe reading (assigned by [[Bench.assignWindows]]); 0
+    * until assigned. */
   final case class QueryTiming(name: String, sec: Double, shuffleMb: Double,
       attempts: Int, median: Double, error: Option[String],
-      retryCalib: Option[Double] = None)
+      retryCalib: Option[Double] = None, winCalib: Double = 0.0) {
+    /** Window-corrected seconds: `sec` expressed at hot-host speed per this
+      * query's nearest probe. Run-bracketing probes cannot see a MID-RUN
+      * stall (the r14 driver artifact doubled on identical plans that way);
+      * dividing each query by the probe nearest IN RUN ORDER corrects the
+      * stalled block without touching the queries outside it. Raw `sec`
+      * stays the primary record. */
+    def normSec: Double =
+      if (winCalib > 0) sec / (winCalib / Bench.CalibRef) else sec
+  }
+
+  /** An inventory timed with interleaved calibration probes. `probes` are
+    * (queries completed before the probe, probe seconds) — position p sits
+    * between query p-1 and query p in run order. */
+  final case class CalibratedRun(timings: Seq[QueryTiming],
+      probes: Seq[(Int, Double)]) {
+    def totalRaw: Double = timings.map(_.sec).sum
+    def totalNorm: Double = timings.map(_.normSec).sum
+  }
 
   /** watchdog hooks: the currently-running query and its start nanos */
   @volatile private var current = ""
@@ -51,6 +71,57 @@ object Bench {
       calibProbe(spark)
       (System.nanoTime() - t0) / 1e9
     }.min
+
+  /** Cheap interleaved probe: min of 2 readings — robust to a one-off GC
+    * spike while still reading slow inside a genuinely degraded window
+    * (hot cost ≈ 0.1 s, so probing every [[ProbeEvery]] queries adds ~2 s
+    * to a full 150-query run). */
+  def probeOnce(spark: SparkSession): Double =
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      calibProbe(spark)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  /** Probe cadence for [[timeInventoryCalibrated]]: mid-run stalls observed
+    * on this host span tens of queries (the r14 driver artifact's two
+    * alphabetically-contiguous blocks), so every-8 localizes them well
+    * below the block width at negligible cost. */
+  val ProbeEvery = 8
+
+  /** Assign each query its NEAREST probe by run-order distance. A query's
+    * own `retry_calib` probe wins outright when present — it was taken
+    * immediately beside the stalled attempts, closer than any interleaved
+    * probe. No probes at all leaves rows unassigned (normSec = raw). */
+  def assignWindows(timings: Seq[QueryTiming],
+      probes: Seq[(Int, Double)]): Seq[QueryTiming] =
+    if (probes.isEmpty) timings
+    else timings.zipWithIndex.map { case (t, i) =>
+      val cal = t.retryCalib.getOrElse(
+        probes.minBy { case (p, _) => math.abs(p - (i + 0.5)) }._2)
+      t.copy(winCalib = cal)
+    }
+
+  /** [[timeInventory]] with a calibration probe interleaved every
+    * `probeEvery` queries and each row normalized against its nearest
+    * probe. `chunkHook(firstIdx)` fires before each chunk and once more
+    * with `defs.size` after the last — the deliberate-degrade drill hangs
+    * its CPU burners off it. */
+  def timeInventoryCalibrated(spark: SparkSession, sfDir: String,
+      defs: Seq[QueryDef], shuffleCounter: () => Long = () => 0L,
+      retrySlow: Boolean = true, probeEvery: Int = ProbeEvery,
+      chunkHook: Int => Unit = _ => ()): CalibratedRun = {
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val timings = scala.collection.mutable.ArrayBuffer.empty[QueryTiming]
+    probes += 0 -> probeOnce(spark)
+    defs.grouped(probeEvery).foreach { chunk =>
+      chunkHook(timings.size)
+      timings ++= timeInventory(spark, sfDir, chunk, shuffleCounter, retrySlow)
+      probes += timings.size -> probeOnce(spark)
+    }
+    chunkHook(defs.size)
+    CalibratedRun(assignWindows(timings.toSeq, probes.toSeq), probes.toSeq)
+  }
 
   /** Locale-pinned fixed-point rendering for the JSON artifacts: the `f`
     * interpolator uses the default locale, and a comma-decimal locale
@@ -325,10 +396,40 @@ object Bench {
 
     // GRAFT_BENCH_ONLY=q_a,q_b: focused local timing; unset = full inventory
     val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // GRAFT_BENCH_DEGRADE=start:end[:threads] — the deliberate-degrade
+    // drill: busy-spin burner threads compete with Spark for every core
+    // while queries [start, end) run, simulating the mid-run host stalls
+    // the per-query normalization exists to correct. Validation harness
+    // only; never set by the driver.
+    val degrade = sys.env.get("GRAFT_BENCH_DEGRADE").map { s =>
+      val p = s.split(":"); (p(0).toInt, p(1).toInt,
+        if (p.length > 2) p(2).toInt else 32)
+    }
+    val burnStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var burners: Seq[Thread] = Nil
+    def chunkHook(firstIdx: Int): Unit = degrade.foreach { case (s, e, n) =>
+      if (firstIdx >= s && firstIdx < e && burners.isEmpty) {
+        burnStop.set(false)
+        burners = (1 to n).map { i =>
+          val t = new Thread(() => {
+            var x = 1L
+            while (!burnStop.get()) { x = x * 6364136223846793005L + 1442695040888963407L }
+            if (x == 42L) println(x) // defeat dead-code elimination
+          })
+          t.setDaemon(true); t.setName(s"graft-burner-$i"); t.start(); t
+        }
+        System.err.println(s"[bench-degrade] $n burner threads ON at query $firstIdx")
+      } else if (firstIdx >= e && burners.nonEmpty) {
+        burnStop.set(true); burners = Nil
+        System.err.println(s"[bench-degrade] burners OFF at query $firstIdx")
+      }
+    }
     val calibPre = calibrate()
-    val results = timeInventory(spark, sfDir,
+    val run = timeInventoryCalibrated(spark, sfDir,
       SparkEntry.defs.sortBy(_.name).filter(q => only.forall(_.contains(q.name))),
-      shuffleCounter = shuffleCount)
+      shuffleCounter = shuffleCount, chunkHook = chunkHook)
+    val results = run.timings
+    burnStop.set(true) // belt-and-braces: never let a burner outlive the run
     val calibPost = calibrate()
     // Output contract (round 9): diagnostics lines FIRST, then a FINAL
     // stdout line containing ONLY the total — no queries map. The driver
@@ -352,14 +453,16 @@ object Bench {
     results.filter(_.error.nonEmpty).foreach(r =>
       System.err.println(s"[bench-error] ${r.name}: ${r.error.get}"))
     val total = results.map(_.sec).sum
-    // Window-corrected total: the calibration probe's hot-host reference is
-    // 0.046 s (BASELINE.md "Calibration normalization"); dividing the raw
-    // total by (calib_post / 0.046) expresses it at hot-host speed, so
-    // totals from degraded host windows are comparable across rounds
-    // without re-deriving the correction from PERF_NOTES. calib_post (not
-    // pre) prices the window the inventory actually ran in; a degenerate
-    // probe reading (≤0) falls back to the raw total.
-    val totalNorm = if (calibPost > 0) total / (calibPost / CalibRef) else total
+    // Window-corrected total, PER QUERY (round 15): each query divided by
+    // its NEAREST interleaved probe's window factor, then summed. The old
+    // run-bracketing formula (total / (calib_post / CalibRef)) cannot see a
+    // mid-run stall — the r14 driver artifact doubled on identical plans
+    // because a stall block hit the middle of the run while both bracketing
+    // probes read mild (BASELINE.md "Calibration normalization"). Kept as
+    // `total_norm_bracket` for cross-round continuity.
+    val totalNorm = run.totalNorm
+    val totalNormBracket =
+      if (calibPost > 0) total / (calibPost / CalibRef) else total
     // The driver tail-captures stdout and truncates long runs (round 11 lost
     // 52 of 140 per-query timings that way), so ALSO persist the full
     // per-query map as a small file that gets committed with the round: the
@@ -373,8 +476,10 @@ object Bench {
           s""", "error": "${e.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)}"""")
           .getOrElse("")
         val rc = r.retryCalib.map(c => s""", "retry_calib": ${num(c, 4)}""").getOrElse("")
-        s"""  "${r.name}": {"sec": ${num(r.sec, 4)}, "median": ${num(r.median, 4)}, "shuffle_mb": ${num(r.shuffleMb, 2)}, "attempts": ${r.attempts}$rc$err}"""
+        s"""  "${r.name}": {"sec": ${num(r.sec, 4)}, "norm_sec": ${num(r.normSec, 4)}, "win_calib": ${num(r.winCalib, 4)}, "median": ${num(r.median, 4)}, "shuffle_mb": ${num(r.shuffleMb, 2)}, "attempts": ${r.attempts}$rc$err}"""
       }.mkString(",\n")
+      val probesJson = run.probes.map { case (p, s) => s"[$p, ${num(s, 4)}]" }
+        .mkString("[", ", ", "]")
       val doc = s"""{
   "sf": "$sfDir",
   "total_sec": ${num(total, 4)},
@@ -382,22 +487,34 @@ object Bench {
   "calib_pre_sec": ${num(calibPre, 4)},
   "calib_post_sec": ${num(calibPost, 4)},
   "calib_ref_sec": ${num(CalibRef, 4)},
+  "calib_probes": $probesJson,
   "total_norm_sec": ${num(totalNorm, 4)},
+  "total_norm_bracket_sec": ${num(totalNormBracket, 4)},
   "queries": {
 $body
   }
 }
 """
-      try {
-        java.nio.file.Files.write(java.nio.file.Paths.get(path),
-          doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        System.err.println(s"[bench] per-query map written to $path")
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      // Latest-run pointer AND an immutable run-stamped copy: a driver run
+      // in a degraded window must never clobber the only readable record of
+      // a hot-window run (r14 lost exactly that — the committed artifact
+      // survived only as the HEAD version). bench_runs/ keeps every run.
+      val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+        .format(new java.util.Date())
+      val stamped = java.nio.file.Paths.get("bench_runs", s"per_query_$stamp.json")
+      for (p <- Seq(java.nio.file.Paths.get(path), stamped)) {
+        try {
+          if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p,
+            doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          System.err.println(s"[bench] per-query map written to $p")
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+        }
       }
     }
     println(s"""{"metric":"calib","pre_sec":${num(calibPre, 4)},"post_sec":${num(calibPost, 4)},"unit":"sec"}""")
-    println(s"""{"metric":"total","value":${num(total, 4)},"total_norm":${num(totalNorm, 4)},"calib_post":${num(calibPost, 4)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 4)},"total_norm":${num(totalNorm, 4)},"total_norm_bracket":${num(totalNormBracket, 4)},"calib_post":${num(calibPost, 4)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

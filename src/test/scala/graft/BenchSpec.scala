@@ -66,4 +66,49 @@ class BenchSpec extends SparkSpec {
     assert(results.head.error.exists(_.contains("boom")))
     assert(results(1).error.isEmpty)
   }
+
+  private def timing(name: String, sec: Double,
+      retryCalib: Option[Double] = None): Bench.QueryTiming =
+    Bench.QueryTiming(name, sec, 0.0, 1, sec, None, retryCalib)
+
+  test("assignWindows picks each query's nearest probe; retry_calib wins outright") {
+    // probes: hot before q0, STALLED between q1 and q2, hot after q3 —
+    // the mid-run stall the run-bracketing formula is blind to
+    val probes = Seq(0 -> Bench.CalibRef, 2 -> (Bench.CalibRef * 4), 4 -> Bench.CalibRef)
+    val ts = Seq(timing("q0", 1.0), timing("q1", 8.0),
+      timing("q2", 8.0), timing("q3", 1.0, retryCalib = Some(Bench.CalibRef * 2)))
+    val out = Bench.assignWindows(ts, probes)
+    assert(out(0).winCalib == Bench.CalibRef, "q0 nearest = probe at 0")
+    assert(out(1).winCalib == Bench.CalibRef * 4, "q1 nearest = stalled probe at 2")
+    assert(out(2).winCalib == Bench.CalibRef * 4, "q2 nearest = stalled probe at 2")
+    assert(out(3).winCalib == Bench.CalibRef * 2,
+      "q3 has its own retry_calib probe — it outranks interleaved probes")
+    // normalization arithmetic: the stalled queries divide by 4x, q3 by 2x
+    assert(math.abs(out(1).normSec - 2.0) < 1e-9)
+    assert(math.abs(out(3).normSec - 0.5) < 1e-9)
+    assert(math.abs(out(0).normSec - 1.0) < 1e-9)
+    // the per-query-normalized total corrects the stall block only
+    val norm = out.map(_.normSec).sum
+    assert(math.abs(norm - (1.0 + 2.0 + 2.0 + 0.5)) < 1e-9)
+  }
+
+  test("assignWindows with no probes leaves normSec = raw (fallback)") {
+    val out = Bench.assignWindows(Seq(timing("q0", 3.0)), Nil)
+    assert(out.head.winCalib == 0.0)
+    assert(out.head.normSec == 3.0)
+  }
+
+  test("timeInventoryCalibrated brackets every chunk with probes and fires the chunk hook") {
+    val defs = (0 until 5).map(i => okQuery(s"q$i"))
+    val hooks = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val run = Bench.timeInventoryCalibrated(spark, "ignored", defs,
+      retrySlow = false, probeEvery = 2, chunkHook = hooks += _)
+    assert(run.timings.map(_.name) == defs.map(_.name))
+    // probes at 0 (pre) and after each chunk of 2: positions 0,2,4,5
+    assert(run.probes.map(_._1) == Seq(0, 2, 4, 5))
+    assert(run.probes.forall(_._2 > 0))
+    assert(hooks.toSeq == Seq(0, 2, 4, 5), "hook fires per chunk + final")
+    assert(run.timings.forall(_.winCalib > 0), "every row gets a window probe")
+    assert(run.totalNorm > 0 && run.totalRaw > 0)
+  }
 }
