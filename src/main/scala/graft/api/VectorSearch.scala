@@ -36,9 +36,14 @@ object VectorSearch {
   }
 
   /** [[ivfCellsFor]] clamps — also interpolated into the SQL oracles'
-    * sizing CTEs, so keep the rule here the ONLY copy. */
+    * sizing CTEs, so keep the rule here the ONLY copy. The 128 upper clamp
+    * of rounds 13-14 already BOUND at sf1 (√N > 128), undersizing the next
+    * decade by construction; 4096 covers √N up to ~16.8M corpus rows, and
+    * past the per-plan reference budget ([[IvfRefBudgetBytes]]) assignment
+    * switches to the centroid-TABLE gear ([[ivfAssignJoin]]) instead of
+    * growing the in-plan model without bound. */
   val IvfCellsMin = 8
-  val IvfCellsMax = 128
+  val IvfCellsMax = 4096
   val NprobeMin = 2
 
   /** Scale-adaptive IVF cell count: nCells ≈ √N (the standard IVF sizing
@@ -47,11 +52,24 @@ object VectorSearch {
     * 8-cell models holding recall only by accident of corpus size — cells
     * must multiply as the corpus grows or each cell's member list (the
     * per-probe scan) grows linearly and the quantizer under-fits the
-    * distribution. The upper clamp bounds the driver-side model
-    * (128 × dim doubles); past it, raise the clamp and move assignment to
-    * a broadcast-join against a centroid table. */
+    * distribution. */
   def ivfCellsFor(n: Long): Int =
     math.max(IvfCellsMin.toLong, math.min(IvfCellsMax.toLong, isqrt(n))).toInt
+
+  /** Per-plan budget for carrying the centroid model as a reference array
+    * inside the assignment/probe EXPRESSIONS, in bytes of centroid doubles.
+    * At or below it the model rides the (stage-broadcast) task binary and
+    * assignment is a zero-exchange fused codegen loop ([[graft.functions
+    * .IvfExprs]]). Above it the model becomes a broadcast TABLE and
+    * assignment a broadcast-join argmax ([[ivfAssignJoin]]) — the gear for
+    * models too big to serialize into every plan (hundreds of MB at
+    * 100 TB-scale cell counts). Env-overridable so drills and specs can
+    * force the join gear on small data. */
+  val IvfRefBudgetBytes: Long =
+    sys.env.get("GRAFT_IVF_REF_BUDGET").map(_.toLong).getOrElse(16L << 20)
+
+  private def modelBytes(cents: Array[Array[Double]]): Long =
+    cents.foldLeft(0L)((a, c) => a + 8L * c.length)
 
   /** Scale-adaptive probe count: nprobe ≈ √nCells (≥ [[NprobeMin]]), so
     * the scanned fraction nprobe/nCells ≈ 1/√nCells SHRINKS as the corpus
@@ -191,9 +209,40 @@ object VectorSearch {
     cents.length match {
       case 0 => corpus.withColumn("cell", lit(0)).where(lit(false))
       case 1 => corpus.withColumn("cell", lit(0))
+      case _ if modelBytes(cents) > IvfRefBudgetBytes => ivfAssignJoin(corpus, cents)
       case _ => corpus.withColumn("cell",
         graft.functions.IvfExprs.ivf_argmax(col("v"), col("nrm"), cents))
     }
+
+  /** Centroid model as a broadcast TABLE: (cell, cv, cnrm), norms computed
+    * host-side with the exact [[graft.functions.IvfCos]] fold so both
+    * assignment gears score identically. */
+  private def centroidTable(corpus: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cn = graft.functions.IvfCos.norms(cents)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq, cn(i)) }.toSeq
+      .toDF("__cell", "__cv", "__cnrm")
+  }
+
+  /** Assignment over a broadcast centroid TABLE — the above-budget gear:
+    * an explicit broadcast-replicate of the model against the corpus
+    * (never a corpus-side shuffle for the join), score, then per-row
+    * argmax as a grouped max_by over the corpus's own columns. The
+    * replicate collapses map-side BEFORE the exchange only at the final
+    * aggregate, so the one exchange this gear pays carries |corpus| rows —
+    * the price of a model too big to ride every task binary. Tie rule
+    * matches [[graft.functions.IvfCos.bestCell]] (max cosine, ties →
+    * lowest cell) under Spark SQL double ordering — the one observable
+    * difference is that SQL orders −0.0 = 0.0 where `Double.compare`
+    * orders them, unreachable for real cosine scores. */
+  def ivfAssignJoin(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val cos = VectorExprs.dot_product(col("v"), col("__cv")) / (col("nrm") * col("__cnrm"))
+    corpus.crossJoin(broadcast(centroidTable(corpus, cents)))
+      .groupBy(corpus.columns.toIndexedSeq.map(col): _*)
+      .agg(max_by(col("__cell"), struct(cos, -col("__cell"))).as("cell"))
+  }
 
   /** Per-query top-`nprobe` cells by centroid cosine (ties → lowest cell):
     * one reference-carrying [[graft.functions.IvfTopCells]] projection +
@@ -202,8 +251,27 @@ object VectorSearch {
   def ivfProbes(queries: DataFrame, cents: Array[Array[Double]], nprobe: Int): DataFrame = {
     if (cents.isEmpty) // no cells to probe (empty-corpus fit) — empty, same schema
       return queries.withColumn("pcell", lit(0)).where(lit(false))
+    if (modelBytes(cents) > IvfRefBudgetBytes)
+      return ivfProbesJoin(queries, cents, nprobe)
     queries.withColumn("pcell",
       explode(graft.functions.IvfExprs.ivf_top_cells(col("v"), col("nrm"), cents, nprobe)))
+  }
+
+  /** Probe side of the above-budget gear: top-`nprobe` cells per query via
+    * the bounded-heap [[TopKAgg]] over the broadcast centroid table (same
+    * order as [[graft.functions.IvfCos.topCells]]: cosine desc, ties →
+    * lowest cell). The query set is small by definition, so the grouped
+    * heap is cheap; the model never enters the plan. */
+  def ivfProbesJoin(queries: DataFrame, cents: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    val cos = VectorExprs.dot_product(col("v"), col("__cv")) / (col("nrm") * col("__cnrm"))
+    queries.crossJoin(broadcast(centroidTable(queries, cents)))
+      .groupBy(queries.columns.toIndexedSeq.map(col): _*)
+      .agg(TopKAgg.top_k_agg(cos, col("__cell").cast("long"), nprobe).as("__tk"))
+      .select(queries.columns.toIndexedSeq.map(col) :+
+        explode(col("__tk")).as("__x"): _*)
+      .withColumn("pcell", col("__x.id").cast("int"))
+      .drop("__x", "__tk")
   }
 
   /** IVF top-k: candidates come only from the query's `nprobe` probed

@@ -236,6 +236,40 @@ class ApiSpec extends SparkSpec {
     assert(top == Set(0L, 2L, 4L), s"nprobe=1 must search one cell: $top")
   }
 
+  test("IVF join gear (centroid table) assigns and probes identically to the expression gear") {
+    // the above-reference-budget gear: same fitted model, same corpus —
+    // broadcast-join argmax must agree with the reference-carrying
+    // expression on every assignment and every probe list
+    def vec(cluster: Int, id: Long): Array[Float] = {
+      val v = Array.fill(8)(0.0f)
+      v(cluster) = 1.0f
+      for (j <- 0 until 8) v(j) += (0.05 * math.sin((id * 11 + j * 5).toDouble)).toFloat
+      v
+    }
+    val rows = (0L until 120L).map(i => (i, vec((i % 5).toInt, i)))
+    val n = VectorSearch.withNorm(rows.toDF("item", "emb"), col("item"), col("emb"))
+      .withColumn("label", col("id") % 3) // a pass-through column must survive
+      .persist()
+    val cents = VectorSearch.ivfFitKMeans(n, nCells = 16, iters = 2)
+    def asgMap(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("cell")).toMap
+    val exprAsg = asgMap(n.withColumn("cell",
+      graft.functions.IvfExprs.ivf_argmax(col("v"), col("nrm"), cents)))
+    val joinAsg = asgMap(VectorSearch.ivfAssignJoin(n, cents))
+    assert(joinAsg == exprAsg, "join-gear assignment diverges from the expression gear")
+    assert(VectorSearch.ivfAssignJoin(n, cents).columns.toSeq
+      == n.columns.toSeq :+ "cell", "join gear must preserve corpus columns + cell")
+    val q = n.where(col("id") < 20)
+    def probeMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Int]] =
+      df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("pcell"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exprProbes = probeMap(q.withColumn("pcell", org.apache.spark.sql.functions
+      .explode(graft.functions.IvfExprs.ivf_top_cells(col("v"), col("nrm"), cents, 3))))
+    val joinProbes = probeMap(VectorSearch.ivfProbesJoin(q, cents, nprobe = 3))
+    assert(joinProbes == exprProbes, "join-gear probes diverge from the expression gear")
+    n.unpersist()
+  }
+
   test("ivfFitKMeans: trained cells recover cluster structure first-N seeds miss") {
     // planted corpus: the 8 lowest ids — exactly what the first-N "fit"
     // takes as centroids — all sit in cluster 0, so the untrained
