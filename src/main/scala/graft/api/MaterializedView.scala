@@ -97,6 +97,35 @@ object MaterializedView extends org.apache.spark.internal.Logging {
         return false
       }
     }
+    // JOIN discipline: a definition may join, but only with deterministic
+    // INNER equi-joins — the star-schema MV shape (fact ⋈ dim grouped by
+    // dim attributes). Anything else refuses at the source: an outer join
+    // breaks the roll-up's partition property under the base-normalizing
+    // filter hoist (hoisting a filter above an outer join changes rows),
+    // and a non-equi/cross join has no O(|state|) maintenance story and a
+    // pushdown-fragile canonical shape. Same loud-refusal style as the
+    // nondeterminism gate.
+    optimized.foreach {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        import org.apache.spark.sql.catalyst.expressions.EqualTo
+        val equiInner = j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+          j.condition.exists { c =>
+            c.deterministic && MvRewrite.conjuncts(c).forall {
+              case EqualTo(a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+                           b: org.apache.spark.sql.catalyst.expressions.AttributeReference) =>
+                (j.left.outputSet.contains(a) && j.right.outputSet.contains(b)) ||
+                (j.left.outputSet.contains(b) && j.right.outputSet.contains(a))
+              case _ => false
+            }
+          }
+        if (!equiInner) {
+          logWarning(s"mv $name: registration refused — only deterministic " +
+            s"INNER equi-joins are servable; got ${j.joinType} with " +
+            s"condition ${j.condition.map(_.sql)}")
+          return false
+        }
+      case _ => ()
+    }
     optimized.collectFirst { case a: Aggregate => a } match {
       case None => false
       case Some(agg) =>

@@ -281,6 +281,78 @@ object Maintenance {
     q
   }
 
+  /** Does `plan` read MV state, and does it scan any of `baseFiles`? */
+  private def mvPlanScan(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      baseFiles: Seq[String]): (Boolean, Boolean) = {
+    def reads(needle: String): Boolean = plan.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains(needle))
+        case _ => false
+      }
+      case _ => false
+    }
+    (reads("graft-mv"), baseFiles.exists(reads))
+  }
+
+  /** MV rewrite over a JOIN definition — the most common production MV
+    * shape: an aggregate over a star join (fact ⋈ dim, grouped by dim
+    * attributes). The view stores per-(c_mktsegment, o_orderstatus)
+    * partials of orders ⋈ customer; the query groups by c_mktsegment ONLY
+    * with a filter on the other stored key, so [[graft.plans.MvRewrite]]
+    * must (a) match the JOIN base across the optimizer's asymmetric column
+    * pruning and predicate pushdown (the user query needs fewer columns
+    * and pushes its filter into a join child the definition never filtered
+    * — `MvRewrite.normalizeBase` strips pruning Projects and hoists
+    * inner-join filters before comparing), and (b) re-derive every output
+    * from the stored partials with the filter compensated below the
+    * re-aggregate. The fn throws unless the plan reads `graft-mv` state
+    * and scans NEITHER base table; DuckDB recomputes the join + aggregate
+    * from base rows.
+    *
+    * Registration discipline: only deterministic INNER equi-joins register
+    * (outer/non-equi definitions refuse at the source — MaintenanceSpec).
+    *
+    * Scale rationale: at 100 TB the fact⋈dim re-scan is the single most
+    * expensive recurring query in a warehouse; one stored partial table
+    * answers the whole grouping lattice above (mktsegment × orderstatus)
+    * without touching fact OR dim again. */
+  val qMvJoin: QueryDef = QueryDef.sql(
+    "q_mv_join",
+    """SELECT c_mktsegment,
+      |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price,
+      |       count(*) AS cnt
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    // fresh instances per call — the match must be canonical-structural,
+    // never expression-id-based (see qMvRewrite)
+    def joinDef: DataFrame = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderstatus")
+      .agg(dsum(col("o_totalprice")).as("p_sum_price"), count(lit(1)).as("p_cnt"))
+    val stateDir = s"${sys.props("java.io.tmpdir")}/graft-mv/" +
+      s"${java.lang.Integer.toHexString(d.hashCode)}/orders_customer"
+    val read = MaterializedView.refresh(s, joinDef, stateDir)
+    if (!MaterializedView.register(s, s"mv_orders_customer@$d", joinDef, read))
+      throw new IllegalStateException(
+        "q_mv_join: INNER equi-join definition must register")
+    val q = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .where(col("o_orderstatus") === "F")
+      .groupBy("c_mktsegment")
+      .agg(
+        round(dsum(col("o_totalprice")).cast("double"), 2).as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+    val (usesState, scansBase) = mvPlanScan(q.queryExecution.optimizedPlan,
+      Seq("orders.parquet", "customer.parquet"))
+    if (!usesState || scansBase) throw new IllegalStateException(
+      "q_mv_join: join roll-up not served from state — plan still scans a base table")
+    q
+  }
+
   /** SCD type-2 build: per-customer order-status history as effective-dated
     * intervals. Change detection via `lag` (keep a row only when the status
     * differs from the previous one), interval close via `lead` over the
@@ -572,5 +644,5 @@ object Maintenance {
 
   val all: Seq[QueryDef] = Seq(
     qIncrAgg, qScd2, qMergeUpsert, qPitEnrich, qIncrJoin, qDqChecks,
-    qMvRewrite, qMvRollup, qMvHaving)
+    qMvRewrite, qMvRollup, qMvHaving, qMvJoin)
 }

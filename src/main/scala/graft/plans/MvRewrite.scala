@@ -56,10 +56,41 @@ object MvRewrite {
     * is accounted for during matching — def-side conditions must be
     * matched by user-side ones (the state already filtered those rows),
     * and the user-side residual is re-applied above the replacement. */
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
+  private[graft] def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case other => Seq(other)
   }
+
+  /** Deep-normalize a roll-up BASE for comparison across queries that
+    * differ only in optimizer-inserted pruning and pushdown: strip
+    * alias-free Projects everywhere in the tree and hoist deterministic
+    * Filter conjuncts out of INNER-join inputs (hoisting above an inner
+    * join is semantics-preserving; any other node type leaves its subtree
+    * untouched, so a structural mismatch simply refuses). Returns the
+    * normalized tree plus the hoisted conjuncts — expressed over relation
+    * attributes, which stripping leaves intact, so they reconcile through
+    * the same residual machinery as top-level filters.
+    *
+    * Why this exists: for an Aggregate(Join(fact, dim)) definition, a
+    * coarser user query needs FEWER columns and pushes its filters INTO
+    * different join children than the definition did — column pruning and
+    * predicate pushdown rewrite the join's children differently on each
+    * side, so the plain canonical comparison of the bases never matches
+    * and the SAME star-join view would refuse every roll-up. */
+  private[graft] def normalizeBase(p: LogicalPlan): (LogicalPlan, Seq[Expression]) =
+    p match {
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        normalizeBase(pr.child)
+      case Filter(cond, child) if cond.deterministic =>
+        val (b, cs) = normalizeBase(child)
+        (b, conjuncts(cond) ++ cs)
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+        val (lb, lcs) = normalizeBase(j.left)
+        val (rb, rcs) = normalizeBase(j.right)
+        (j.copy(left = lb, right = rb), lcs ++ rcs)
+      case other => (other, Seq.empty)
+    }
 
   private[graft] def splitFilters(plan: LogicalPlan): (Seq[Expression], LogicalPlan) =
     plan match {
@@ -296,17 +327,25 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // filter-strip cannot see through) with filter conjuncts over base
     // attrs; the user side arrives precomputed, the def side is cached on
     // the registration
-    val (ucBase, uConds, uSub) = udec
-    val (dcBase, dConds, dSub) = mv.defDecomp match {
+    val (ucBase, uConds0, uSub) = udec
+    val (dcBase, dConds0, dSub) = mv.defDecomp match {
       case Some(t) => t
       case None => return None
     }
-    if (ucBase.canonicalized != dcBase.canonicalized) return None
+    // deep-normalize both bases (strip pruning Projects, hoist pushed-down
+    // filters out of inner-join children) — required for join bases, a
+    // no-op for single-relation ones; hoisted conjuncts join their side's
+    // filter set and reconcile below like any other condition
+    val (ucB, uHoist) = MvRewrite.normalizeBase(ucBase)
+    val (dcB, dHoist) = MvRewrite.normalizeBase(dcBase)
+    if (ucB.canonicalized != dcB.canonicalized) return None
+    val uConds = uConds0 ++ uHoist
+    val dConds = dConds0 ++ dHoist
     // a filtered definition serves iff the user query applies (at least)
     // the same filters — the state holds exactly the rows passing them;
     // only the user-side residual needs compensating below the re-agg
-    val conds = residualConds(uConds, ucBase.output,
-      dConds, dcBase.output) match {
+    val conds = residualConds(uConds, ucB.output,
+      dConds, dcB.output) match {
       case None => return None
       case Some(r) => r
     }
@@ -318,12 +357,14 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       return None // state schema drifted — same gate as the exact path
 
     // catalog what the view stored, keyed by expressions normalized
-    // against each side's OWN base output (comparable: bases match).
+    // against each side's OWN normalized-base output (comparable: bases
+    // match canonically, so positions correspond; stripping only WIDENS an
+    // output, so every base-level attribute stays resolvable).
     // Aggregate-level expressions reference their child's output — e.g.
     // a pulled-out `_groupingexpression` column — so substitute down to
     // base level first, then ordinal-bind.
-    val dcOut = dcBase.output
-    val ucOut = ucBase.output
+    val dcOut = dcB.output
+    val ucOut = ucB.output
     def dnorm(e: Expression): Option[Expression] = normalize(dSub(e), dcOut)
     def unorm(e: Expression): Option[Expression] = normalize(uSub(e), ucOut)
     def defCol(i: Int): Attribute = readPlan.output(i)

@@ -986,6 +986,131 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("mv join: star-join definition serves exact and roll-up queries; bad joins refuse at registration") {
+    import graft.api.MaterializedView
+    MaterializedView.clear(spark)
+    val d = sf()
+    def orders = Tables.orders(spark, d)
+    def customer = Tables.customer(spark, d)
+    def joined = orders.join(customer, col("o_custkey") === col("c_custkey"))
+    def defn = joined.groupBy("c_mktsegment", "o_orderstatus")
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("p_sum_price"),
+        count(lit(1)).as("p_cnt"),
+        min(col("o_totalprice")).as("p_min_price"))
+    // truth BEFORE registration — the rewrite must not change any rows
+    def rollupQ = joined.where(col("o_orderstatus") === "F")
+      .groupBy("c_mktsegment")
+      .agg(
+        round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2).as("sum_price"),
+        count(lit(1)).as("cnt"),
+        min(col("o_totalprice")).as("mn"))
+    val truthRollup = rollupQ.collect().map(_.toSeq.map(String.valueOf(_))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("mv-join").toString
+    val read = MaterializedView.refresh(spark, defn, s"$dir/state")
+    assert(MaterializedView.register(spark, "mv_spec_join", defn, read))
+    try {
+      // exact structural match over the join base
+      val q1 = defn
+      assert(scansState(q1, "mv-join"), "exact join match did not rewrite")
+      // roll-up: coarser keys + a filter the optimizer pushes into a join
+      // child the definition never filtered — normalizeBase must reconcile
+      val q2 = rollupQ
+      assert(scansState(q2, "mv-join"), "join roll-up did not rewrite")
+      assert(q2.collect().map(_.toSeq.map(String.valueOf(_))).toSet == truthRollup,
+        "join roll-up changed rows")
+      // a DIFFERENT join (other dim) is not a match — stays on base tables
+      val q3 = orders.join(Tables.nation(spark, d),
+          col("o_custkey") === col("n_nationkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("c"))
+      assert(!scansState(q3, "mv-join"), "unrelated join rewritten")
+      // a filter on a NON-stored column refuses (pushed into the join
+      // child, hoisted by normalizeBase, then fails the key-only remap)
+      val q4 = joined.where(col("o_totalprice") > 1000)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("c"))
+      assert(!scansState(q4, "mv-join"), "UNSOUND: non-key filter rewritten over join")
+    } finally MaterializedView.unregister(spark, "mv_spec_join")
+
+    // registration discipline: outer / non-equi / cross definitions refuse
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("c_mktsegment").agg(count(lit(1)).as("c"))
+    assert(!MaterializedView.register(spark, "mv_outer",
+      aggOf(orders.join(customer, col("o_custkey") === col("c_custkey"), "left_outer")),
+      read), "outer-join definition must refuse")
+    assert(!MaterializedView.register(spark, "mv_nonequi",
+      aggOf(orders.join(customer, col("o_custkey") <= col("c_custkey"))),
+      read), "non-equi definition must refuse")
+    assert(!MaterializedView.register(spark, "mv_cross",
+      aggOf(orders.limit(3).crossJoin(customer.limit(3))),
+      read), "cross-join definition must refuse")
+  }
+
+  test("mv join fuzz: registration never changes any aggregate's result over a join base") {
+    import graft.api.MaterializedView
+    import org.apache.spark.sql.{Column, DataFrame}
+    MaterializedView.clear(spark)
+    val d = sf()
+    def joined = Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+    def defn = joined.groupBy("c_mktsegment", "o_orderstatus")
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("p_sum_price"),
+        count(lit(1)).as("p_cnt"),
+        min(col("o_totalprice")).as("p_min_price"),
+        count(col("o_orderdate")).as("p_cnt_date"))
+    val keyChoices: Seq[Seq[Column]] = Seq(
+      Seq(), Seq(col("c_mktsegment")), Seq(col("o_orderstatus")),
+      Seq(col("c_mktsegment"), col("o_orderstatus")),
+      Seq(col("o_orderpriority"))) // never stored -> refusal path
+    val aggChoices: Seq[(String, Column)] = Seq(
+      "s_price" -> round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2),
+      "c" -> count(lit(1)),
+      "mn" -> min(col("o_totalprice")),
+      "c_date" -> count(col("o_orderdate")),
+      "s_bal" -> round(sum(col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2), // unstored -> refuse
+      "avg_p" -> round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 4))
+    val filterChoices: Seq[Option[Column]] = Seq(
+      None,
+      Some(col("c_mktsegment") === "BUILDING"),
+      Some(col("o_orderstatus") =!= "F"),
+      Some(col("o_totalprice") > 1000), // non-key -> refuse
+      Some(col("c_mktsegment") === "AUTOMOBILE" && col("o_orderstatus") === "O"))
+    final case class Shape(keys: Int, aggs: Seq[Int], filter: Int) {
+      def mk(): DataFrame = {
+        val base = filterChoices(filter).map(joined.where).getOrElse(joined)
+        val as = aggs.map(i => { val (n, c) = aggChoices(i); c.as(s"a$i$n") })
+        if (keyChoices(keys).isEmpty) base.agg(as.head, as.tail: _*)
+        else base.groupBy(keyChoices(keys): _*).agg(as.head, as.tail: _*)
+      }
+    }
+    val rng = new scala.util.Random(1543)
+    val shapes = Seq.fill(30)(Shape(
+      rng.nextInt(keyChoices.size),
+      Seq.fill(1 + rng.nextInt(3))(rng.nextInt(aggChoices.size)).distinct,
+      rng.nextInt(filterChoices.size))) ++ Seq(
+      Shape(1, Seq(0, 1), 2), // servable coverage floor: roll-up + key filter
+      Shape(3, Seq(2, 3), 0), // exact keys, min + count(col)
+      Shape(0, Seq(1), 4))    // global agg over both key filters
+    def outcome(df: => DataFrame): Either[String, Set[String]] =
+      try Right(df.collect().map(_.toSeq.map(String.valueOf(_)).mkString("|")).toSet)
+      catch { case e: Throwable => Left(e.getClass.getName) }
+    val truth = shapes.map(s => outcome(s.mk()))
+    val dir = java.nio.file.Files.createTempDirectory("mv-join-fuzz").toString
+    val read = MaterializedView.refresh(spark, defn, s"$dir/state")
+    assert(MaterializedView.register(spark, "mv_join_fuzz", defn, read))
+    try {
+      var fired = 0
+      shapes.zip(truth).foreach { case (s, t) =>
+        val df = s.mk()
+        if (scansState(df, "mv-join-fuzz")) fired += 1
+        assert(outcome(df) == t, s"registration changed the result of $s")
+      }
+      assert(fired > 0, "join fuzz vacuous: no shape was ever served from state")
+      info(s"$fired of ${shapes.size} join-fuzz shapes served from MV state, all identical")
+    } finally MaterializedView.unregister(spark, "mv_join_fuzz")
+  }
+
   test("mv registrations don't capture other inventory queries") {
     import graft.operators
     // the two oracle fns register their views into the shared session BY
