@@ -205,9 +205,18 @@ object IncrementalDedup {
     // at sf0.1, all committer/footer overhead). Clustered, a segment is
     // ≤ IndexBuckets files — the layout a 1000-executor ingest wants too:
     // file count scales with the bucket count, not the task count.
+    def sub[T](name: String)(body: => T): T =
+      if (!sys.env.contains("GRAFT_INCR_DEDUP_SUBPROFILE")) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(
+          f"[incr-dedup-sub] $name ${(System.nanoTime() - t0) / 1e9}%.3fs")
+        r
+      }
     val incProjected = incBands.select("id", "band", "bv").withColumn("bkt", bktCol)
-    incProjected.repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$root/$segName")
+    sub("seg_write") { incProjected.repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$root/$segName") }
 
     // explicit schema: an increment can legitimately carry ZERO bands (a
     // micro-batch of documents all shorter than the shingle width writes
@@ -221,8 +230,8 @@ object IncrementalDedup {
     // values (model-sized collect), and bkt is a function of (band, bv),
     // so untouched partitions cannot contain a matching bucket — neither
     // for the join nor for the flood-guard census.
-    val touched = inc.select("bkt").distinct().collect()
-      .map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val touched = sub("touched_census") { inc.select("bkt").distinct().collect()
+      .map(r => Integer.valueOf(r.getInt(0))).toSeq }
     val stored = if (prior.isEmpty) None
                  else Some(prior.map(sg => spark.read.schema(segSchema).parquet(s"$root/$sg"))
                    .reduce(_.unionByName(_))

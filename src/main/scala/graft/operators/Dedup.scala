@@ -279,9 +279,27 @@ object Dedup {
        |WHERE c.doc_id >= 1000000
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val root = java.nio.file.Files.createTempDirectory("graft-incr-dedup").toString
-    val hashes = Corpora.shingleHashes(s, d).withColumnRenamed("doc_id", "id")
-    def bands(cond: org.apache.spark.sql.Column) =
-      graft.api.TextDedup.minhashBands(hashes.where(cond))
+    // per-phase attribution (the state_profile pattern): stderr timings for
+    // each driver-side phase of the transaction, on by default — the cost
+    // of two nanoTime reads per phase; GRAFT_INCR_DEDUP_PROFILE=0 silences
+    // the print. Added after the r14 hot artifact grew 24% with no plan
+    // change, to keep the phase mix auditable.
+    val prof = !sys.env.get("GRAFT_INCR_DEDUP_PROFILE").contains("0")
+    def phase[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      if (prof) System.err.println(
+        f"[incr-dedup-profile] $name ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+    // each wave filters the SHARED persisted band stage (sparkBands — the
+    // same cache q_dedup_minhash/_ngram/_keep read) instead of re-running
+    // the minhash aggregation per wave: a doc's bands are independent of
+    // the rest of the corpus, so filter-after ≡ aggregate-after-filter,
+    // and the r15 sub-profile attributed ~60% of each ingest phase to
+    // exactly this recomputation (seg_write 1.8 s/wave → the band agg,
+    // not the parquet write)
+    def bands(cond: org.apache.spark.sql.Column) = sparkBands(s, d).where(cond)
     // ingest's decisions cover only fingerprint-bearing docs (its coverage
     // contract); the oracle emits a row for EVERY corpus doc of the wave —
     // a doc shorter than the shingle width trivially keeps. Compensate
@@ -298,23 +316,23 @@ object Dedup {
     // it is built once per source fingerprint ([[graft.api.ModelCache]])
     // and tree-copied into this run's fresh root — the run then mutates
     // its own copy (waves + compaction) without touching the cached one.
-    val bootSrc = graft.api.ModelCache.cached(
+    val bootSrc = phase("bootstrap") { graft.api.ModelCache.cached(
       s"incrdedup-boot:${graft.api.ModelCache.fingerprint(d, "documents")}") {
       val dir = java.nio.file.Files.createTempDirectory("graft-incr-boot").toString
       graft.api.IncrementalDedup.ingest(s, dir, bands(col("id") < 1000000L))
       dir
-    }
-    graft.api.ModelCache.copyTree(bootSrc, root)
+    } }
+    phase("boot_copy") { graft.api.ModelCache.copyTree(bootSrc, root) }
     val w1 = col("doc_id") >= 1000000L && col("doc_id") < 2000000L
-    val d1 = full(graft.api.IncrementalDedup.ingest(s, root,
-      bands(col("id") >= 1000000L && col("id") < 2000000L)), w1)
+    val d1 = full(phase("ingest_w1") { graft.api.IncrementalDedup.ingest(s, root,
+      bands(col("id") >= 1000000L && col("id") < 2000000L)) }, w1)
     // compact mid-sequence: the second wave decides against the merged
     // segment — layout maintenance must not change one decision, which
     // this oracle row now gates. No vacuum here: d1 is lazy and still
     // reads the pre-compact directories (see IncrementalDedup.vacuum).
-    graft.api.IncrementalDedup.compactIndex(s, root)
-    val d2 = full(graft.api.IncrementalDedup.ingest(s, root,
-      bands(col("id") >= 2000000L)), col("doc_id") >= 2000000L)
+    phase("compact") { graft.api.IncrementalDedup.compactIndex(s, root) }
+    val d2 = full(phase("ingest_w2") { graft.api.IncrementalDedup.ingest(s, root,
+      bands(col("id") >= 2000000L)) }, col("doc_id") >= 2000000L)
     d1.unionByName(d2).orderBy("doc_id")
   }
 
