@@ -18,8 +18,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Thread-local table-source override (bench/spec harness only): routes
+    * named tables to an alternative physical LAYOUT — e.g. the bucketed
+    * catalog tables of the TPC-H bucketed leg — while running the
+    * UNCHANGED query definitions, so a layout experiment can never drift
+    * from the query it prices. Overrides apply during plan CONSTRUCTION on
+    * the calling thread; never set on the query path itself. */
+  private val overrides = new ThreadLocal[Map[String, () => DataFrame]] {
+    override def initialValue: Map[String, () => DataFrame] = Map.empty
+  }
+
+  def withTableOverrides[T](m: Map[String, () => DataFrame])(body: => T): T = {
+    val prev = overrides.get()
+    overrides.set(prev ++ m)
+    try body finally overrides.set(prev)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    overrides.get().get(name).map(_())
+      .getOrElse(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
