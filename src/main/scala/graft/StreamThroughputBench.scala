@@ -93,7 +93,7 @@ object StreamThroughputBench {
     * (wal_commit + commit_offsets + planning) from the data-plane cost
     * (add_batch minus the store times). Emitted into the leg JSON so the
     * floor is measured, not guessed. */
-  private def statefulProfile(q: org.apache.spark.sql.streaming.StreamingQuery): String = {
+  private[graft] def statefulProfile(q: org.apache.spark.sql.streaming.StreamingQuery): String = {
     val ps = q.recentProgress.filter(_.numInputRows > 0)
     def phase(k: String): Long =
       ps.flatMap(p => Option(p.durationMs.get(k)).map(_.toLong)).sum
@@ -169,7 +169,7 @@ object StreamThroughputBench {
     * run of batches (PERF_NOTES), which a median ignores but any total —
     * wall or engine — absorbs. The streaming analog of Bench's
     * min-of-attempts methodology. */
-  private def progressStats(q: org.apache.spark.sql.streaming.StreamingQuery): (Int, Double, Double, Seq[Long]) = {
+  private[graft] def progressStats(q: org.apache.spark.sql.streaming.StreamingQuery): (Int, Double, Double, Seq[Long]) = {
     val ps = q.recentProgress.filter(_.numInputRows > 0)
     val rows = ps.map(_.numInputRows).sum
     val perBatch = ps.toSeq.flatMap(p =>
