@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.{CodecQueries, MsgCodec}
-import graft.sources.MsgBroker
-import graft.streaming.{MessageSource, MsgPipeline}
+import graft.sources.{MessageSource, MsgBroker}
+import graft.streaming.MsgPipeline
 
 /** Stateful-streaming throughput at REAL key counts
   * (`runMain graft.StreamStateScaleBench`).
