@@ -71,11 +71,23 @@ object VectorSearch {
   private def modelBytes(cents: Array[Array[Double]]): Long =
     cents.foldLeft(0L)((a, c) => a + 8L * c.length)
 
-  /** Scale-adaptive probe count: nprobe ≈ √nCells (≥ [[NprobeMin]]), so
-    * the scanned fraction nprobe/nCells ≈ 1/√nCells SHRINKS as the corpus
-    * grows — the whole point of IVF at 100 TB. */
+  /** Floor on the scanned fraction nprobe/nCells: 1/16 ≈ 6.25%. Pure
+    * √-scaling lets the fraction shrink without bound as cells multiply,
+    * and the r15 decade gauge measured the cost: at 774 cells (sf1 after
+    * the clamp lift) nprobe=28 scanned 3.6% and IVF-PQ cross-family recall
+    * fell 8200 → 6200 bp. The floor is the recall-vs-cost POLICY knob:
+    * scanned work per query is still ≤ corpus/16 — the IVF win — while
+    * recall stops degrading with scale. Interpolated into the oracles'
+    * `ksz` CTEs like every other sizing constant. */
+  val NprobeDenom = 16
+
+  /** Scale-adaptive probe count: nprobe ≈ max(√nCells, nCells/[[
+    * NprobeDenom]]) (≥ [[NprobeMin]]). √nCells drives small models
+    * (identical to the r13/r14 rule below 256 cells, so test-SF oracles
+    * are unchanged); the 1/16 fraction floor takes over for large ones. */
   def nprobeFor(nCells: Int): Int =
-    math.max(NprobeMin.toLong, ceilSqrt(nCells.toLong)).toInt
+    math.max(NprobeMin.toLong, math.max(ceilSqrt(nCells.toLong),
+      (nCells.toLong + NprobeDenom - 1) / NprobeDenom)).toInt
 
   /** Normalize input: (id, v ARRAY<DOUBLE>, nrm, keep...). Pass-through
     * columns (labels, block keys) ride the same single scan — don't

@@ -243,7 +243,8 @@ object Similarity {
        |                CAST(floor(sqrt(CAST(ncells AS DOUBLE))) AS BIGINT) AS c0 FROM ksz2),
        |ksz AS (SELECT ncells, pqk,
        |               GREATEST(${VS.NprobeMin},
-       |                        CASE WHEN c0*c0 >= ncells THEN c0 ELSE c0+1 END) AS np
+       |                        CASE WHEN c0*c0 >= ncells THEN c0 ELSE c0+1 END,
+       |                        (ncells + ${VS.NprobeDenom - 1}) // ${VS.NprobeDenom}) AS np
        |        FROM ksz3)""".stripMargin
   }
 
