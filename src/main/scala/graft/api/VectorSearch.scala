@@ -71,20 +71,20 @@ object VectorSearch {
   private def modelBytes(cents: Array[Array[Double]]): Long =
     cents.foldLeft(0L)((a, c) => a + 8L * c.length)
 
-  /** Floor on the scanned fraction nprobe/nCells: 1/16 ≈ 6.25%. Pure
+  /** Floor on the scanned fraction nprobe/nCells: 1/8 = 12.5%. Pure
     * √-scaling lets the fraction shrink without bound as cells multiply,
-    * and the r15 decade gauge measured the cost: at 774 cells (sf1 after
-    * the clamp lift) nprobe=28 scanned 3.6% and IVF-PQ cross-family recall
-    * fell 8200 → 6200 bp. The floor is the recall-vs-cost POLICY knob:
-    * scanned work per query is still ≤ corpus/16 — the IVF win — while
-    * recall stops degrading with scale. Interpolated into the oracles'
-    * `ksz` CTEs like every other sizing constant. */
-  val NprobeDenom = 16
+    * and the r15 decade gauge measured the cost: the clamp lift moved sf1
+    * from (128 cells, nprobe 12, 9.4% scanned) to (252 cells, nprobe 16,
+    * 6.3%) and IVF cross-family recall fell 10000 → 9000 bp, IVF-PQ
+    * 8200 → 6200. The floor is the recall-vs-cost POLICY knob: scanned
+    * work per query is ≤ corpus/8 — still the IVF win — while recall
+    * stops degrading with scale. Interpolated into the oracles' `ksz`
+    * CTEs like every other sizing constant. */
+  val NprobeDenom = 8
 
   /** Scale-adaptive probe count: nprobe ≈ max(√nCells, nCells/[[
-    * NprobeDenom]]) (≥ [[NprobeMin]]). √nCells drives small models
-    * (identical to the r13/r14 rule below 256 cells, so test-SF oracles
-    * are unchanged); the 1/16 fraction floor takes over for large ones. */
+    * NprobeDenom]]) (≥ [[NprobeMin]]). √nCells drives small models; the
+    * 1/8 fraction floor takes over past 64 cells. */
   def nprobeFor(nCells: Int): Int =
     math.max(NprobeMin.toLong, math.max(ceilSqrt(nCells.toLong),
       (nCells.toLong + NprobeDenom - 1) / NprobeDenom)).toInt

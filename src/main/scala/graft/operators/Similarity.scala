@@ -507,7 +507,14 @@ object Similarity {
   private val PqRounds = 2   // Lloyd rounds per codebook
   // ADC shortlist depth for the exact re-rank (10·k at k=10 — FAISS refine kFactor 10): compression
   // decides what gets exact-scored, the refine decides the final order
-  private[graft] val PqShortlist = 100
+  /** ADC shortlist size for the exact re-rank (FAISS refine's k_factor):
+    * the r15 decade gauge decomposed IVF-PQ's cross-family recall loss as
+    * ~1000 bp probing (shared with the IVF route) + ~2800 bp ADC RANKING —
+    * true neighbors present in the probed pool but ranked below the
+    * 100-entry shortlist among ~4000 ADC-scored candidates. 400 covers
+    * 10% of that pool; refine cost is 400 exact cosines per query —
+    * trivial next to the scan. */
+  private[graft] val PqShortlist = 400
 
   /** UNIT-SPHERE projection of the normed corpus — the PQ route trains,
     * encodes, and scores on v/‖v‖: squared L2 between unit vectors is
