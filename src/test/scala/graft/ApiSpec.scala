@@ -236,6 +236,24 @@ class ApiSpec extends SparkSpec {
     assert(top == Set(0L, 2L, 4L), s"nprobe=1 must search one cell: $top")
   }
 
+  test("ANN sizing rules: exact values at the scales the gauges run") {
+    import graft.api.{VectorSearch => VS}
+    // isqrt exactness at the clamp edges
+    assert(VS.isqrt(0) == 0 && VS.isqrt(1) == 1 && VS.isqrt(63) == 7 && VS.isqrt(64) == 8)
+    // cells: sqrt(N) clamped [8, 4096]
+    assert(VS.ivfCellsFor(200) == 14)     // sf0.01 embeddings
+    assert(VS.ivfCellsFor(2000) == 44)    // sf0.1
+    assert(VS.ivfCellsFor(20000) == 141)  // sf1 decade gauge — past the old 128 clamp
+    assert(VS.ivfCellsFor(20L * 1000 * 1000 * 1000) == 4096) // clamp
+    // nprobe: max(ceil(sqrt(nCells)), ceil(nCells/8)), min 2 — the sqrt term
+    // drives small models, the 1/8 scan floor binds past 64 cells
+    assert(VS.nprobeFor(14) == 4)
+    assert(VS.nprobeFor(44) == 7)
+    assert(VS.nprobeFor(64) == 8)
+    assert(VS.nprobeFor(141) == 18, "the 1/8 floor must bind at the decade gauge scale")
+    assert(VS.nprobeFor(4096) == 512)
+  }
+
   test("IVF join gear (centroid table) assigns and probes identically to the expression gear") {
     // the above-reference-budget gear: same fitted model, same corpus —
     // broadcast-join argmax must agree with the reference-carrying
