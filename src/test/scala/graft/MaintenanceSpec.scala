@@ -1045,6 +1045,40 @@ class MaintenanceSpec extends SparkSpec {
       read), "cross-join definition must refuse")
   }
 
+  test("mv join: a TWO-dim star (fact ⋈ dim ⋈ dim) serves roll-ups; normalizeBase recurses") {
+    import graft.api.MaterializedView
+    MaterializedView.clear(spark)
+    val d = sf()
+    def star = Tables.orders(spark, d)
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, d), col("c_nationkey") === col("n_nationkey"))
+    def defn = star.groupBy("n_name", "c_mktsegment", "o_orderstatus")
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("p_sum_price"),
+        count(lit(1)).as("p_cnt"))
+    // truth first: a roll-up to one dim attribute with filters pushed into
+    // BOTH dim children — the nested-join normalizeBase walk
+    def q = star.where(col("c_mktsegment") === "BUILDING" && col("o_orderstatus") === "O")
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2).as("sum_price"),
+        count(lit(1)).as("cnt"))
+    val truth = q.collect().map(_.toSeq.map(String.valueOf(_))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("mv-star2").toString
+    val read = MaterializedView.refresh(spark, defn, s"$dir/state")
+    assert(MaterializedView.register(spark, "mv_spec_star2", defn, read))
+    try {
+      val served = q
+      assert(scansState(served, "mv-star2"), "two-dim star roll-up did not rewrite")
+      assert(served.collect().map(_.toSeq.map(String.valueOf(_))).toSet == truth,
+        "two-dim star roll-up changed rows")
+      // filter on a column NO side stored (o_totalprice) still refuses
+      val q2 = star.where(col("o_totalprice") > 1000)
+        .groupBy("n_name").agg(count(lit(1)).as("c"))
+      assert(!scansState(q2, "mv-star2"), "UNSOUND: non-key filter served over 2-dim star")
+    } finally MaterializedView.unregister(spark, "mv_spec_star2")
+  }
+
   test("mv join fuzz: registration never changes any aggregate's result over a join base") {
     import graft.api.MaterializedView
     import org.apache.spark.sql.{Column, DataFrame}
