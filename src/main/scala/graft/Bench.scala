@@ -27,19 +27,27 @@ object Bench {
   final case class QueryTiming(name: String, sec: Double, shuffleMb: Double,
       attempts: Int, median: Double, error: Option[String],
       retryCalib: Option[Double] = None, winCalib: Double = 0.0) {
+    /** Window correction factor this row divides by: winCalib expressed as
+      * a multiple of the hot-host reference, CLAMPED at ≥ 1 — normalization
+      * may only correct degradation, never claim sub-raw speed. Probes
+      * taken between query bursts retain a small systematic overshoot
+      * (measured ~1.1-1.4× beside queries running at ~1.04× hot even after
+      * the settle+min-of-3 debiasing), and an unclamped factor would
+      * deflate a hot run's total below what the code measurably did. The
+      * clamp makes the bias ONE-SIDED by design; the artifact publishes the
+      * per-query factor distribution (`norm_factors`) so a reader can see
+      * exactly how much of total_norm_sec came from large corrections. */
+    def normFactor: Double =
+      if (winCalib > 0) math.max(1.0, winCalib / Bench.CalibRef) else 1.0
+
     /** Window-corrected seconds: `sec` expressed at hot-host speed per this
-      * query's nearest probe. Run-bracketing probes cannot see a MID-RUN
-      * stall (the r14 driver artifact doubled on identical plans that way);
-      * dividing each query by the probe nearest IN RUN ORDER corrects the
-      * stalled block without touching the queries outside it. The factor is
-      * CLAMPED at ≥ 1: normalization may only correct degradation, never
-      * claim sub-raw speed — probes taken between query bursts retain a
-      * small systematic overshoot (measured ~1.1-1.4× beside queries
-      * running at ~1.04× hot even after the settle+min-of-3 debiasing), and
-      * an unclamped factor would deflate a hot run's total below what the
-      * code measurably did. Raw `sec` stays the primary record. */
-    def normSec: Double =
-      if (winCalib > 0) sec / math.max(1.0, winCalib / Bench.CalibRef) else sec
+      * query's window factor (probes interpolated by [[Bench
+      * .assignWindows]]). Run-bracketing probes cannot see a MID-RUN stall
+      * (the r14 driver artifact doubled on identical plans that way);
+      * dividing each query by its in-run window estimate corrects the
+      * stalled block without touching the queries outside it. Raw `sec`
+      * stays the primary record. */
+    def normSec: Double = sec / normFactor
   }
 
   /** An inventory timed with interleaved calibration probes. `probes` are
@@ -101,37 +109,76 @@ object Bench {
     * below the block width at negligible cost. */
   val ProbeEvery = 8
 
-  /** Assign each query its NEAREST probe by run-order distance. A query's
-    * own `retry_calib` probe wins outright when present — it was taken
-    * immediately beside the stalled attempts, closer than any interleaved
-    * probe. No probes at all leaves rows unassigned (normSec = raw). */
+  /** Assign each query a window reading by LINEAR INTERPOLATION between
+    * the two probes bracketing it in run order (round 16; was
+    * nearest-probe). Nearest-probe has a mid-gap blind spot: a stall
+    * boundary falling INSIDE a probe gap assigns every query between the
+    * boundary and the gap's midpoint to the wrong side — the r15 driver
+    * run showed exactly that (q_mv_having stalled but normalized against
+    * a pre-stall probe, VERDICT r15 "What's wrong" #1). Interpolation
+    * bounds the worst-case factor error at HALF the probe-to-probe swing
+    * (nearest: the full swing) and reduces to the same answer when both
+    * bracketing probes agree. A query's own `retry_calib` probe still
+    * wins outright — it was taken immediately beside the stalled
+    * attempts, closer than any interleaved probe. No probes at all leaves
+    * rows unassigned (normSec = raw). */
   def assignWindows(timings: Seq[QueryTiming],
       probes: Seq[(Int, Double)]): Seq[QueryTiming] =
     if (probes.isEmpty) timings
-    else timings.zipWithIndex.map { case (t, i) =>
-      val cal = t.retryCalib.getOrElse(
-        probes.minBy { case (p, _) => math.abs(p - (i + 0.5)) }._2)
-      t.copy(winCalib = cal)
+    else {
+      val ps = probes.sortBy(_._1)
+      timings.zipWithIndex.map { case (t, i) =>
+        val pos = i + 0.5
+        val cal = t.retryCalib.getOrElse {
+          val (lo, hi) = ps.partition(_._1 <= pos)
+          (lo.lastOption, hi.headOption) match {
+            case (Some((pb, cb)), Some((pa, ca))) =>
+              cb + (ca - cb) * ((pos - pb) / (pa - pb))
+            case (Some((_, cb)), None) => cb
+            case (None, Some((_, ca))) => ca
+            case _ => 0.0
+          }
+        }
+        t.copy(winCalib = cal)
+      }
     }
 
+  /** Degraded-window gate for the adaptive probe stride: while the last
+    * probe reads above this multiple of [[CalibRef]], the probe gap halves
+    * (floor 2) — a stall BOUNDARY is then localized to within one query of
+    * a probe instead of hiding anywhere in an 8-query gap. Same 1.5×
+    * threshold as the retry-cancel gate. */
+  val DegradedProbe = 1.5
+
   /** [[timeInventory]] with a calibration probe interleaved every
-    * `probeEvery` queries and each row normalized against its nearest
-    * probe. `chunkHook(firstIdx)` fires before each chunk and once more
-    * with `defs.size` after the last — the deliberate-degrade drill hangs
-    * its CPU burners off it. */
+    * `probeEvery` queries (HALVED down to 2 while the window reads
+    * degraded — see [[DegradedProbe]]) and each row normalized against the
+    * interpolation of its bracketing probes. `queryHook(idx)` fires before
+    * each query with its global run-order index and once more with
+    * `defs.size` after the last — the deliberate-degrade drill hangs its
+    * CPU burners off it (per-query granularity so a drill window can start
+    * or end MID-GAP, the exact case the interpolation is for). */
   def timeInventoryCalibrated(spark: SparkSession, sfDir: String,
       defs: Seq[QueryDef], shuffleCounter: () => Long = () => 0L,
       retrySlow: Boolean = true, probeEvery: Int = ProbeEvery,
-      chunkHook: Int => Unit = _ => ()): CalibratedRun = {
+      queryHook: Int => Unit = _ => ()): CalibratedRun = {
     val probes = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val timings = scala.collection.mutable.ArrayBuffer.empty[QueryTiming]
-    probes += 0 -> probeOnce(spark)
-    defs.grouped(probeEvery).foreach { chunk =>
-      chunkHook(timings.size)
-      timings ++= timeInventory(spark, sfDir, chunk, shuffleCounter, retrySlow)
-      probes += timings.size -> probeOnce(spark)
+    var last = probeOnce(spark)
+    probes += 0 -> last
+    var stride = probeEvery
+    while (timings.size < defs.size) {
+      stride =
+        if (last > DegradedProbe * CalibRef) math.max(2, stride / 2)
+        else probeEvery
+      val base = timings.size
+      val chunk = defs.slice(base, base + stride)
+      timings ++= timeInventory(spark, sfDir, chunk, shuffleCounter,
+        retrySlow, queryHook = j => queryHook(base + j))
+      last = probeOnce(spark)
+      probes += timings.size -> last
     }
-    chunkHook(defs.size)
+    queryHook(defs.size)
     CalibratedRun(assignWindows(timings.toSeq, probes.toSeq), probes.toSeq)
   }
 
@@ -218,8 +265,10 @@ object Bench {
     * inline comments); specs disable it to keep runs deterministic. */
   def timeInventory(spark: SparkSession, sfDir: String, defs: Seq[QueryDef],
       shuffleCounter: () => Long = () => 0L,
-      retrySlow: Boolean = true): Seq[QueryTiming] =
-    defs.map { q =>
+      retrySlow: Boolean = true,
+      queryHook: Int => Unit = _ => ()): Seq[QueryTiming] =
+    defs.zipWithIndex.map { case (q, qi) =>
+      queryHook(qi)
       var error: Option[String] = None
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -411,15 +460,17 @@ object Bench {
     // GRAFT_BENCH_DEGRADE=start:end[:threads] — the deliberate-degrade
     // drill: busy-spin burner threads compete with Spark for every core
     // while queries [start, end) run, simulating the mid-run host stalls
-    // the per-query normalization exists to correct. Validation harness
-    // only; never set by the driver.
+    // the per-query normalization exists to correct. The hook now fires
+    // per QUERY (round 16), so start/end may land anywhere inside a probe
+    // gap — the boundary case the interpolated window assignment closes.
+    // Validation harness only; never set by the driver.
     val degrade = sys.env.get("GRAFT_BENCH_DEGRADE").map { s =>
       val p = s.split(":"); (p(0).toInt, p(1).toInt,
         if (p.length > 2) p(2).toInt else 32)
     }
     val burnStop = new java.util.concurrent.atomic.AtomicBoolean(false)
     var burners: Seq[Thread] = Nil
-    def chunkHook(firstIdx: Int): Unit = degrade.foreach { case (s, e, n) =>
+    def queryHook(firstIdx: Int): Unit = degrade.foreach { case (s, e, n) =>
       if (firstIdx >= s && firstIdx < e && burners.isEmpty) {
         burnStop.set(false)
         burners = (1 to n).map { i =>
@@ -439,7 +490,7 @@ object Bench {
     val calibPre = calibrate()
     val run = timeInventoryCalibrated(spark, sfDir,
       SparkEntry.defs.sortBy(_.name).filter(q => only.forall(_.contains(q.name))),
-      shuffleCounter = shuffleCount, chunkHook = chunkHook)
+      shuffleCounter = shuffleCount, queryHook = queryHook)
     val results = run.timings
     burnStop.set(true) // belt-and-braces: never let a burner outlive the run
     val calibPost = calibrate()
@@ -488,10 +539,21 @@ object Bench {
           s""", "error": "${e.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)}"""")
           .getOrElse("")
         val rc = r.retryCalib.map(c => s""", "retry_calib": ${num(c, 4)}""").getOrElse("")
-        s"""  "${r.name}": {"sec": ${num(r.sec, 4)}, "norm_sec": ${num(r.normSec, 4)}, "win_calib": ${num(r.winCalib, 4)}, "median": ${num(r.median, 4)}, "shuffle_mb": ${num(r.shuffleMb, 2)}, "attempts": ${r.attempts}$rc$err}"""
+        s"""  "${r.name}": {"sec": ${num(r.sec, 4)}, "norm_sec": ${num(r.normSec, 4)}, "norm_factor": ${num(r.normFactor, 3)}, "win_calib": ${num(r.winCalib, 4)}, "median": ${num(r.median, 4)}, "shuffle_mb": ${num(r.shuffleMb, 2)}, "attempts": ${r.attempts}$rc$err}"""
       }.mkString(",\n")
       val probesJson = run.probes.map { case (p, s) => s"[$p, ${num(s, 4)}]" }
         .mkString("[", ", ", "]")
+      // the ≥1 clamp makes normalization one-sided by design; publish the
+      // factor distribution so a reader sees how much of total_norm_sec
+      // came from large corrections (ADVICE r15)
+      val fs = results.map(_.normFactor).sorted
+      def fPct(p: Double): Double =
+        if (fs.isEmpty) 1.0 else fs(math.min(fs.size - 1, (p * fs.size).toInt))
+      val factorsJson = s"""{"min": ${num(fs.headOption.getOrElse(1.0), 3)}, """ +
+        s""""p50": ${num(fPct(0.5), 3)}, "p90": ${num(fPct(0.9), 3)}, """ +
+        s""""max": ${num(fs.lastOption.getOrElse(1.0), 3)}, """ +
+        s""""gt_1_5_count": ${fs.count(_ > 1.5)}, """ +
+        s""""correction_sec": ${num(total - totalNorm, 4)}}"""
       val doc = s"""{
   "sf": "$sfDir",
   "total_sec": ${num(total, 4)},
@@ -502,6 +564,7 @@ object Bench {
   "calib_probes": $probesJson,
   "total_norm_sec": ${num(totalNorm, 4)},
   "total_norm_bracket_sec": ${num(totalNormBracket, 4)},
+  "norm_factors": $factorsJson,
   "queries": {
 $body
   }

@@ -129,13 +129,16 @@ object TpchScaleBench {
       .replaceAll("[^0-9a-zA-Z]", "_")
     val (ordT, liT) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
     val bktRoot = s"$dst-bucketed"
+    // (re)write whichever table is missing INDEPENDENTLY: a prior run that
+    // died between the two writes must not leave the pair half-built and
+    // every later run skipping straight to a missing-table failure
     val tBuild0 = System.nanoTime()
-    if (!spark.catalog.tableExists(ordT)) {
+    if (!spark.catalog.tableExists(ordT))
       graft.api.Layout.writeBucketedAt(spark.read.parquet(s"$dst/orders.parquet"),
         ordT, s"$bktRoot/orders_$tag", "o_orderkey", buckets = 32)
+    if (!spark.catalog.tableExists(liT))
       graft.api.Layout.writeBucketedAt(spark.read.parquet(s"$dst/lineitem.parquet"),
         liT, s"$bktRoot/lineitem_$tag", "l_orderkey", buckets = 32)
-    }
     val buildSec = (System.nanoTime() - tBuild0) / 1e9
     def bucketOverrides[T](body: => T): T = Tables.withTableOverrides(Map(
       "orders" -> (() => spark.table(ordT)),

@@ -66,7 +66,12 @@ object VectorSearch {
     * 100 TB-scale cell counts). Env-overridable so drills and specs can
     * force the join gear on small data. */
   val IvfRefBudgetBytes: Long =
-    sys.env.get("GRAFT_IVF_REF_BUDGET").map(_.toLong).getOrElse(16L << 20)
+    sys.env.get("GRAFT_IVF_REF_BUDGET") match {
+      case None => 16L << 20
+      case Some(s) => s.trim.toLongOption.getOrElse(throw new
+        IllegalArgumentException(
+          s"GRAFT_IVF_REF_BUDGET must be an integer byte count, got '$s'"))
+    }
 
   private def modelBytes(cents: Array[Array[Double]]): Long =
     cents.foldLeft(0L)((a, c) => a + 8L * c.length)
@@ -241,7 +246,12 @@ object VectorSearch {
   /** Assignment over a broadcast centroid TABLE — the above-budget gear:
     * an explicit broadcast-replicate of the model against the corpus
     * (never a corpus-side shuffle for the join), score, then per-row
-    * argmax as a grouped max_by over the corpus's own columns. The
+    * argmax grouped by a per-row SURROGATE key (`monotonically_
+    * increasing_id`, assigned BEFORE the replicate so all copies of a row
+    * share it). Grouping by the corpus's own columns would silently
+    * collapse rows identical in every column — diverging from the
+    * expression gear, which preserves duplicates and so keeps cell means
+    * honest — and fails outright for map-typed pass-through columns. The
     * replicate collapses map-side BEFORE the exchange only at the final
     * aggregate, so the one exchange this gear pays carries |corpus| rows —
     * the price of a model too big to ride every task binary. Tie rule
@@ -251,9 +261,15 @@ object VectorSearch {
     * orders them, unreachable for real cosine scores. */
   def ivfAssignJoin(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val cos = VectorExprs.dot_product(col("v"), col("__cv")) / (col("nrm") * col("__cnrm"))
-    corpus.crossJoin(broadcast(centroidTable(corpus, cents)))
-      .groupBy(corpus.columns.toIndexedSeq.map(col): _*)
-      .agg(max_by(col("__cell"), struct(cos, -col("__cell"))).as("cell"))
+    // every replica of a row carries identical column values, so first()
+    // is deterministic here — it only rebuilds the row beside the argmax
+    val carry = corpus.columns.toIndexedSeq.map(c => first(col(c)).as(c))
+    val am = max_by(col("__cell"), struct(cos, -col("__cell"))).as("cell")
+    corpus.withColumn("__rid", monotonically_increasing_id())
+      .crossJoin(broadcast(centroidTable(corpus, cents)))
+      .groupBy(col("__rid"))
+      .agg(carry.head, (carry.tail :+ am): _*)
+      .drop("__rid")
   }
 
   /** Per-query top-`nprobe` cells by centroid cosine (ties → lowest cell):
@@ -272,14 +288,20 @@ object VectorSearch {
   /** Probe side of the above-budget gear: top-`nprobe` cells per query via
     * the bounded-heap [[TopKAgg]] over the broadcast centroid table (same
     * order as [[graft.functions.IvfCos.topCells]]: cosine desc, ties →
-    * lowest cell). The query set is small by definition, so the grouped
-    * heap is cheap; the model never enters the plan. */
+    * lowest cell). Grouped by the same per-row surrogate key as
+    * [[ivfAssignJoin]] — duplicate query rows each keep their probes, and
+    * map-typed pass-through columns survive. The query set is small by
+    * definition, so the grouped heap is cheap; the model never enters the
+    * plan. */
   def ivfProbesJoin(queries: DataFrame, cents: Array[Array[Double]],
       nprobe: Int): DataFrame = {
     val cos = VectorExprs.dot_product(col("v"), col("__cv")) / (col("nrm") * col("__cnrm"))
-    queries.crossJoin(broadcast(centroidTable(queries, cents)))
-      .groupBy(queries.columns.toIndexedSeq.map(col): _*)
-      .agg(TopKAgg.top_k_agg(cos, col("__cell").cast("long"), nprobe).as("__tk"))
+    val carry = queries.columns.toIndexedSeq.map(c => first(col(c)).as(c))
+    val tk = TopKAgg.top_k_agg(cos, col("__cell").cast("long"), nprobe).as("__tk")
+    queries.withColumn("__rid", monotonically_increasing_id())
+      .crossJoin(broadcast(centroidTable(queries, cents)))
+      .groupBy(col("__rid"))
+      .agg(carry.head, (carry.tail :+ tk): _*)
       .select(queries.columns.toIndexedSeq.map(col) :+
         explode(col("__tk")).as("__x"): _*)
       .withColumn("pcell", col("__x.id").cast("int"))

@@ -288,6 +288,24 @@ class ApiSpec extends SparkSpec {
     n.unpersist()
   }
 
+  test("IVF join gear preserves duplicate rows and map-typed pass-through columns") {
+    // ADVICE r15: the old grouped-by-all-corpus-columns argmax silently
+    // collapsed rows identical in EVERY column (shrinking the indexed
+    // corpus and skewing cell means vs the expression gear, which keeps
+    // duplicates) and failed outright on map-typed pass-through columns
+    // (maps are not groupable). The surrogate-key argmax must keep
+    // row-for-row cardinality on both.
+    val rows = Seq.tabulate(12)(i => (i.toLong % 3, Array.fill(4)((i % 3 + 1).toFloat)))
+    val n = VectorSearch.withNorm(rows.toDF("item", "emb"), col("item"), col("emb"))
+      .withColumn("meta", map(lit("k"), col("id").cast("string")))
+    val cents = Array(Array(1.0, 1.0, 1.0, 1.0), Array(-1.0, 1.0, -1.0, 1.0))
+    val out = VectorSearch.ivfAssignJoin(n, cents).collect()
+    assert(out.length == 12, "duplicate corpus rows must be preserved, not collapsed")
+    assert(out.forall(r => r.getAs[Map[String, String]]("meta").nonEmpty))
+    val probes = VectorSearch.ivfProbesJoin(n, cents, nprobe = 2).collect()
+    assert(probes.length == 24, "each duplicate query row keeps its own probe list")
+  }
+
   test("ivfFitKMeans: trained cells recover cluster structure first-N seeds miss") {
     // planted corpus: the 8 lowest ids — exactly what the first-N "fit"
     // takes as centroids — all sit in cluster 0, so the untrained

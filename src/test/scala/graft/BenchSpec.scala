@@ -71,25 +71,45 @@ class BenchSpec extends SparkSpec {
       retryCalib: Option[Double] = None): Bench.QueryTiming =
     Bench.QueryTiming(name, sec, 0.0, 1, sec, None, retryCalib)
 
-  test("assignWindows picks each query's nearest probe; retry_calib wins outright") {
+  test("assignWindows interpolates bracketing probes; retry_calib wins outright") {
     // probes: hot before q0, STALLED between q1 and q2, hot after q3 —
-    // the mid-run stall the run-bracketing formula is blind to
-    val probes = Seq(0 -> Bench.CalibRef, 2 -> (Bench.CalibRef * 4), 4 -> Bench.CalibRef)
+    // the mid-run stall the run-bracketing formula is blind to. Each query
+    // sits at position i+0.5 and takes the LINEAR INTERPOLATION of the two
+    // probes bracketing it (round 16; nearest-probe had a mid-gap blind
+    // spot — a stall boundary inside the gap assigned the wrong side).
+    val C = Bench.CalibRef
+    val probes = Seq(0 -> C, 2 -> (C * 4), 4 -> C)
     val ts = Seq(timing("q0", 1.0), timing("q1", 8.0),
-      timing("q2", 8.0), timing("q3", 1.0, retryCalib = Some(Bench.CalibRef * 2)))
+      timing("q2", 8.0), timing("q3", 1.0, retryCalib = Some(C * 2)))
     val out = Bench.assignWindows(ts, probes)
-    assert(out(0).winCalib == Bench.CalibRef, "q0 nearest = probe at 0")
-    assert(out(1).winCalib == Bench.CalibRef * 4, "q1 nearest = stalled probe at 2")
-    assert(out(2).winCalib == Bench.CalibRef * 4, "q2 nearest = stalled probe at 2")
-    assert(out(3).winCalib == Bench.CalibRef * 2,
+    // q0 at 0.5 between (0, C) and (2, 4C): C + 3C * 0.25
+    assert(math.abs(out(0).winCalib - 1.75 * C) < 1e-12)
+    // q1 at 1.5: C + 3C * 0.75
+    assert(math.abs(out(1).winCalib - 3.25 * C) < 1e-12)
+    // q2 at 2.5 between (2, 4C) and (4, C): 4C - 3C * 0.25
+    assert(math.abs(out(2).winCalib - 3.25 * C) < 1e-12)
+    assert(out(3).winCalib == C * 2,
       "q3 has its own retry_calib probe — it outranks interleaved probes")
-    // normalization arithmetic: the stalled queries divide by 4x, q3 by 2x
-    assert(math.abs(out(1).normSec - 2.0) < 1e-9)
+    // normalization arithmetic: factor = max(1, winCalib / CalibRef)
+    assert(math.abs(out(0).normSec - 1.0 / 1.75) < 1e-9)
+    assert(math.abs(out(1).normSec - 8.0 / 3.25) < 1e-9)
+    assert(math.abs(out(2).normSec - 8.0 / 3.25) < 1e-9)
     assert(math.abs(out(3).normSec - 0.5) < 1e-9)
-    assert(math.abs(out(0).normSec - 1.0) < 1e-9)
-    // the per-query-normalized total corrects the stall block only
-    val norm = out.map(_.normSec).sum
-    assert(math.abs(norm - (1.0 + 2.0 + 2.0 + 0.5)) < 1e-9)
+    assert(math.abs(out(1).normFactor - 3.25) < 1e-9)
+  }
+
+  test("assignWindows: agreeing bracket probes reduce to the flat window") {
+    val C = Bench.CalibRef
+    val out = Bench.assignWindows(
+      Seq(timing("q0", 2.0), timing("q1", 2.0)),
+      Seq(0 -> (C * 3), 2 -> (C * 3)))
+    // both probes read 3x degraded: every query in the gap gets exactly 3x
+    out.foreach(t => assert(math.abs(t.normFactor - 3.0) < 1e-9))
+    // hot run: the >=1 clamp keeps norm == raw even if a probe undershoots
+    val hot = Bench.assignWindows(Seq(timing("q0", 2.0)),
+      Seq(0 -> (C * 0.5), 1 -> (C * 0.5)))
+    assert(hot.head.normSec == 2.0)
+    assert(hot.head.normFactor == 1.0)
   }
 
   test("assignWindows with no probes leaves normSec = raw (fallback)") {
@@ -98,16 +118,21 @@ class BenchSpec extends SparkSpec {
     assert(out.head.normSec == 3.0)
   }
 
-  test("timeInventoryCalibrated brackets every chunk with probes and fires the chunk hook") {
+  test("timeInventoryCalibrated brackets every chunk with probes and fires the query hook") {
     val defs = (0 until 5).map(i => okQuery(s"q$i"))
     val hooks = scala.collection.mutable.ArrayBuffer.empty[Int]
     val run = Bench.timeInventoryCalibrated(spark, "ignored", defs,
-      retrySlow = false, probeEvery = 2, chunkHook = hooks += _)
+      retrySlow = false, probeEvery = 2, queryHook = hooks += _)
     assert(run.timings.map(_.name) == defs.map(_.name))
     // probes at 0 (pre) and after each chunk of 2: positions 0,2,4,5
-    assert(run.probes.map(_._1) == Seq(0, 2, 4, 5))
+    // (chunks may shrink if a probe reads degraded — then positions are a
+    // superset; assert the guaranteed endpoints and monotonicity)
+    assert(run.probes.head._1 == 0 && run.probes.last._1 == 5)
+    assert(run.probes.map(_._1) == run.probes.map(_._1).sorted)
     assert(run.probes.forall(_._2 > 0))
-    assert(hooks.toSeq == Seq(0, 2, 4, 5), "hook fires per chunk + final")
+    // hook fires before EVERY query (global index) + once after the last —
+    // per-query granularity lets the degrade drill start/stop mid-gap
+    assert(hooks.toSeq == Seq(0, 1, 2, 3, 4, 5))
     assert(run.timings.forall(_.winCalib > 0), "every row gets a window probe")
     assert(run.totalNorm > 0 && run.totalRaw > 0)
   }
