@@ -195,7 +195,7 @@ object PipelineScaleBench {
       // the shipped route: ADC shortlist + exact re-rank (q_ivfpq_ann)
       val pq = PQ.adcRefineTopK(codes,
         PQ.lut(nu.where(col("id") < 5), books, Similarity.PqSub), cand,
-        corpus = n, k = 10, shortlist = graft.operators.Similarity.PqShortlist)
+        corpus = n, k = 10, shortlist = graft.operators.Similarity.pqShortlist(spark, dir))
       // score its picks by their EXACT cosine so regret compares like
       // with like (the refined route already ranks by exact cosine; the
       // re-join keeps the rounding identical to the brute leg)

@@ -236,16 +236,18 @@ object Similarity {
        |                CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS r0 FROM n),
        |ksz1 AS (SELECT nn, CASE WHEN (r0+1)*(r0+1) <= nn THEN r0+1
        |                         WHEN r0*r0 > nn THEN r0-1 ELSE r0 END AS isq FROM ksz0),
-       |ksz2 AS (SELECT GREATEST(${VS.IvfCellsMin}, LEAST(${VS.IvfCellsMax}, isq)) AS ncells,
+       |ksz2 AS (SELECT nn, GREATEST(${VS.IvfCellsMin}, LEAST(${VS.IvfCellsMax}, isq)) AS ncells,
        |                GREATEST(${PQ.CodebookCellsMin}, LEAST(${PQ.CodebookCellsMax}, isq)) AS pqk
        |         FROM ksz1),
-       |ksz3 AS (SELECT ncells, pqk,
+       |ksz3 AS (SELECT nn, ncells, pqk,
        |                CAST(floor(sqrt(CAST(ncells AS DOUBLE))) AS BIGINT) AS c0 FROM ksz2),
-       |ksz AS (SELECT ncells, pqk,
+       |ksz4 AS (SELECT nn, ncells, pqk,
        |               GREATEST(${VS.NprobeMin},
        |                        CASE WHEN c0*c0 >= ncells THEN c0 ELSE c0+1 END,
        |                        (ncells + ${VS.NprobeDenom - 1}) // ${VS.NprobeDenom}) AS np
-       |        FROM ksz3)""".stripMargin
+       |        FROM ksz3),
+       |ksz AS (SELECT ncells, pqk, np,
+       |               GREATEST(100, ((nn * np) // ncells) // 5) AS shortk FROM ksz4)""".stripMargin
   }
 
   /** DuckDB CTE chain replaying the Lloyd fit ([[graft.api.VectorSearch
@@ -505,16 +507,32 @@ object Similarity {
   // ProductQuant.codebookCellsFor) — the r13 decade measured the old
   // fixed k=8 collapsing at 10× data
   private val PqRounds = 2   // Lloyd rounds per codebook
-  // ADC shortlist depth for the exact re-rank (10·k at k=10 — FAISS refine kFactor 10): compression
-  // decides what gets exact-scored, the refine decides the final order
-  /** ADC shortlist size for the exact re-rank (FAISS refine's k_factor):
-    * the r15 decade gauge decomposed IVF-PQ's cross-family recall loss as
-    * ~1000 bp probing (shared with the IVF route) + ~2800 bp ADC RANKING —
-    * true neighbors present in the probed pool but ranked below the
-    * 100-entry shortlist among ~4000 ADC-scored candidates. 400 covers
-    * 10% of that pool; refine cost is 400 exact cosines per query —
-    * trivial next to the scan. */
-  private[graft] val PqShortlist = 400
+  /** Scale-adaptive ADC refine shortlist (FAISS refine's k_factor as a
+    * RULE — r15 verdict #1, the third fixed-constant cliff caught one
+    * decade early): `max(10·k, pool/5)` where `pool` = the EXPECTED
+    * ADC-scored candidates per query, (N · nprobe) / nCells. Why a rule:
+    * the r15 gauge decomposed IVF-PQ's recall loss as ~1000 bp probing +
+    * ~2800 bp ADC RANKING — true neighbors inside the probed pool ranked
+    * below a FIXED 100-entry shortlist among ~4000 candidates; lifting to
+    * ~10% of the pool recovered 8000 bp. A constant repeats the failure
+    * at the next decade (400 is ~1% of a 10× pool). Why /5 and not /10:
+    * the expected pool systematically UNDER-counts the actual one —
+    * a query probes where mass is, so probed cells are larger than the
+    * mean cell (measured ~1.6× at the sf1 gauge: ~4000 actual vs 2550
+    * expected) — /5 is the 10%-of-pool policy with a 2× bias guard.
+    * Exact-integer arithmetic, mirrored by the `shortk` field of the
+    * oracles' `ksz` sizing CTE. Refine cost stays a constant fraction of
+    * the ADC scan it follows (one exact cosine per ~5 ADC-scored codes at
+    * scale). */
+  private[graft] def pqShortlistFor(pool: Long, k: Int): Int =
+    math.min(math.max(10L * k, pool / 5L), Int.MaxValue.toLong).toInt
+
+  /** The shipped shortlist for this corpus: [[pqShortlistFor]] over the
+    * IVF-probed pool implied by the cached sizing rules (k = 10, the
+    * inventory's ANN k). */
+  private[graft] def pqShortlist(s: SparkSession, d: String): Int =
+    pqShortlistFor(
+      nCorpus(s, d) * ivfNprobe(s, d).toLong / ivfNCells(s, d).toLong, 10)
 
   /** UNIT-SPHERE projection of the normed corpus — the PQ route trains,
     * encodes, and scores on v/‖v‖: squared L2 between unit vectors is
@@ -684,7 +702,7 @@ object Similarity {
        |    SELECT qid, nid,
        |           row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, nid) AS rnk
        |    FROM sc)
-       |  WHERE rnk <= $PqShortlist
+       |  WHERE rnk <= (SELECT shortk FROM ksz)
        |),
        |ref AS (
        |  SELECT s.qid, s.nid, ${dotSql("q.v", "t.v")} / (q.nrm * t.nrm) AS cos
@@ -713,7 +731,7 @@ object Similarity {
       .select(col("qid"), col("id"))
     ProductQuant.adcRefineTopK(codes,
       ProductQuant.lut(nu.where(col("id") < 5), books, PqSub), cand,
-      corpus = n, k = 10, shortlist = PqShortlist)
+      corpus = n, k = 10, shortlist = pqShortlist(s, d))
       .orderBy("qid", "rnk")
   }
 
@@ -786,7 +804,7 @@ object Similarity {
        |    SELECT qid, nid,
        |           row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, nid) AS rnk
        |    FROM sc)
-       |  WHERE rnk <= $PqShortlist
+       |  WHERE rnk <= (SELECT shortk FROM ksz)
        |),
        |ref AS (
        |  SELECT s.qid, s.nid, ${dotSql("q.v", "t.v")} / (q.nrm * t.nrm) AS cos
@@ -830,7 +848,7 @@ object Similarity {
     val ipq = ProductQuant
       .adcRefineTopK(codes,
         ProductQuant.lut(nu.where(col("id") < 5), books, PqSub), cand,
-        corpus = n, k = 10, shortlist = PqShortlist)
+        corpus = n, k = 10, shortlist = pqShortlist(s, d))
       .select("qid", "nid")
     val hits = brute.join(ipq, Seq("qid", "nid"))
       .groupBy("qid").agg(count(lit(1)).as("hits"))

@@ -252,6 +252,15 @@ class ApiSpec extends SparkSpec {
     assert(VS.nprobeFor(64) == 8)
     assert(VS.nprobeFor(141) == 18, "the 1/8 floor must bind at the decade gauge scale")
     assert(VS.nprobeFor(4096) == 512)
+    // ADC refine shortlist: max(10k, pool/5) where pool = N*np/ncells —
+    // the r16 rule replacing the fixed 400 (the third fixed-constant
+    // cliff: 400 was 10% of the sf1 pool, ~1% one decade later)
+    import graft.operators.{Similarity => Sim}
+    assert(Sim.pqShortlistFor(200L * 4 / 14, 10) == 100)      // sf0.01: floor binds
+    assert(Sim.pqShortlistFor(2000L * 7 / 44, 10) == 100)     // sf0.1: floor binds
+    assert(Sim.pqShortlistFor(20000L * 18 / 141, 10) == 510,  // sf1 gauge
+      "must cover at least the 400 entries that measured 8000 bp at sf1")
+    assert(Sim.pqShortlistFor(200000L * 56 / 447, 10) == 5011) // next decade
   }
 
   test("IVF join gear (centroid table) assigns and probes identically to the expression gear") {
