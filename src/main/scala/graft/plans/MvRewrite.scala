@@ -189,7 +189,11 @@ case class MvRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .flatMap(mv => rewrite(agg, conds, stripped, mv))
           .orElse {
             // decompose the user side ONCE per aggregate; each candidate
-            // view brings its own registration-time defDecomp
+            // view brings its own registration-time defDecomp. (No key-
+            // arity pre-filter here: remap() derives user keys from stored
+            // keys recursively, so a user aggregate may legitimately have
+            // MORE grouping expressions than the view it rolls up —
+            // e.g. year(d), month(d) over a stored d.)
             MvRewrite.decompose(agg.child).flatMap(udec =>
               mvs.view.flatMap(mv => rollup(agg, udec, mv)).headOption)
           }
