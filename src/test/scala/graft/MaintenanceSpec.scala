@@ -1245,4 +1245,61 @@ class MaintenanceSpec extends SparkSpec {
       }
     } finally MaterializedView.unregister(spark, "mv_spec_incr_roll")
   }
+
+  test("incremental join-agg: state ≡ full recompute after EVERY delta step (1/2/3-way)") {
+    import graft.api.IncrementalJoinAgg
+    import spark.implicits._
+    // synthetic star with the awkward cases: duplicate fact rows (bag
+    // semantics), a fact key whose dim partner arrives in a LATER wave
+    // (and vice versa), a fact key with no dim row ever (6), a dim key
+    // with no fact rows (7)
+    val aRows = Seq((1, "F", 10.0), (1, "O", 5.0), (2, "F", 7.0), (2, "F", 7.0),
+      (3, "F", 2.0), (4, "O", 1.0), (5, "F", 9.0), (6, "O", 4.0))
+    val bRows = Seq((1, "AUTO"), (2, "BUILD"), (3, "AUTO"), (4, "HOUSE"),
+      (5, "BUILD"), (7, "AUTO"))
+    val aDf = aRows.toDF("ak", "st", "x")
+    val bDf = bRows.toDF("bk", "seg")
+    def joiner(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.join(b, a("ak") === b("bk"))
+    def partials(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy("seg", "st")
+        .agg(sum(col("x").cast("decimal(18,6)")).as("p_sum"), count(lit(1)).as("p_cnt"))
+    def merge(prev: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      prev.unionByName(p).groupBy("seg", "st")
+        .agg(sum(col("p_sum")).cast("decimal(28,6)").as("p_sum"),
+          sum(col("p_cnt")).as("p_cnt"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select(col("seg"), col("st"), col("p_sum").cast("double"), col("p_cnt"))
+        .collect().map(_.toSeq).toSet
+    for (waves <- Seq(1, 2, 3)) {
+      val root = java.nio.file.Files.createTempDirectory(s"ija$waves").toString
+      for (i <- 0 until waves) {
+        IncrementalJoinAgg.applyBatch(
+          aDf.where(col("ak") % waves === i), bDf.where(col("bk") % waves === i),
+          i.toLong, root)(joiner, partials, merge)
+        // prefix parity after EVERY step: state == the definition over
+        // exactly the rows ingested so far
+        val want = rows(partials(joiner(
+          aDf.where(col("ak") % waves <= i), bDf.where(col("bk") % waves <= i))))
+        val got = rows(IncrementalJoinAgg.state(spark, root).get)
+        assert(got == want, s"waves=$waves step=$i: $got != $want")
+      }
+      // final state covers everything except the partnerless keys
+      val full = rows(partials(joiner(aDf, bDf)))
+      assert(rows(IncrementalJoinAgg.state(spark, root).get) == full)
+      // replay of an applied batch is a no-op (exactly-once ledger)
+      IncrementalJoinAgg.applyBatch(aDf.where(col("ak") % waves === 0),
+        bDf.where(col("bk") % waves === 0), 0L, root)(joiner, partials, merge)
+      assert(rows(IncrementalJoinAgg.state(spark, root).get) == full,
+        "replayed batch must not double-count")
+      // a quiet-side step (empty ΔB) still advances: late fact rows join
+      // the accumulated dim history
+      IncrementalJoinAgg.applyBatch(Seq((7, "F", 3.0)).toDF("ak", "st", "x"),
+        bDf.limit(0), waves.toLong, root)(joiner, partials, merge)
+      val wantLate = rows(partials(joiner(
+        aDf.unionByName(Seq((7, "F", 3.0)).toDF("ak", "st", "x")), bDf)))
+      assert(rows(IncrementalJoinAgg.state(spark, root).get) == wantLate,
+        "a late fact row must join dim history ingested in earlier waves")
+    }
+  }
 }
