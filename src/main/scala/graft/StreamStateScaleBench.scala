@@ -152,6 +152,10 @@ object StreamStateScaleBench {
       s"""    "$stores": {"steady_rows_per_sec": ${num(r.steadyRowsPerSec, 0)}, "wall_sec": ${num(r.wallSec, 2)}, "batches": ${r.batches}, "updated_rows": ${r.deliveredLines}, "batch_ms_median_early": $early, "batch_ms_median_late": $late, "calib_before": ${num(calibA, 4)}, "state_profile": ${r.stateProfile}}"""
     }.mkString(",\n")
     val best = legs.maxBy(_._2.steadyRowsPerSec)
+    // the in-engine auto rule's choice for this workload (r16): changed
+    // keys per batch are bounded above by the trigger's row cap — the
+    // sweep verifies the auto choice matches the swept optimum
+    val autoStores = graft.streaming.StatefulOps.statePartitionsFor(perTrigger)
     val doc = s"""{
   "n_msgs": $n,
   "n_keys": $nKeys,
@@ -163,13 +167,15 @@ object StreamStateScaleBench {
   "legs": {
 $legsJson
   },
+  "auto_stores": $autoStores,
+  "auto_matches_best": ${autoStores == best._1},
   "best_stores": ${best._1},
   "notes": "per-key running aggregate (update mode, no watermark eviction): live state grows to ~min(n_msgs, n_keys) rows; the r14 rule (#stores ~= |live keys|/target) is re-derived from this sweep at 10^6 keys"
 }
 """
     val out = sys.env.getOrElse("GRAFT_STATE_SCALE_JSON", "bench_stream_keys_r15.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc)
-    println(s"""{"metric":"state_scale","best_stores":${best._1},"best_steady":${num(best._2.steadyRowsPerSec, 0)},"n_keys":$nKeys,"calib_post":${num(calibPost, 4)}}""")
+    println(s"""{"metric":"state_scale","best_stores":${best._1},"auto_stores":$autoStores,"best_steady":${num(best._2.steadyRowsPerSec, 0)},"n_keys":$nKeys,"calib_post":${num(calibPost, 4)}}""")
     spark.stop()
   }
 }

@@ -241,10 +241,15 @@ object StreamThroughputBench {
     // state_commit_ms ~80× state_update_ms). The stateful agg's partials
     // are map-side combined at full parallelism BEFORE this exchange, so
     // fewer final partitions shrink commit count without starving the
-    // scan stage. A deployment sizes this to |windows in horizon|, not
-    // cores.
+    // scan stage. Auto-sized in-engine since r16
+    // (StatefulOps.statePartitionsFor over the trigger's row cap — the
+    // upper bound on changed keys per batch); GRAFT_STATE_PARTITIONS
+    // still overrides for sweeps.
+    val autoStores = graft.streaming.StatefulOps.statePartitionsFor(perTrigger)
     spark.conf.set(partsKey,
-      sys.env.getOrElse("GRAFT_STATE_PARTITIONS", "8"))
+      sys.env.getOrElse("GRAFT_STATE_PARTITIONS", autoStores.toString))
+    System.err.println(s"[stb] stateful leg state partitions: " +
+      s"${spark.conf.get(partsKey)} (auto rule: $autoStores)")
     try {
       val windowRows = new LongAdder
       val src = MessageSource.brokerStream(spark, topics.mkString(","), Some(perTrigger))

@@ -143,6 +143,51 @@ object StatefulOps {
       .transformWithState(
         new SessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Measured floor for the state-store count: 8 wins the swept optimum
+    * at BOTH measured extremes — 7 live window rows (r14 state_profile:
+    * 32 stores paid ~466 ms commit fixed cost each per batch for ~7 rows)
+    * and 700k live RocksDB rows over a 10⁶-key domain (r15 sweep: 8
+    * stores 597.6k rows/s vs 32: 314.5k vs 128: 92.4k). */
+  val StatePartitionsDefault = 8
+
+  /** Where per-store commit fixed cost stops dominating: the r15 sweep's
+    * state_commit attribution puts the crossover at ~50k CHANGED rows per
+    * store per batch — below it, adding stores only multiplies commit
+    * overhead (per-batch cost is O(changed keys), flat in |state|). */
+  val ChangedRowsPerStoreTarget = 50000L
+
+  /** The measured sizing rule, in-engine (r15 verdict #5): store count
+    * scales with CHANGED ROWS PER BATCH, not live keys and not cores —
+    * `clamp(ceil(changed / 50k), 8, maxParallelism)`. For a planned query
+    * feed it the trigger's row cap (each input row changes at most one
+    * key, so that bounds changed keys from above); for a running one,
+    * [[recommendedStatePartitions]] reads the observed number. Set
+    * `spark.sql.shuffle.partitions` to the result BEFORE `.start()`. */
+  def statePartitionsFor(changedRowsPerBatch: Long,
+      maxParallelism: Int = 32): Int =
+    math.max(StatePartitionsDefault.toLong,
+      math.min(maxParallelism.toLong,
+        (math.max(0L, changedRowsPerBatch) + ChangedRowsPerStoreTarget - 1)
+          / ChangedRowsPerStoreTarget)).toInt
+
+  /** Observed changed-rows-per-batch (max of `numRowsUpdated` across the
+    * query's recent progress) → the store count [[statePartitionsFor]]
+    * recommends for this query's NEXT deployment; None before the first
+    * stateful progress. THE RE-SIZE PATH IS A RESTART: Spark pins the
+    * state partition count into the checkpoint at first start
+    * (`spark.sql.shuffle.partitions` is read once and baked into every
+    * state store path), so applying a new recommendation means starting
+    * the query against a FRESH checkpoint and rebuilding state from the
+    * source's retained history — there is no in-place re-shard. Poll this
+    * during canary runs, not per batch. */
+  def recommendedStatePartitions(q: org.apache.spark.sql.streaming.StreamingQuery,
+      maxParallelism: Int = 32): Option[Int] = {
+    val changed = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq.map(_.numRowsUpdated))
+    if (changed.isEmpty) None
+    else Some(statePartitionsFor(changed.max, maxParallelism))
+  }
 }
 
 /** `transformWithState` session state machine: one `ValueState` per user,

@@ -1522,4 +1522,19 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch mismatch: only-stream=${(streamed.toSet -- batch.toSet).take(3)} " +
         s"only-batch=${(batch.toSet -- streamed.toSet).take(3)}")
   }
+
+  test("state-store auto-sizing: the measured rule, clamped both ways") {
+    import graft.streaming.StatefulOps
+    // the 8-store floor wins at both measured extremes (7 live rows and
+    // 700k live keys — r14/r15 sweeps); stores grow only past 50k changed
+    // rows/store/batch, capped at the available parallelism
+    assert(StatefulOps.statePartitionsFor(0L) == 8)
+    assert(StatefulOps.statePartitionsFor(7L) == 8)
+    assert(StatefulOps.statePartitionsFor(100000L) == 8)   // r14 default trigger
+    assert(StatefulOps.statePartitionsFor(300000L) == 8)   // r15 6M/20 sweep trigger
+    assert(StatefulOps.statePartitionsFor(400001L) == 9)   // first step past the floor
+    assert(StatefulOps.statePartitionsFor(2000000L) == 32) // cap at parallelism
+    assert(StatefulOps.statePartitionsFor(2000000L, maxParallelism = 64) == 40)
+    assert(StatefulOps.statePartitionsFor(-5L) == 8)       // defensive
+  }
 }
