@@ -40,7 +40,7 @@ object VectorSearch {
     * of rounds 13-14 already BOUND at sf1 (√N > 128), undersizing the next
     * decade by construction; 4096 covers √N up to ~16.8M corpus rows, and
     * past the per-plan reference budget ([[IvfRefBudgetBytes]]) assignment
-    * switches to the centroid-TABLE gear ([[ivfAssignJoin]]) instead of
+    * switches to the broadcast-handle gear ([[ivfAssignBc]]) instead of
     * growing the in-plan model without bound. */
   val IvfCellsMin = 8
   val IvfCellsMax = 4096
@@ -60,11 +60,20 @@ object VectorSearch {
     * inside the assignment/probe EXPRESSIONS, in bytes of centroid doubles.
     * At or below it the model rides the (stage-broadcast) task binary and
     * assignment is a zero-exchange fused codegen loop ([[graft.functions
-    * .IvfExprs]]). Above it the model becomes a broadcast TABLE and
-    * assignment a broadcast-join argmax ([[ivfAssignJoin]]) — the gear for
-    * models too big to serialize into every plan (hundreds of MB at
-    * 100 TB-scale cell counts). Env-overridable so drills and specs can
-    * force the join gear on small data. */
+    * .IvfExprs]]). Above it the model moves behind a TORRENT-BROADCAST
+    * handle instead ([[ivfAssignBc]]): the plan and every task binary
+    * carry only the handle, the centroid blocks land once per executor,
+    * and assignment stays the SAME zero-exchange codegen'd projection —
+    * the gear for models too big to serialize into every plan (hundreds
+    * of MB at 100 TB-scale cell counts). Env-overridable so drills and
+    * specs can force the broadcast gear on small data.
+    *
+    * (A third formulation exists for reference: [[ivfAssignJoin]], the
+    * fully declarative broadcast centroid-TABLE + grouped-argmax. It is
+    * NOT the dispatch target — its `first`/`max_by` aggregate carries
+    * array buffers, which Spark can only plan as a SortAggregate, i.e. a
+    * full sort of |corpus| × nCells scored rows; IvfGearBench prices it
+    * against the broadcast-handle gear.) */
   val IvfRefBudgetBytes: Long =
     sys.env.get("GRAFT_IVF_REF_BUDGET") match {
       case None => 16L << 20
@@ -75,6 +84,42 @@ object VectorSearch {
 
   private def modelBytes(cents: Array[Array[Double]]): Long =
     cents.foldLeft(0L)((a, c) => a + 8L * c.length)
+
+  /** One torrent-broadcast per fitted model per context: keyed by the
+    * model array's IDENTITY (the fit caches hand back the same array
+    * object), weakly so dropped models release their broadcast entry.
+    * A cached handle from a stopped SparkContext is discarded. */
+  private val bcCache = new java.util.WeakHashMap[Array[Array[Double]],
+    (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[graft.functions.IvfModel])]()
+
+  private def modelBroadcast(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]])
+      : org.apache.spark.broadcast.Broadcast[graft.functions.IvfModel] =
+    bcCache.synchronized {
+      val sc = spark.sparkContext
+      Option(bcCache.get(cents)).collect {
+        case (ctx, bc) if (ctx eq sc) && !sc.isStopped => bc
+      }.getOrElse {
+        val bc = sc.broadcast(
+          graft.functions.IvfModel(cents, graft.functions.IvfCos.norms(cents)))
+        bcCache.put(cents, (sc, bc))
+        bc
+      }
+    }
+
+  /** The above-budget assignment gear: the same zero-exchange codegen'd
+    * argmax projection as the in-plan expression, with the model behind a
+    * broadcast handle ([[graft.functions.IvfArgmaxBc]]) — spec-pinned to
+    * identical assignments. */
+  def ivfAssignBc(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    corpus.withColumn("cell", graft.functions.IvfExprs.ivf_argmax_bc(
+      col("v"), col("nrm"), modelBroadcast(corpus.sparkSession, cents)))
+
+  /** The above-budget probe gear — see [[ivfAssignBc]]. */
+  def ivfProbesBc(queries: DataFrame, cents: Array[Array[Double]],
+      nprobe: Int): DataFrame =
+    queries.withColumn("pcell", explode(graft.functions.IvfExprs.ivf_top_cells_bc(
+      col("v"), col("nrm"), modelBroadcast(queries.sparkSession, cents), nprobe)))
 
   /** Floor on the scanned fraction nprobe/nCells: 1/8 = 12.5%. Pure
     * √-scaling lets the fraction shrink without bound as cells multiply,
@@ -226,7 +271,7 @@ object VectorSearch {
     cents.length match {
       case 0 => corpus.withColumn("cell", lit(0)).where(lit(false))
       case 1 => corpus.withColumn("cell", lit(0))
-      case _ if modelBytes(cents) > IvfRefBudgetBytes => ivfAssignJoin(corpus, cents)
+      case _ if modelBytes(cents) > IvfRefBudgetBytes => ivfAssignBc(corpus, cents)
       case _ => corpus.withColumn("cell",
         graft.functions.IvfExprs.ivf_argmax(col("v"), col("nrm"), cents))
     }
@@ -243,7 +288,13 @@ object VectorSearch {
       .toDF("__cell", "__cv", "__cnrm")
   }
 
-  /** Assignment over a broadcast centroid TABLE — the above-budget gear:
+  /** Assignment over a broadcast centroid TABLE — the fully DECLARATIVE
+    * above-budget formulation, kept for reference and priced by
+    * IvfGearBench but no longer the dispatch target: its `first`/`max_by`
+    * aggregate carries array-typed buffers, which Spark plans as a
+    * SortAggregate — a full spilling sort of the |corpus| × nCells scored
+    * rows — where [[ivfAssignBc]] keeps the zero-exchange codegen'd
+    * argmax at any model size. Mechanics:
     * an explicit broadcast-replicate of the model against the corpus
     * (never a corpus-side shuffle for the join), score, then per-row
     * argmax grouped by a per-row SURROGATE key (`monotonically_
@@ -280,7 +331,7 @@ object VectorSearch {
     if (cents.isEmpty) // no cells to probe (empty-corpus fit) — empty, same schema
       return queries.withColumn("pcell", lit(0)).where(lit(false))
     if (modelBytes(cents) > IvfRefBudgetBytes)
-      return ivfProbesJoin(queries, cents, nprobe)
+      return ivfProbesBc(queries, cents, nprobe)
     queries.withColumn("pcell",
       explode(graft.functions.IvfExprs.ivf_top_cells(col("v"), col("nrm"), cents, nprobe)))
   }

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -88,6 +89,11 @@ object IvfCos {
   }
 }
 
+/** The centroid model as ONE torrent-broadcast value: centroids plus
+  * their host-side [[IvfCos.norms]], so both broadcast-gear expressions
+  * score with exactly the arithmetic of the reference-carrying gear. */
+final case class IvfModel(cents: Array[Array[Double]], norms: Array[Double])
+
 /** Per-vector IVF cell id: `argmax_cell cos(v, cent_cell)`. */
 case class IvfArgmax(left: Expression, right: Expression,
     cents: Array[Array[Double]], centNorms: Array[Double])
@@ -158,6 +164,90 @@ case class IvfTopCells(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** [[IvfArgmax]] with the model behind a [[Broadcast]] HANDLE instead of
+  * an in-plan reference array — the above-budget gear. The plan (and so
+  * every serialized task binary) carries only the handle; the centroid
+  * blocks move ONCE per executor via torrent broadcast and are read from
+  * the executor-local block manager afterwards. Identical arithmetic and
+  * tie rule to [[IvfArgmax]] — same [[IvfCos.bestCell]] loop, same
+  * zero-exchange codegen'd projection — so assignments are equal
+  * bit-for-bit at any model size (ApiSpec pins it). */
+case class IvfArgmaxBc(left: Expression, right: Expression,
+    model: Broadcast[IvfModel]) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ivf_argmax_bc"
+
+  override def nullSafeEval(v: Any, n: Any): Any = {
+    val m = model.value
+    IvfCos.bestCell(v.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+      m.cents, m.norms)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, n) => {
+      val bc = ctx.addReferenceObj("ivfModelBc", model,
+        "org.apache.spark.broadcast.Broadcast")
+      // resolve the broadcast once per generated-class instance, not per
+      // row: .value() is a block-manager lookup behind a lock
+      val m = ctx.addMutableState("graft.functions.IvfModel", "ivfModel")
+      s"""
+         |if ($m == null) $m = (graft.functions.IvfModel) $bc.value();
+         |${ev.value} = graft.functions.IvfCos.bestCell($v, $n, $m.cents(), $m.norms());
+       """.stripMargin
+    })
+
+  // a broadcast is identified by its id — two handles to the same
+  // broadcast are the same model (canonicalization / codegen-class reuse)
+  override def equals(other: Any): Boolean = other match {
+    case o: IvfArgmaxBc =>
+      left == o.left && right == o.right && model.id == o.model.id
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, left, right, java.lang.Long.valueOf(model.id))
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfArgmaxBc =
+    copy(left = l, right = r)
+}
+
+/** [[IvfTopCells]] behind a broadcast model handle — see [[IvfArgmaxBc]]. */
+case class IvfTopCellsBc(left: Expression, right: Expression,
+    model: Broadcast[IvfModel], nprobe: Int) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_top_cells_bc"
+
+  override def nullSafeEval(v: Any, n: Any): Any = {
+    val m = model.value
+    IvfCos.topCells(v.asInstanceOf[ArrayData], n.asInstanceOf[Double],
+      m.cents, m.norms, nprobe)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, n) => {
+      val bc = ctx.addReferenceObj("ivfModelBc", model,
+        "org.apache.spark.broadcast.Broadcast")
+      val m = ctx.addMutableState("graft.functions.IvfModel", "ivfModel")
+      s"""
+         |if ($m == null) $m = (graft.functions.IvfModel) $bc.value();
+         |${ev.value} = graft.functions.IvfCos.topCells($v, $n, $m.cents(), $m.norms(), $nprobe);
+       """.stripMargin
+    })
+
+  override def equals(other: Any): Boolean = other match {
+    case o: IvfTopCellsBc =>
+      left == o.left && right == o.right && nprobe == o.nprobe &&
+        model.id == o.model.id
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    getClass, left, right, Integer.valueOf(nprobe), java.lang.Long.valueOf(model.id))
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfTopCellsBc =
+    copy(left = l, right = r)
+}
+
 object IvfExprs {
   def ivf_argmax(v: Column, nrm: Column, cents: Array[Array[Double]]): Column =
     ColumnBridge.column(IvfArgmax(
@@ -169,4 +259,13 @@ object IvfExprs {
     ColumnBridge.column(IvfTopCells(
       ColumnBridge.expression(v), ColumnBridge.expression(nrm),
       cents, IvfCos.norms(cents), nprobe))
+
+  def ivf_argmax_bc(v: Column, nrm: Column, model: Broadcast[IvfModel]): Column =
+    ColumnBridge.column(IvfArgmaxBc(
+      ColumnBridge.expression(v), ColumnBridge.expression(nrm), model))
+
+  def ivf_top_cells_bc(v: Column, nrm: Column, model: Broadcast[IvfModel],
+      nprobe: Int): Column =
+    ColumnBridge.column(IvfTopCellsBc(
+      ColumnBridge.expression(v), ColumnBridge.expression(nrm), model, nprobe))
 }

@@ -297,6 +297,41 @@ class ApiSpec extends SparkSpec {
     n.unpersist()
   }
 
+  test("IVF broadcast gear (model handle) assigns and probes identically to the expression gear") {
+    // the above-budget DISPATCH gear: the same codegen'd argmax/top-cells
+    // loop with the model behind a torrent-broadcast handle instead of an
+    // in-plan reference array — assignments and probe lists must be
+    // bit-identical to the expression gear on the same fitted model
+    def vec(cluster: Int, id: Long): Array[Float] = {
+      val v = Array.fill(8)(0.0f)
+      v(cluster) = 1.0f
+      for (j <- 0 until 8) v(j) += (0.05 * math.sin((id * 13 + j * 3).toDouble)).toFloat
+      v
+    }
+    val rows = (0L until 120L).map(i => (i, vec((i % 5).toInt, i)))
+    val n = VectorSearch.withNorm(rows.toDF("item", "emb"), col("item"), col("emb"))
+      .withColumn("label", col("id") % 3)
+      .persist()
+    val cents = VectorSearch.ivfFitKMeans(n, nCells = 16, iters = 2)
+    def asgMap(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("cell")).toMap
+    val exprAsg = asgMap(n.withColumn("cell",
+      graft.functions.IvfExprs.ivf_argmax(col("v"), col("nrm"), cents)))
+    val bcAsg = asgMap(VectorSearch.ivfAssignBc(n, cents))
+    assert(bcAsg == exprAsg, "broadcast-gear assignment diverges from the expression gear")
+    assert(VectorSearch.ivfAssignBc(n, cents).columns.toSeq
+      == n.columns.toSeq :+ "cell", "broadcast gear must preserve corpus columns + cell")
+    val q = n.where(col("id") < 20)
+    def probeMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Int]] =
+      df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("pcell"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exprProbes = probeMap(q.withColumn("pcell", org.apache.spark.sql.functions
+      .explode(graft.functions.IvfExprs.ivf_top_cells(col("v"), col("nrm"), cents, 3))))
+    val bcProbes = probeMap(VectorSearch.ivfProbesBc(q, cents, nprobe = 3))
+    assert(bcProbes == exprProbes, "broadcast-gear probes diverge from the expression gear")
+    n.unpersist()
+  }
+
   test("IVF join gear preserves duplicate rows and map-typed pass-through columns") {
     // ADVICE r15: the old grouped-by-all-corpus-columns argmax silently
     // collapsed rows identical in EVERY column (shrinking the indexed
