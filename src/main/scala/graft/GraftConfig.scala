@@ -53,19 +53,25 @@ final case class GraftConfig(
       // readable only via this conf (Tables.events dispatches on the loaded
       // type). Set once here so loaders never mutate session state.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Aggregates whose buffer is not fixed-width (first/max_by carrying
-      // an array or struct column, collect_list, the IVF join gear's
-      // per-row argmax) plan as ObjectHashAggregate, which falls back to
-      // SORT-BASED aggregation once a task's hash map passes this many
-      // keys — at the 128-key default, any such aggregate over more than
-      // 128 groups per partition silently becomes a full per-partition
-      // sort of the input (measured: 250 µs/row vs ~2 µs hashed on the
-      // ivfAssignJoin argmax). 1M keys ≈ a few hundred MB of buffers at
-      // this engine's widest object buffer (~600 B) — within executor
-      // memory, and the fallback still guards genuinely unbounded
-      // cardinalities.
+      // TypedImperativeAggregate consumers (TopKAgg in topKPerQuery /
+      // ivfProbesJoin, the SimhashAgg sketch merge) plan as
+      // ObjectHashAggregate, which falls back to SORT-BASED aggregation
+      // once a task's hash map passes this many keys — at the 128-key
+      // default, any such aggregate over more than 128 groups per
+      // partition silently becomes a full per-partition sort of the input
+      // (measured on a TopKAgg grouped over >128 qids: ~250 µs/row sorted
+      // vs ~2 µs hashed). Declarative array-buffer aggregates
+      // (first/max_by over array columns) never reach ObjectHashAggregate
+      // — they always plan as SortAggregate — so this conf cannot affect
+      // them. Sizing is per-OPERATOR per-TASK: worst-case pre-fallback
+      // footprint = threshold × widest buffer × concurrent tasks. At
+      // 2^18 keys × ~2 KB (a k≈100 TopKAgg heap, the engine's widest) ×
+      // 32 concurrent tasks = 16 GB ceiling vs the 128 GiB harness heap,
+      // and the engine's real group keys (qids, band keys) stay far
+      // below 2^18 per partition; the fallback still guards genuinely
+      // unbounded cardinalities.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 20).toString)
+        (1 << 18).toString)
 }
 
 object GraftConfig {

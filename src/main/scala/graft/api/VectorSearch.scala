@@ -85,24 +85,49 @@ object VectorSearch {
   private def modelBytes(cents: Array[Array[Double]]): Long =
     cents.foldLeft(0L)((a, c) => a + 8L * c.length)
 
-  /** One torrent-broadcast per fitted model per context: keyed by the
+  /** One torrent-broadcast per fitted model per context, keyed by the
     * model array's IDENTITY (the fit caches hand back the same array
-    * object), weakly so dropped models release their broadcast entry.
-    * A cached handle from a stopped SparkContext is discarded. */
-  private val bcCache = new java.util.WeakHashMap[Array[Array[Double]],
-    (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[graft.functions.IvfModel])]()
+    * object). A weak-keyed cache can NEVER release these: the driver
+    * BlockManager's broadcast block strongly references the IvfModel,
+    * whose `cents` IS the key array, so the key stays reachable for the
+    * life of the SparkContext and each above-budget model (including one
+    * per Lloyd round in [[ivfFitKMeans]]) would leak model-sized blocks
+    * on driver and executors. Lifecycle is therefore EXPLICIT: a bounded
+    * LRU that `destroy()`s the evicted handle (and any stale-context or
+    * replaced entry), reclaiming driver and executor blocks eagerly. */
+  private val BcCacheMax = 4
+  private final class BcKey(val arr: Array[Array[Double]]) {
+    override def hashCode(): Int = System.identityHashCode(arr)
+    override def equals(o: Any): Boolean = o match {
+      case k: BcKey => k.arr eq arr
+      case _ => false
+    }
+  }
+  private type BcEntry =
+    (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[graft.functions.IvfModel])
+  private def destroyQuietly(e: BcEntry): Unit = {
+    val (ctx, bc) = e
+    // a stopped context already tore its blocks down; destroy() there throws
+    if (!ctx.isStopped) try bc.destroy() catch { case scala.util.control.NonFatal(_) => () }
+  }
+  private val bcCache = new java.util.LinkedHashMap[BcKey, BcEntry](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[BcKey, BcEntry]): Boolean =
+      if (size > BcCacheMax) { destroyQuietly(e.getValue); true } else false
+  }
 
-  private def modelBroadcast(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def modelBroadcast(spark: org.apache.spark.sql.SparkSession,
       cents: Array[Array[Double]])
       : org.apache.spark.broadcast.Broadcast[graft.functions.IvfModel] =
     bcCache.synchronized {
       val sc = spark.sparkContext
-      Option(bcCache.get(cents)).collect {
+      val key = new BcKey(cents)
+      Option(bcCache.get(key)).collect {
         case (ctx, bc) if (ctx eq sc) && !sc.isStopped => bc
       }.getOrElse {
+        Option(bcCache.remove(key)).foreach(destroyQuietly) // stale-context entry
         val bc = sc.broadcast(
           graft.functions.IvfModel(cents, graft.functions.IvfCos.norms(cents)))
-        bcCache.put(cents, (sc, bc))
+        bcCache.put(key, (sc, bc))
         bc
       }
     }

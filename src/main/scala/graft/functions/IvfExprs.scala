@@ -197,15 +197,18 @@ case class IvfArgmaxBc(left: Expression, right: Expression,
        """.stripMargin
     })
 
-  // a broadcast is identified by its id — two handles to the same
-  // broadcast are the same model (canonicalization / codegen-class reuse)
+  // the model compares by REFERENCE identity of the Broadcast handle:
+  // broadcast ids restart at 0 per SparkContext, so id-only equality
+  // would conflate same-id handles from different contexts. modelBroadcast
+  // caches per (array-identity, context), so equal plans share the one
+  // handle object and canonicalization / codegen-class reuse still work.
   override def equals(other: Any): Boolean = other match {
     case o: IvfArgmaxBc =>
-      left == o.left && right == o.right && model.id == o.model.id
+      left == o.left && right == o.right && (model eq o.model)
     case _ => false
   }
   override def hashCode(): Int = java.util.Objects.hash(
-    getClass, left, right, java.lang.Long.valueOf(model.id))
+    getClass, left, right, Integer.valueOf(System.identityHashCode(model)))
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfArgmaxBc =
     copy(left = l, right = r)
@@ -235,14 +238,16 @@ case class IvfTopCellsBc(left: Expression, right: Expression,
        """.stripMargin
     })
 
+  // reference-identity model comparison — see [[IvfArgmaxBc.equals]]
   override def equals(other: Any): Boolean = other match {
     case o: IvfTopCellsBc =>
       left == o.left && right == o.right && nprobe == o.nprobe &&
-        model.id == o.model.id
+        (model eq o.model)
     case _ => false
   }
   override def hashCode(): Int = java.util.Objects.hash(
-    getClass, left, right, Integer.valueOf(nprobe), java.lang.Long.valueOf(model.id))
+    getClass, left, right, Integer.valueOf(nprobe),
+    Integer.valueOf(System.identityHashCode(model)))
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): IvfTopCellsBc =
     copy(left = l, right = r)

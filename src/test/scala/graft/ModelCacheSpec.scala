@@ -134,6 +134,24 @@ class ModelCacheSpec extends SparkSpec {
     assert(graft.api.StateManifest.current(s"$root/k").get.schemaFp == "cube")
   }
 
+  test("above-budget broadcast cache evicts + destroys beyond its bound") {
+    // 6 distinct model arrays through the identity-keyed LRU (cap 4):
+    // the two least-recently-used handles must be destroyed, a re-request
+    // of an evicted model must mint a FRESH broadcast, and a still-cached
+    // model must return the SAME handle object (the reference-identity
+    // equality of IvfArgmaxBc depends on that reuse).
+    val models = (0 until 6).map(i =>
+      Array.tabulate(4, 8)((r, c) => (i * 100 + r * 10 + c).toDouble))
+    val handles = models.map(m => VectorSearch.modelBroadcast(spark, m))
+    intercept[org.apache.spark.SparkException](handles(0).value)
+    intercept[org.apache.spark.SparkException](handles(1).value)
+    val re = VectorSearch.modelBroadcast(spark, models(0))
+    assert(re.id != handles(0).id, "evicted model must get a fresh broadcast")
+    assert(re.value.cents.length == 4)
+    assert(VectorSearch.modelBroadcast(spark, models(5)) eq handles(5),
+      "cached model must hand back the identical broadcast object")
+  }
+
   test("copyTree reproduces a directory byte-for-byte and isolates mutation") {
     val src = java.nio.file.Files.createTempDirectory("graft-ct-src")
     java.nio.file.Files.createDirectories(src.resolve("seg-0/bkt=3"))
