@@ -215,6 +215,36 @@ object PipelineScaleBench {
     val regretScaled = regret(dst)
     val regretXfam = regret(xfam)
 
+    // Scanned-bytes ∝ probed-cells: the persisted cell-partitioned ANN
+    // index ([[graft.api.AnnIndex]]) read by ONE query at each decade.
+    // The plan gate (assertPruned) proves the scan listed only the probed
+    // cells' directories; the bytes ratio is the measured scan fraction —
+    // ≈ nprobe/nCells (the ≤1/8 policy floor), NOT a function of corpus
+    // size. This is the query-time 100 TB story for the ANN surface.
+    def annIndexLeg(dir: String): Map[String, Double] = {
+      import graft.api.{AnnIndex, VectorSearch => VS}
+      import graft.operators.Similarity
+      val n = VS.withNorm(Tables.embeddings(spark, dir),
+        col("vec_id"), col("embedding"))
+      val cents = Similarity.ivfCents(spark, dir)
+      val nprobe = Similarity.ivfNprobe(spark, dir)
+      val idxDir = Similarity.ivfIndexDir(spark, dir)
+      val q1 = n.where(col("id") === 0)
+      val cells = AnnIndex.probedCells(VS.ivfProbes(q1, cents, nprobe))
+      val pruned = AnnIndex.readCells(spark, idxDir, cells)
+      AnnIndex.assertPruned(pruned, idxDir, cells)
+      val scanned = AnnIndex.scannedBytes(pruned, idxDir)
+      val total = AnnIndex.totalBytes(idxDir)
+      Map(
+        "cells_total" -> AnnIndex.existingCells(idxDir).size.toDouble,
+        "cells_probed" -> cells.size.toDouble,
+        "bytes_total" -> total.toDouble,
+        "bytes_scanned" -> scanned.toDouble,
+        "scan_frac" -> scanned.toDouble / math.max(total, 1L))
+    }
+    val annIdxBase = annIndexLeg(src)
+    val annIdxScaled = annIndexLeg(dst)
+
     import Bench.num
     val baseMap = base.map(r => r.name -> r).toMap
     val rows = scaled.map(r => Bench.ratioRow(baseMap(r.name), r)).mkString(",\n")
@@ -234,6 +264,12 @@ ${recallNames.map(nm => s"""    "$nm": {"sf01": ${num(recallBase(nm), 1)}, "sf1"
   "regret_note": "cosine given up per retrieved slot vs exact ground truth, in bp of cosine; near-zero regret with low recall = near-tie reshuffling, large regret = real quality loss",
   "regret_bp": {
 ${recallNames.map(nm => s"""    "$nm": {"sf01": ${num(regretBase(nm), 1)}, "sf1": ${num(regretScaled(nm), 1)}, "sf1_xfam": ${num(regretXfam(nm), 1)}}""").mkString(",\n")}
+  },
+  "ann_index_note": "one query's pruned read over the persisted cell-partitioned IVF index, plan-gated (scan listed only the probed cells' directories): scan_frac tracks nprobe/nCells (<= 1/8 policy floor) at BOTH decades, independent of corpus size",
+  "ann_index": {
+${Seq("sf01" -> annIdxBase, "sf1" -> annIdxScaled).map { case (tag, m) =>
+      s"""    "$tag": {"cells_total": ${m("cells_total").toLong}, "cells_probed": ${m("cells_probed").toLong}, "bytes_total": ${m("bytes_total").toLong}, "bytes_scanned": ${m("bytes_scanned").toLong}, "scan_frac": ${num(m("scan_frac"), 4)}}"""
+    }.mkString(",\n")}
   },
   "queries": {
 $rows

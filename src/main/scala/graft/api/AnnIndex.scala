@@ -1,0 +1,122 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Cell-partitioned ANN index: the PERSISTED layout of an IVF corpus.
+  *
+  * [[VectorSearch.ivfTopK]] computes assignment inline and equi-joins the
+  * whole corpus frame on the cell id — correct, but at 100 TB every query
+  * still FEEDS the full corpus into that join. This module closes the
+  * loop: the assigned corpus is written once, Hive-partitioned by its IVF
+  * cell (`dir/cell=N/...`), so a search LISTS only the probed cells'
+  * directories — scan cost tracks `Σ |probed cells|`, i.e. ~nprobe/nCells
+  * of the data per query, BEFORE any row is read (the same directory-level
+  * pruning a date-partitioned fact table gets, [[Layout.writePartitioned]]).
+  * With the scale-adaptive sizing ([[VectorSearch.NprobeDenom]]) that is a
+  * hard ≤ 1/8-of-corpus bound on bytes touched per query.
+  *
+  * Build cost: one assignment pass + one partitioned write per corpus
+  * snapshot — paid once, amortized over every query (the same
+  * write-once/read-forever contract as the bucketed join layout). Cell
+  * counts are ≈ √N ([[VectorSearch.ivfCellsFor]], ≤ 4096), so the
+  * partition-directory count stays catalog-friendly at any corpus size.
+  *
+  * Searches SELF-GATE with [[assertPruned]]: the query throws unless the
+  * index scan listed exactly the probed cells' directories — the
+  * q_partition_prune discipline applied to the ANN surface, so the pruned
+  * read is proven (plan-checked) on every run, not claimed.
+  */
+object AnnIndex {
+
+  /** Assign every corpus vector to its IVF cell (the budget-dispatched
+    * [[VectorSearch.ivfAssign]] gear) and write the frame Hive-partitioned
+    * by `cell` under `dir`. Corpus must be [[VectorSearch.withNorm]]-shaped
+    * (`id`, `v`, `nrm`, keep...). */
+  def build(corpus: DataFrame, cents: Array[Array[Double]], dir: String): Unit =
+    Layout.writePartitioned(VectorSearch.ivfAssign(corpus, cents), dir, "cell")
+
+  /** Distinct probed cells of an [[VectorSearch.ivfProbes]] frame, sorted —
+    * model-sized driver traffic (≤ |Q|·nprobe ints) by construction. */
+  def probedCells(probes: DataFrame): Seq[Int] =
+    probes.select(col("pcell")).distinct().collect()
+      .map(_.getInt(0)).sorted.toIndexedSeq
+
+  /** Cells that exist as partition directories under `dir` — a cell that
+    * went empty at assignment time has no directory, so a probe of it
+    * scans nothing. One driver-side directory listing (a metadata op; the
+    * catalog's partition list in a production deployment). */
+  def existingCells(dir: String): Set[Int] =
+    Option(new java.io.File(dir).listFiles()).iterator.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.getName.stripPrefix("cell=").toInt).toSet
+
+  /** Pruned read: only the probed cells' directories enter the scan. The
+    * `isin` is a static partition filter — the listing never touches other
+    * `cell=` directories ([[assertPruned]] proves it per query). */
+  def readCells(spark: SparkSession, dir: String, cells: Seq[Int]): DataFrame = {
+    require(cells.nonEmpty, "readCells: no probed cells")
+    spark.read.parquet(dir).where(col("cell").isin(cells.map(Int.box): _*))
+  }
+
+  /** The plan's scans of `dir`: (partitions listed, bytes selected). */
+  private def indexScans(df: DataFrame, dir: String): Seq[(Int, Long)] = {
+    val want = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+    df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toUri.getPath.startsWith(want)) =>
+        val parts = f.selectedPartitions
+        (parts.partitionCount, parts.totalFileSize)
+    }.toIndexedSeq
+  }
+
+  /** Bytes the plan's index scan selected (the pruned size) — for pricing
+    * scanned-bytes ∝ probed-cells in the scale bench. */
+  def scannedBytes(df: DataFrame, dir: String): Long =
+    indexScans(df, dir).map(_._2).sum
+
+  /** Total on-disk size of the index (all cells), via one recursive walk. */
+  def totalBytes(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.walk(root)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
+  /** Throw unless every scan of `dir` in `df`'s plan listed EXACTLY the
+    * probed-and-existing cell directories — the self-gate that makes the
+    * pruned read a plan-checked fact. */
+  def assertPruned(df: DataFrame, dir: String, cells: Seq[Int]): Unit = {
+    val expect = cells.toSet.intersect(existingCells(dir)).size
+    val scans = indexScans(df, dir)
+    if (scans.isEmpty) throw new IllegalStateException(
+      s"ann index: no file scan of $dir in the plan (index not read?)")
+    scans.foreach { case (n, _) =>
+      if (n != expect) throw new IllegalStateException(
+        s"ann index: scan listed $n cell directories, expected $expect " +
+          s"(probed ${cells.size}, existing ${existingCells(dir).size}) — pruning did not hold")
+    }
+  }
+
+  /** IVF top-k over the PERSISTED index: probe cells per query, read ONLY
+    * those cells' directories, exact re-rank — then [[assertPruned]].
+    * Result rows are identical to [[VectorSearch.ivfTopK]] over the live
+    * frame (candidates only ever come from probed cells), so the same SQL
+    * oracle hash-gates both. The probed-cell union is collected once
+    * (model-sized); an empty union (degenerate model) yields the empty
+    * result shape. */
+  def ivfTopKIndexed(spark: SparkSession, dir: String,
+      cents: Array[Array[Double]], queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val cells = probedCells(VectorSearch.ivfProbes(queries, cents, nprobe))
+    if (cells.isEmpty)
+      return spark.range(0).select(col("id").as("qid"), col("id").as("nid"),
+        col("id").cast("int").as("rnk"), col("id").cast("double").as("cos"))
+    val out = VectorSearch.ivfTopK(
+      readCells(spark, dir, cells), cents, queries, k, nprobe)
+    assertPruned(out, dir, cells)
+    out
+  }
+}

