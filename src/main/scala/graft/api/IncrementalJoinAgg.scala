@@ -26,12 +26,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * fingerprint advance in ONE atomic rename):
   *
   *   - `a/b<id>/`, `b/b<id>/` — each side's delta, written once per
-  *     applied batch. The accumulated side reads the UNION of committed
-  *     batch directories (ledger-filtered), so accumulation is an O(Δ)
-  *     append, never a rewrite — and a crashed batch's orphan delta
-  *     directory is invisible until its manifest commit lands.
+  *     applied batch. The accumulated side reads the UNION of the
+  *     manifest's live segment list for that side (a crashed batch's
+  *     orphan delta directory is never listed), so accumulation is an
+  *     O(Δ) append, never a rewrite.
+  *   - `a/c<id>/`, `b/c<id>/` — a COMPACTED history segment
+  *     ([[compactHistory]]): all live segments of one side merged into a
+  *     single layout Hive-partitioned by `__bkt = pmod(hash(join key),
+  *     buckets)`. Without it a batch-per-hour view accumulates one
+  *     directory per batch and every step's cross terms pay O(#batches)
+  *     listings/opens; compacted, the history side is ONE key-clustered
+  *     layout again (the `IncrementalDedup.compactIndex` pattern — old
+  *     directories become orphans for [[vacuumHistory]]).
   *   - `v<id>/` — the merged view partials (group-sized, the only
   *     O(|state|) write per step).
+  *
+  * The manifest's segment list is `viewVersion +: side segments` — one
+  * atomic CAS covers the view pointer AND both sides' live history, so
+  * a reader never sees a compaction half-applied.
   *
   * Exactly-once: a replay of an applied `batchId` is a no-op (ledger
   * check), and a replay of a CRASHED batch overwrites its own delta and
@@ -39,11 +51,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * contract as [[graft.streaming.IncrementalAgg.applyVersioned]].
   *
   * Scale shape (100 TB): the two cross terms are delta-against-history
-  * joins — small-side broadcast or co-partitioned when history is stored
-  * bucketed by the join key — and ΔA ⋈ ΔB is delta-sized; the partials
-  * merge touches group-sized state only. A day's ingest therefore costs
-  * O(Δ ⋈ history) + O(groups), while the `refresh` path it replaces
-  * rescans both full bases and rebuilds the join.
+  * joins — the delta side is small by definition, so the planner
+  * broadcasts it and HISTORY NEVER SHUFFLES; ΔA ⋈ ΔB is delta-sized; the
+  * partials merge touches group-sized state only. A day's ingest
+  * therefore costs O(Δ ⋈ history) + O(groups), while the `refresh` path
+  * it replaces rescans both full bases and rebuilds the join. Run
+  * [[compactHistory]] on the maintenance cadence (e.g. nightly) so the
+  * history read stays O(1) directories and the key-clustered `__bkt`
+  * layout bounds per-bucket file counts no matter how many batches
+  * preceded (JoinMvBench prices the per-step cost before/after).
   */
 object IncrementalJoinAgg {
 
@@ -55,18 +71,33 @@ object IncrementalJoinAgg {
     StateManifest.current(root).flatMap(_.segments.headOption)
       .map(v => spark.read.parquet(s"$root/$v"))
 
-  /** One side's accumulated committed deltas (ledger-filtered: a crashed
-    * batch's orphan directory never reads back). */
+  /** One side's live history segments (manifest tail entries `side/...`).
+    * Legacy roots committed before segment tracking fall back to the
+    * directory listing filtered by the batch ledger — their next applied
+    * batch folds the derived list into the manifest. */
+  private[graft] def liveSegments(root: String, side: String): Seq[String] = {
+    val fromManifest = StateManifest.current(root).toSeq
+      .flatMap(_.segments.drop(1)).filter(_.startsWith(s"$side/"))
+    if (fromManifest.nonEmpty) fromManifest
+    else {
+      val last = lastApplied(root)
+      Option(new java.io.File(s"$root/$side").list())
+        .getOrElse(Array.empty[String])
+        .filter(n => n.startsWith("b") &&
+          n.drop(1).toLongOption.exists(_ <= last))
+        .sorted.map(n => s"$side/$n").toIndexedSeq
+    }
+  }
+
+  /** One side's accumulated committed history: the union of its live
+    * segments (delta dirs + at most one compacted layout; the `__bkt`
+    * partition column of a compacted segment is layout-only and dropped). */
   private def accumulated(spark: SparkSession, root: String,
       side: String): Option[DataFrame] = {
-    val last = lastApplied(root)
-    val dirs = Option(new java.io.File(s"$root/$side").list())
-      .getOrElse(Array.empty[String])
-      .filter(n => n.startsWith("b") &&
-        n.drop(1).toLongOption.exists(_ <= last))
-      .map(n => s"$root/$side/$n")
-    if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
+    val segs = liveSegments(root, side)
+    if (segs.isEmpty) None
+    else Some(segs.map(sg => spark.read.parquet(s"$root/$sg").drop("__bkt"))
+      .reduce(_ unionByName _))
   }
 
   /** Apply one aligned delta pair (idempotent on `batchId`; use an empty
@@ -114,8 +145,15 @@ object IncrementalJoinAgg {
       }
     // data first — deltas AND view version — then the one atomic commit;
     // a crash anywhere before it replays the batch against the old
-    // manifest and no partial state is ever visible
-    StateManifest.commit(root, Seq(version), batchId, fp)
+    // manifest and no partial state is ever visible. The committed list
+    // carries both sides' live history so a reader never needs to trust
+    // a directory listing (crash orphans stay invisible).
+    val sideSegs = Seq("a", "b").flatMap { s =>
+      val prev = liveSegments(root, s)
+      val mine = s"$s/b$batchId"
+      if (prev.contains(mine)) prev else prev :+ mine
+    }
+    StateManifest.commit(root, version +: sideSegs, batchId, fp)
     StateManifest.pruneHistory(root, keep = 2)
     // GC view versions like IncrementalAgg (current + previous = one
     // commit of time travel); delta directories are the accumulated
@@ -132,5 +170,81 @@ object IncrementalJoinAgg {
           finally walk.close()
         }
       }
+  }
+
+  private def rmTree(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+
+  private def compactSide(spark: SparkSession, root: String, side: String,
+      keys: Seq[String], buckets: Int): Option[String] = {
+    import org.apache.spark.sql.functions._
+    val live = liveSegments(root, side)
+    if (live.size <= 1) None
+    else {
+      val name = s"$side/c${lastApplied(root)}"
+      live.map(sg => spark.read.parquet(s"$root/$sg").drop("__bkt"))
+        .reduce(_ unionByName _)
+        .withColumn("__bkt", pmod(hash(keys.map(col): _*), lit(buckets)))
+        .repartition(col("__bkt"))
+        .write.mode("overwrite").partitionBy("__bkt").parquet(s"$root/$name")
+      Some(name)
+    }
+  }
+
+  /** Compact each side's O(batches) live delta directories into ONE
+    * segment Hive-partitioned (key-clustered) by `pmod(hash(key),
+    * buckets)`. Pure layout maintenance: the compacted segment holds
+    * exactly the union of the live rows, so not one maintenance decision
+    * or stored partial changes (MaintenanceSpec runs a compact
+    * MID-SEQUENCE and pins prefix parity after every later step — the
+    * q_incr_dedup precedent). `keyA`/`keyB` are each side's join-key
+    * columns; the clustering makes the history side arrive pre-grouped
+    * by key for any later co-located read.
+    *
+    * Same optimistic CAS as [[IncrementalDedup.compactIndex]]: the commit
+    * aborts (None, claimed dirs become vacuumable orphans) if a concurrent
+    * batch advanced the manifest mid-compaction — maintenance must never
+    * lose a batch the race. Returns the new segment names, or None when
+    * neither side had anything to compact. Old directories stay readable
+    * for frames created before the compact until [[vacuumHistory]]. */
+  def compactHistory(spark: SparkSession, root: String, keyA: Seq[String],
+      keyB: Seq[String], buckets: Int = 32): Option[Seq[String]] = {
+    val cur = StateManifest.current(root)
+    if (cur.isEmpty) return None
+    val view = cur.get.segments.headOption.toSeq
+    val ca = compactSide(spark, root, "a", keyA, buckets)
+    val cb = compactSide(spark, root, "b", keyB, buckets)
+    if (ca.isEmpty && cb.isEmpty) return None
+    val segs = view ++
+      ca.map(Seq(_)).getOrElse(liveSegments(root, "a")) ++
+      cb.map(Seq(_)).getOrElse(liveSegments(root, "b"))
+    StateManifest.commitIf(root, cur.map(_.version), segs,
+      cur.get.lastBatch, cur.get.schemaFp)
+      .map(_ => ca.toSeq ++ cb.toSeq)
+  }
+
+  /** Delete history directories the CURRENT manifest no longer references
+    * (orphans from [[compactHistory]], an aborted CAS, or a crash between
+    * delta write and commit). Destroys data lazy frames created before
+    * the compact may still reference — run after those are evaluated
+    * (production: after a retention window). Returns deleted names. */
+  def vacuumHistory(root: String): Seq[String] = {
+    val live = StateManifest.current(root).toSeq
+      .flatMap(_.segments.drop(1)).toSet
+    // a legacy manifest (no tracked side segments) gives no authority to
+    // distinguish live history from orphans — refuse rather than destroy
+    if (live.isEmpty) return Nil
+    val gone = Seq("a", "b").flatMap { side =>
+      Option(new java.io.File(s"$root/$side").list())
+        .getOrElse(Array.empty[String])
+        .map(n => s"$side/$n").filterNot(live.contains)
+    }.sorted
+    gone.foreach(n => rmTree(java.nio.file.Paths.get(root).resolve(n)))
+    gone
   }
 }

@@ -315,10 +315,13 @@ object Maintenance {
     * aligned delta waves and each step advances the stored partials by
     * ΔJ = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB folded through the partial merge, never a
     * full refresh from base (r15 served this query from a full-recompute
-    * `refresh`). The rewrite then serves the incrementally-maintained
-    * state; the oracle is unchanged because after the last wave the state
-    * equals the definition over the full bases (prefix-parity pinned per
-    * step in MaintenanceSpec).
+    * `refresh`). The accumulated history COMPACTS mid-sequence (r17:
+    * `compactHistory` + `vacuumHistory` between waves 1 and 2 — O(batches)
+    * delta dirs fold into one key-clustered segment per side; JoinMvBench
+    * prices the tail steps at 6.5× with 24 batches). The rewrite then
+    * serves the incrementally-maintained state; the oracle is unchanged
+    * because after the last wave the state equals the definition over the
+    * full bases (prefix-parity pinned per step in MaintenanceSpec).
     *
     * Registration discipline: only deterministic INNER equi-joins register
     * (outer/non-equi definitions refuse at the source — MaintenanceSpec).
@@ -371,6 +374,15 @@ object Maintenance {
           .groupBy("c_mktsegment", "o_orderstatus")
           .agg(sum(col("p_sum_price")).cast("decimal(28,6)").as("p_sum_price"),
             sum(col("p_cnt")).as("p_cnt")))
+      // history lifecycle MID-SEQUENCE (the q_incr_dedup precedent): the
+      // delta directories compact into one key-clustered segment per side
+      // and orphans vacuum — wave 2 then joins against the COMPACTED
+      // history, and the oracle hash-compare proves not one partial moved
+      if (i == 1) {
+        graft.api.IncrementalJoinAgg.compactHistory(s, stateDir,
+          keyA = Seq("o_custkey"), keyB = Seq("c_custkey"))
+        graft.api.IncrementalJoinAgg.vacuumHistory(stateDir)
+      }
     }
     val read = () => graft.api.IncrementalJoinAgg.state(s, stateDir)
       .getOrElse(throw new IllegalStateException(

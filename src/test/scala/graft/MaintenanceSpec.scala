@@ -1302,4 +1302,72 @@ class MaintenanceSpec extends SparkSpec {
         "a late fact row must join dim history ingested in earlier waves")
     }
   }
+
+  test("incremental join-agg: compact mid-sequence changes no decision; vacuum reclaims") {
+    import graft.api.IncrementalJoinAgg
+    import spark.implicits._
+    // same synthetic star as above, 3 waves with a compaction after wave 1
+    val aRows = Seq((1, "F", 10.0), (1, "O", 5.0), (2, "F", 7.0), (2, "F", 7.0),
+      (3, "F", 2.0), (4, "O", 1.0), (5, "F", 9.0), (6, "O", 4.0))
+    val bRows = Seq((1, "AUTO"), (2, "BUILD"), (3, "AUTO"), (4, "HOUSE"),
+      (5, "BUILD"), (7, "AUTO"))
+    val aDf = aRows.toDF("ak", "st", "x")
+    val bDf = bRows.toDF("bk", "seg")
+    def joiner(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.join(b, a("ak") === b("bk"))
+    def partials(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy("seg", "st")
+        .agg(sum(col("x").cast("decimal(18,6)")).as("p_sum"), count(lit(1)).as("p_cnt"))
+    def merge(prev: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      prev.unionByName(p).groupBy("seg", "st")
+        .agg(sum(col("p_sum")).cast("decimal(28,6)").as("p_sum"),
+          sum(col("p_cnt")).as("p_cnt"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select(col("seg"), col("st"), col("p_sum").cast("double"), col("p_cnt"))
+        .collect().map(_.toSeq).toSet
+    val waves = 3
+    val root = java.nio.file.Files.createTempDirectory("ijac").toString
+    def step(i: Int): Unit = IncrementalJoinAgg.applyBatch(
+      aDf.where(col("ak") % waves === i), bDf.where(col("bk") % waves === i),
+      i.toLong, root)(joiner, partials, merge)
+    def parity(i: Int): Unit = {
+      val want = rows(partials(joiner(
+        aDf.where(col("ak") % waves <= i), bDf.where(col("bk") % waves <= i))))
+      assert(rows(IncrementalJoinAgg.state(spark, root).get) == want,
+        s"prefix parity broken at step $i")
+    }
+    step(0); step(1); parity(1)
+    val before = rows(IncrementalJoinAgg.state(spark, root).get)
+    // compact both sides: 2 delta dirs each -> 1 key-clustered segment
+    val made = IncrementalJoinAgg.compactHistory(spark, root,
+      keyA = Seq("ak"), keyB = Seq("bk"), buckets = 4)
+    assert(made.exists(_.size == 2), s"expected both sides compacted, got $made")
+    assert(IncrementalJoinAgg.liveSegments(root, "a") == Seq("a/c1"))
+    assert(IncrementalJoinAgg.liveSegments(root, "b") == Seq("b/c1"))
+    assert(rows(IncrementalJoinAgg.state(spark, root).get) == before,
+      "compaction must not move the stored view")
+    // the compacted layout is key-clustered (Hive bkt= directories)
+    assert(new java.io.File(s"$root/a/c1").list().exists(_.startsWith("__bkt=")))
+    // a second compaction with nothing to merge is a no-op
+    assert(IncrementalJoinAgg.compactHistory(spark, root,
+      Seq("ak"), Seq("bk"), 4).isEmpty)
+    // the next wave joins its deltas against the COMPACTED history and
+    // parity still holds — not one maintenance decision changed
+    step(2); parity(2)
+    val full = rows(partials(joiner(aDf, bDf)))
+    assert(rows(IncrementalJoinAgg.state(spark, root).get) == full)
+    // replay of an applied batch stays a no-op after compaction
+    step(1)
+    assert(rows(IncrementalJoinAgg.state(spark, root).get) == full)
+    // vacuum reclaims exactly the pre-compaction orphans; live layout stays
+    val gone = IncrementalJoinAgg.vacuumHistory(root)
+    assert(gone == Seq("a/b0", "a/b1", "b/b0", "b/b1"), s"got $gone")
+    // post-vacuum the view still serves and a late batch still advances
+    IncrementalJoinAgg.applyBatch(Seq((7, "F", 3.0)).toDF("ak", "st", "x"),
+      bDf.limit(0), waves.toLong, root)(joiner, partials, merge)
+    val wantLate = rows(partials(joiner(
+      aDf.unionByName(Seq((7, "F", 3.0)).toDF("ak", "st", "x")), bDf)))
+    assert(rows(IncrementalJoinAgg.state(spark, root).get) == wantLate,
+      "a late row must join the compacted dim history")
+  }
 }
