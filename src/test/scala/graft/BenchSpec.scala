@@ -136,4 +136,50 @@ class BenchSpec extends SparkSpec {
     assert(run.timings.forall(_.winCalib > 0), "every row gets a window probe")
     assert(run.totalNorm > 0 && run.totalRaw > 0)
   }
+
+  test("tailRemeasure re-runs only >2x-median readings with matching shuffle") {
+    val C = Bench.CalibRef
+    def t(name: String, sec: Double, shuffleMb: Double) =
+      Bench.QueryTiming(name, sec, shuffleMb, 1, sec, None, winCalib = C)
+    val defs = Seq(okQuery("q_stalled"), okQuery("q_moved"), okQuery("q_fine"))
+    val ref = Map(
+      "q_stalled" -> (1.0, 1.0), // stall: 5s reading, shuffle matches -> re-run
+      "q_moved" -> (1.0, 50.0),  // 5s reading but shuffle moved -> plan change, keep
+      "q_fine" -> (1.0, 1.0))    // inside 2x -> keep
+    val out = Bench.tailRemeasure(spark, "ignored",
+      Seq(t("q_stalled", 5.0, 1.0), t("q_moved", 5.0, 1.0), t("q_fine", 1.5, 1.0)),
+      defs, ref)
+    val byName = out.map(r => r.name -> r).toMap
+    assert(byName("q_stalled").preTailSec.contains(5.0),
+      "the stalled reading must be recorded beside the re-measure")
+    assert(byName("q_stalled").sec < 5.0, "the fast re-measure must replace it")
+    assert(byName("q_stalled").attempts == 2)
+    assert(byName("q_moved").preTailSec.isEmpty && byName("q_moved").sec == 5.0,
+      "a shuffle-moved reading is a plan change, not window noise")
+    assert(byName("q_fine").preTailSec.isEmpty && byName("q_fine").sec == 1.5)
+    // empty reference (first run ever) leaves everything untouched
+    assert(Bench.tailRemeasure(spark, "ignored",
+      Seq(t("q_stalled", 5.0, 1.0)), defs, Map.empty).head.preTailSec.isEmpty)
+  }
+
+  test("loadRef parses the artifact format; loadRefMedians medians across runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-ref")
+    def write(name: String, norm: Double, shuffle: Double): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name),
+        s"""{
+  "queries": {
+  "q_x": {"sec": ${norm * 2}, "norm_sec": $norm, "norm_factor": 2.000, "win_calib": 0.1, "median": 1.0, "shuffle_mb": $shuffle, "attempts": 1}
+  }
+}
+""")
+    write("per_query_1.json", 1.0, 4.0)
+    write("per_query_2.json", 3.0, 5.0)
+    write("per_query_3.json", 100.0, 6.0)
+    val one = Bench.loadRef(s"$dir/per_query_2.json")
+    assert(one == Map("q_x" -> (3.0, 5.0)))
+    // median is robust to the one stalled artifact (100.0)
+    assert(Bench.loadRefMedians(dir.toString) == Map("q_x" -> (3.0, 5.0)))
+    assert(Bench.loadRef(s"$dir/absent.json").isEmpty)
+    assert(Bench.loadRefMedians(s"$dir/absent").isEmpty)
+  }
 }
