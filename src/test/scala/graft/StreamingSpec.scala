@@ -804,6 +804,87 @@ class StreamingSpec extends SparkSpec {
       "late partner of a retracted row must not resurrect it")
   }
 
+  test("stream join-agg view: MV state ≡ definition after every prefix; restart + compaction live") {
+    // FOURTEENTH batch↔stream parity pair: the Aggregate-over-JOIN MV
+    // state maintained by a live tagged CDC feed (StreamJoinAggView over
+    // IncrementalJoinAgg) equals the view definition evaluated over
+    // exactly the rows ingested so far — after every prefix, across a
+    // kill/restart (same checkpoint: replayed batchId no-ops on the
+    // ledger), and with the history compaction lifecycle run MID-STREAM.
+    import graft.streaming.StreamJoinAggView
+    import graft.api.IncrementalJoinAgg
+    import spark.implicits._
+    val root = Files.createTempDirectory("sjav").toString
+    val ckpt = Files.createTempDirectory("sjav-ckpt").toString
+    // tagged CDC tuple: (side, k, st, x, seg) — A rows carry (k, st, x),
+    // B rows carry (k, seg)
+    val spec = StreamJoinAggView.Spec(
+      aOf = b => b.filter(col("side") === "A").select(
+        col("k").as("ak"), col("st"), col("x")),
+      bOf = b => b.filter(col("side") === "B").select(
+        col("k").as("bk"), col("seg")),
+      join = (a, b) => a.join(b, a("ak") === b("bk")),
+      partialsOf = j => j.groupBy("seg", "st")
+        .agg(sum(col("x").cast("decimal(18,6)")).as("p_sum"),
+          count(lit(1)).as("p_cnt")),
+      merge = (prev, p) => prev.unionByName(p).groupBy("seg", "st")
+        .agg(sum(col("p_sum")).cast("decimal(28,6)").as("p_sum"),
+          sum(col("p_cnt")).as("p_cnt")))
+    val batches = Seq(
+      Seq(("A", 1L, "F", 10.0, ""), ("A", 2L, "F", 7.0, ""), ("B", 1L, "", 0.0, "AUTO")),
+      Seq(("B", 2L, "", 0.0, "BUILD"), ("A", 1L, "O", 5.0, ""), ("A", 2L, "F", 7.0, "")),
+      Seq(("A", 3L, "F", 2.0, ""), ("B", 3L, "", 0.0, "AUTO"), ("B", 9L, "", 0.0, "AUTO")),
+      Seq(("A", 9L, "O", 4.0, "")))
+    def wantAfter(n: Int): Set[Seq[Any]] = {
+      val all = batches.take(n).flatten
+      val a = all.filter(_._1 == "A").map(t => (t._2, t._3, t._4)).toDF("ak", "st", "x")
+      val b = all.filter(_._1 == "B").map(t => (t._2, t._5)).toDF("bk", "seg")
+      spec.partialsOf(spec.join(a, b))
+        .select(col("seg"), col("st"), col("p_sum").cast("double"), col("p_cnt"))
+        .collect().map(_.toSeq).toSet
+    }
+    def gotNow(): Set[Seq[Any]] =
+      StreamJoinAggView.state(spark, root).get
+        .select(col("seg"), col("st"), col("p_sum").cast("double"), col("p_cnt"))
+        .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(String, Long, String, Double, String)](spark)
+    val df = input.toDF().toDF("side", "k", "st", "x", "seg")
+    val q = StreamJoinAggView.maintain(df, root, ckpt, spec)
+    input.addData(batches(0): _*); q.processAllAvailable()
+    assert(gotNow() == wantAfter(1), "prefix 1")
+    input.addData(batches(1): _*); q.processAllAvailable()
+    assert(gotNow() == wantAfter(2), "prefix 2")
+    q.stop()
+    // history lifecycle mid-stream, between micro-batches
+    val made = IncrementalJoinAgg.compactHistory(spark, root,
+      keyA = Seq("ak"), keyB = Seq("bk"), buckets = 4)
+    assert(made.exists(_.size == 2), s"both sides should compact: $made")
+    assert(IncrementalJoinAgg.vacuumHistory(root).nonEmpty)
+    assert(gotNow() == wantAfter(2), "compaction moved the stored view")
+    // kill/restart: resume the SAME checkpoint and source — batch ids
+    // continue, any re-delivered id no-ops on the manifest ledger, and
+    // the next batches join against the COMPACTED history
+    val q2 = StreamJoinAggView.maintain(df, root, ckpt, spec)
+    input.addData(batches(2): _*); q2.processAllAvailable()
+    assert(gotNow() == wantAfter(3), "prefix 3 after restart over compacted history")
+    input.addData(batches(3): _*); q2.processAllAvailable()
+    assert(gotNow() == wantAfter(4), "final state ≡ definition over all ingested rows")
+    q2.stop()
+    // the documented resume contract: a FRESH checkpoint restarts batch
+    // ids at 0, so a feed re-delivering old rows lands on already-applied
+    // ledger ids and must be swallowed, never double-counted — resuming a
+    // state root means resuming its checkpoint
+    val stale = MemoryStream[(String, Long, String, Double, String)](spark)
+    stale.addData(batches.flatten: _*)
+    val q3 = StreamJoinAggView.maintain(
+      stale.toDF().toDF("side", "k", "st", "x", "seg"), root,
+      Files.createTempDirectory("sjav-ckpt2").toString, spec)
+    q3.processAllAvailable()
+    q3.stop()
+    assert(gotNow() == wantAfter(4), "stale-checkpoint re-delivery double-counted")
+  }
+
   test("streaming funnel: conversions equal the batch q_funnel on identical input") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     StatefulOps.useRocksDbStateStore(spark)
