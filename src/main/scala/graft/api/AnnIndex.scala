@@ -52,12 +52,23 @@ object AnnIndex {
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
       .map(_.getName.stripPrefix("cell=").toInt).toSet
 
+  /** Base frame per (session, dir), cached: schema inference + the
+    * partition-directory index build once per process instead of per
+    * query. Safe because an index directory is immutable once built — a
+    * data regeneration moves the source fingerprint and lands the rebuilt
+    * index under a NEW directory name (`Similarity.ivfIndexDir`). */
+  private val baseCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private def baseFrame(spark: SparkSession, dir: String): DataFrame =
+    baseCache.computeIfAbsent((System.identityHashCode(spark), dir),
+      _ => spark.read.parquet(dir))
+
   /** Pruned read: only the probed cells' directories enter the scan. The
     * `isin` is a static partition filter — the listing never touches other
     * `cell=` directories ([[assertPruned]] proves it per query). */
   def readCells(spark: SparkSession, dir: String, cells: Seq[Int]): DataFrame = {
     require(cells.nonEmpty, "readCells: no probed cells")
-    spark.read.parquet(dir).where(col("cell").isin(cells.map(Int.box): _*))
+    baseFrame(spark, dir).where(col("cell").isin(cells.map(Int.box): _*))
   }
 
   /** The plan's scans of `dir`: (partitions listed, bytes selected). */
