@@ -1,0 +1,158 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance for the cell-partitioned ANN index
+  * ([[AnnIndex]]): new vectors ingest as O(Δ) appends against a FROZEN
+  * coarse quantizer, searches stay pruned to probed cells, and a
+  * compaction pass keeps per-cell file counts flat — the index is
+  * MAINTAINED, never rebuilt, which is the only viable contract once the
+  * corpus is 100 TB (a rebuild re-encodes everything; an ingest touches
+  * only the delta).
+  *
+  * Model freeze: deltas assign with the centroids trained on the
+  * BOOTSTRAP corpus — the standard production IVF contract (re-training
+  * moves cell boundaries and would force a full re-assignment; instead
+  * the quantizer is refreshed offline on a snapshot cadence and the index
+  * rebuilt UNDER A NEW ROOT when drift warrants it). Assignment of a
+  * given vector is therefore identical whether it arrived in bootstrap
+  * or any later batch — which is exactly what makes the result
+  * oracle-replayable (`q_incr_ann` trains the same frozen model in SQL
+  * over the bootstrap subset and assigns the union).
+  *
+  * State layout under `root/` (all commits through [[StateManifest]] —
+  * segment list, batch ledger, schema fingerprint in ONE atomic rename):
+  *
+  *   - `seg-b<id>/cell=N/...` — one cell-partitioned segment per applied
+  *     batch (bootstrap = `seg-b0`). A crashed ingest's orphan directory
+  *     is invisible until its manifest commit lands.
+  *   - `seg-c<id>/` — a compacted segment ([[compact]]): all live rows
+  *     folded back into ONE cell-partitioned layout, CAS-committed (the
+  *     [[IncrementalDedup.compactIndex]] discipline), orphans reclaimed
+  *     by [[vacuum]]. Without it a probed read pays O(#ingests) file
+  *     opens per cell; compacted it returns to O(probed cells).
+  *
+  * Searches read the UNION of live segments pruned to the probed cells —
+  * one multi-root parquet relation whose partition listing must select
+  * exactly Σ per-segment probed-and-existing cell directories
+  * ([[assertPruned]] — the same plan-gate discipline as [[AnnIndex]]).
+  */
+object AnnIngest {
+
+  private def lastApplied(root: String): Long =
+    StateManifest.current(root).map(_.lastBatch).getOrElse(-1L)
+
+  /** Live segment names (manifest order). */
+  def liveSegments(root: String): Seq[String] =
+    StateManifest.current(root).map(_.segments).getOrElse(Nil)
+
+  /** Bootstrap + ingest share one idempotent entry: assign the batch with
+    * the frozen model, write it as a new cell-partitioned segment, commit.
+    * A replay of an applied `batchId` is a no-op; a crashed batch's
+    * replay overwrites its own orphan directory before the commit. */
+  def ingest(spark: SparkSession, root: String, delta: DataFrame,
+      cents: Array[Array[Double]], batchId: Long): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    if (batchId <= lastApplied(root)) return
+    val name = s"seg-b$batchId"
+    VectorSearch.ivfAssign(delta, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/$name")
+    val fp = StateManifest.schemaFingerprint(delta.schema)
+    StateManifest.current(root).map(_.schemaFp)
+      .filter(f => f.nonEmpty && f != fp).foreach { f =>
+        throw new IllegalStateException(
+          s"ann ingest schema drift at $root: manifest=$f batch=$fp")
+      }
+    StateManifest.commit(root, liveSegments(root) :+ name, batchId, fp)
+  }
+
+  /** Fold all live segments into ONE compacted cell-partitioned segment.
+    * Pure layout maintenance (`cell` is a function of the frozen model —
+    * no re-assignment); optimistic CAS aborts (None) if an ingest
+    * advanced the manifest mid-compaction. Old directories stay readable
+    * for earlier frames until [[vacuum]]. */
+  def compact(spark: SparkSession, root: String): Option[String] = {
+    val cur = StateManifest.current(root)
+    val live = cur.map(_.segments).getOrElse(Nil)
+    if (live.size <= 1) return None
+    val name = s"seg-c${cur.get.lastBatch}"
+    live.map(sg => spark.read.parquet(s"$root/$sg"))
+      .reduce(_ unionByName _)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/$name")
+    StateManifest.commitIf(root, cur.map(_.version), Seq(name),
+      cur.get.lastBatch, cur.get.schemaFp).map(_ => name)
+  }
+
+  /** Delete segment directories the CURRENT manifest no longer references
+    * (compaction leftovers, aborted CAS, crashed ingests). Run after
+    * frames created before the compact are evaluated. */
+  def vacuum(root: String): Seq[String] = {
+    val live = liveSegments(root).toSet
+    if (live.isEmpty) return Nil
+    val gone = Option(new java.io.File(root).list())
+      .getOrElse(Array.empty[String])
+      .filter(n => n.startsWith("seg-") && !live.contains(n)).sorted.toIndexedSeq
+    gone.foreach { n =>
+      val dir = java.nio.file.Paths.get(root).resolve(n)
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    gone
+  }
+
+  /** Pruned read across all live segments: each segment is its own
+    * partitioned relation (multi-root inference conflicts under a common
+    * parent), unioned — the static `isin` partition filter pushes through
+    * the Union into EVERY segment scan, so each lists only its probed
+    * cells' directories. */
+  def readCells(spark: SparkSession, root: String, cells: Seq[Int]): DataFrame = {
+    require(cells.nonEmpty, "readCells: no probed cells")
+    val segs = liveSegments(root)
+    require(segs.nonEmpty, s"no live ann segments at $root")
+    segs.map(sg => spark.read.parquet(s"$root/$sg"))
+      .reduce(_ unionByName _)
+      .where(col("cell").isin(cells.map(Int.box): _*))
+  }
+
+  /** Expected directory count for a pruned read: Σ per-segment
+    * |probed ∩ existing| (an empty cell writes no directory). */
+  private def expectedDirs(root: String, cells: Seq[Int]): Int =
+    liveSegments(root).map(sg =>
+      cells.toSet.intersect(AnnIndex.existingCells(s"$root/$sg")).size).sum
+
+  /** Plan gate: the scans of `root`'s segments together listed exactly
+    * the probed cells' directories (summed across segments — one scan
+    * per live segment under the union). */
+  def assertPruned(df: DataFrame, root: String, cells: Seq[Int]): Unit = {
+    val want = java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toUri.getPath.startsWith(want)) =>
+        f.selectedPartitions.partitionCount
+    }
+    if (scans.isEmpty) throw new IllegalStateException(
+      s"ann ingest: no file scan of $root in the plan")
+    val expect = expectedDirs(root, cells)
+    val got = scans.sum
+    if (got != expect) throw new IllegalStateException(
+      s"ann ingest: scans listed $got cell directories, expected $expect — pruning did not hold")
+  }
+
+  /** IVF top-k over the maintained index (frozen model), plan-gated. */
+  def searchTopK(spark: SparkSession, root: String,
+      cents: Array[Array[Double]], queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val cells = AnnIndex.probedCells(VectorSearch.ivfProbes(queries, cents, nprobe))
+    if (cells.isEmpty)
+      return spark.range(0).select(col("id").as("qid"), col("id").as("nid"),
+        col("id").cast("int").as("rnk"), col("id").cast("double").as("cos"))
+    val out = VectorSearch.ivfTopK(
+      readCells(spark, root, cells), cents, queries, k, nprobe)
+    assertPruned(out, root, cells)
+    out
+  }
+}

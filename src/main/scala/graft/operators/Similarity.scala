@@ -257,24 +257,30 @@ object Similarity {
     * to IEEE edge rounding), clamps interpolated from the ONE Scala copy.
     * Every fit CTE reads its size from `ksz`, so both engines derive
     * identical models at every corpus size. */
-  private val sizingCtes: String = {
+  private val sizingCtes: String = sizingCtesOver("n", "")
+
+  /** [[sizingCtes]] generalized: the identical exact-integer sizing chain
+    * computed over corpus CTE `src`, emitting `${pfx}ksz`-prefixed names —
+    * so a query whose model trains on a SUBSET (q_incr_ann's frozen
+    * bootstrap quantizer) replays the same rules over that subset. */
+  private def sizingCtesOver(src: String, pfx: String): String = {
     import graft.api.{ProductQuant => PQ, VectorSearch => VS}
-    s"""ksz0 AS (SELECT count(*) AS nn,
-       |                CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS r0 FROM n),
-       |ksz1 AS (SELECT nn, CASE WHEN (r0+1)*(r0+1) <= nn THEN r0+1
-       |                         WHEN r0*r0 > nn THEN r0-1 ELSE r0 END AS isq FROM ksz0),
-       |ksz2 AS (SELECT nn, GREATEST(${VS.IvfCellsMin}, LEAST(${VS.IvfCellsMax}, isq)) AS ncells,
+    s"""${pfx}ksz0 AS (SELECT count(*) AS nn,
+       |                CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS r0 FROM $src),
+       |${pfx}ksz1 AS (SELECT nn, CASE WHEN (r0+1)*(r0+1) <= nn THEN r0+1
+       |                         WHEN r0*r0 > nn THEN r0-1 ELSE r0 END AS isq FROM ${pfx}ksz0),
+       |${pfx}ksz2 AS (SELECT nn, GREATEST(${VS.IvfCellsMin}, LEAST(${VS.IvfCellsMax}, isq)) AS ncells,
        |                GREATEST(${PQ.CodebookCellsMin}, LEAST(${PQ.CodebookCellsMax}, isq)) AS pqk
-       |         FROM ksz1),
-       |ksz3 AS (SELECT nn, ncells, pqk,
-       |                CAST(floor(sqrt(CAST(ncells AS DOUBLE))) AS BIGINT) AS c0 FROM ksz2),
-       |ksz4 AS (SELECT nn, ncells, pqk,
+       |         FROM ${pfx}ksz1),
+       |${pfx}ksz3 AS (SELECT nn, ncells, pqk,
+       |                CAST(floor(sqrt(CAST(ncells AS DOUBLE))) AS BIGINT) AS c0 FROM ${pfx}ksz2),
+       |${pfx}ksz4 AS (SELECT nn, ncells, pqk,
        |               GREATEST(${VS.NprobeMin},
        |                        CASE WHEN c0*c0 >= ncells THEN c0 ELSE c0+1 END,
        |                        (ncells + ${VS.NprobeDenom - 1}) // ${VS.NprobeDenom}) AS np
-       |        FROM ksz3),
-       |ksz AS (SELECT ncells, pqk, np,
-       |               GREATEST(100, ((nn * np) // ncells) // 5) AS shortk FROM ksz4)""".stripMargin
+       |        FROM ${pfx}ksz3),
+       |${pfx}ksz AS (SELECT ncells, pqk, np,
+       |               GREATEST(100, ((nn * np) // ncells) // 5) AS shortk FROM ${pfx}ksz4)""".stripMargin
   }
 
   /** DuckDB CTE chain replaying the Lloyd fit ([[graft.api.VectorSearch
@@ -286,36 +292,41 @@ object Similarity {
     * Spark fit runs, so both engines derive bit-identical trained
     * centroids. Empty cells keep the previous centroid via the LEFT JOIN
     * + COALESCE. Requires [[sizingCtes]] earlier in the WITH. */
-  private def kmeansCtes(rounds: Int): String = {
+  private def kmeansCtes(rounds: Int): String = kmeansCtesOver(rounds, "n", "")
+
+  /** [[kmeansCtes]] generalized to train over corpus CTE `src` with
+    * `${pfx}`-prefixed names (sizing read from `${pfx}ksz` —
+    * [[sizingCtesOver]] must appear earlier in the WITH). */
+  private def kmeansCtesOver(rounds: Int, src: String, pfx: String): String = {
     val seed =
-      s"""cent0 AS (
+      s"""${pfx}cent0 AS (
          |  SELECT CAST(rn - 1 AS INTEGER) AS cell, v FROM (
-         |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, v FROM n)
-         |  WHERE rn <= (SELECT ncells FROM ksz)
+         |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, v FROM $src)
+         |  WHERE rn <= (SELECT ncells FROM ${pfx}ksz)
          |),
-         |cn0 AS (SELECT cell, v, ${normSql("v")} AS nrm FROM cent0)""".stripMargin
+         |${pfx}cn0 AS (SELECT cell, v, ${normSql("v")} AS nrm FROM ${pfx}cent0)""".stripMargin
     val iter = (1 to rounds).map { t =>
       val p = t - 1
-      s"""asg$t AS (
+      s"""${pfx}asg$t AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT n.vec_id, c.cell,
          |           row_number() OVER (PARTITION BY n.vec_id
          |             ORDER BY ${dotSql("n.v", "c.v")} / (n.nrm * c.nrm) DESC, c.cell) AS rn
-         |    FROM n, cn$p c) WHERE rn = 1
+         |    FROM $src n, ${pfx}cn$p c) WHERE rn = 1
          |),
-         |mean$t AS (
+         |${pfx}mean$t AS (
          |  SELECT a.cell, CAST(g.dim AS INTEGER) AS dim,
          |         round(CAST(sum(CAST(n.v[g.dim + 1] AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) + 0.0 AS c
-         |  FROM asg$t a JOIN n ON n.vec_id = a.vec_id, (SELECT unnest(range(0, 64)) AS dim) g
+         |  FROM ${pfx}asg$t a JOIN $src n ON n.vec_id = a.vec_id, (SELECT unnest(range(0, 64)) AS dim) g
          |  GROUP BY a.cell, g.dim
          |),
-         |cent$t AS (
+         |${pfx}cent$t AS (
          |  SELECT p.cell, COALESCE(m.v, p.v) AS v
-         |  FROM cn$p p LEFT JOIN
-         |    (SELECT cell, list(c ORDER BY dim) AS v FROM mean$t GROUP BY cell) m
+         |  FROM ${pfx}cn$p p LEFT JOIN
+         |    (SELECT cell, list(c ORDER BY dim) AS v FROM ${pfx}mean$t GROUP BY cell) m
          |    ON m.cell = p.cell
          |),
-         |cn$t AS (SELECT cell, v, ${normSql("v")} AS nrm FROM cent$t)""".stripMargin
+         |${pfx}cn$t AS (SELECT cell, v, ${normSql("v")} AS nrm FROM ${pfx}cent$t)""".stripMargin
     }
     (seed +: iter).mkString(",\n")
   }
@@ -1082,9 +1093,108 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Frozen-model sizing for the MAINTAINED index ([[qIncrAnn]]): cells
+    * and probes derive from the BOOTSTRAP corpus count (the model is
+    * frozen at bootstrap — later ingests must not move the sizing, or
+    * assignment would stop being replayable). */
+  private def nBootstrap(s: SparkSession, d: String): Long =
+    graft.api.ModelCache.cached(s"cnt:nb:${embFp(d)}")(
+      java.lang.Long.valueOf(normed(s, d).where(col("id") % 3 =!= 0).count())).longValue
+
+  private def incCells(s: SparkSession, d: String): Int =
+    graft.api.VectorSearch.ivfCellsFor(nBootstrap(s, d))
+
+  private def incCents(s: SparkSession, d: String): Array[Array[Double]] = {
+    val nc = incCells(s, d)
+    cachedMatrix(s"ivfinc:$nc:2:nb:${embFp(d)}")(
+      graft.api.VectorSearch.ivfFitKMeans(
+        normed(s, d).where(col("id") % 3 =!= 0), nCells = nc, iters = 2))
+  }
+
+  /** INCREMENTAL maintenance of the cell-partitioned ANN index
+    * ([[graft.api.AnnIngest]]): the quantizer trains once on the
+    * bootstrap corpus (`vec_id % 3 <> 0`) and FREEZES; the remaining
+    * vectors arrive as two delta ingests that assign with the frozen
+    * model and append one cell-partitioned segment each — O(Δ) work per
+    * ingest, the full corpus never re-encodes. The history compacts
+    * MID-SEQUENCE (between the ingests, + vacuum), and the final search
+    * reads the union of live segments pruned to the probed cells
+    * (plan-gated). The oracle replays the whole lifecycle declaratively:
+    * train on the bootstrap subset, assign the union, probe, re-rank —
+    * so the hash-compare proves ingest ∘ compact ∘ search ≡ one-shot
+    * index build over everything ingested.
+    *
+    * The 100 TB story this row pins: a production ANN index is
+    * MAINTAINED, not rebuilt — a day's new vectors cost one assignment
+    * pass over the delta plus an append, searches stay ∝ probed cells
+    * across however many ingests landed, and compaction (the same
+    * manifest-CAS lifecycle as the dedup band index and the join-MV
+    * history) keeps per-cell file counts flat. */
+  val qIncrAnn: QueryDef = QueryDef.sql(
+    "q_incr_ann",
+    s"""WITH $normedCte,
+       |nb AS (SELECT * FROM n WHERE vec_id % 3 <> 0),
+       |${sizingCtesOver("nb", "b")},
+       |${kmeansCtesOver(2, "nb", "b")},
+       |cc AS (
+       |  SELECT n.vec_id, c.cell, ${dotSql("n.v", "c.v")} / (n.nrm * c.nrm) AS ccos
+       |  FROM n, bcn2 c
+       |),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM cc)
+       |  WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM cc WHERE vec_id < 10)
+       |  WHERE rn <= (SELECT np FROM bksz)
+       |),
+       |s AS (
+       |  SELECT p.qid, a.vec_id AS nid, ${dotSql("q.v", "t.v")} / (q.nrm * t.nrm) AS cos
+       |  FROM probes p
+       |  JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |  JOIN n q ON q.vec_id = p.qid
+       |  JOIN n t ON t.vec_id = a.vec_id
+       |)
+       |SELECT qid, nid, rnk, round(cos, 4) AS cos
+       |FROM (SELECT qid, nid, cos,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rnk
+       |      FROM s)
+       |WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    import graft.api.AnnIngest
+    val n = normed(s, d)
+    val cents = incCents(s, d)
+    val stamp = s"annInc:${incCells(s, d)}:${embFp(d)}"
+    val root = s"${sys.props("java.io.tmpdir")}/graft-ann-inc/" +
+      java.lang.Integer.toHexString(stamp.hashCode)
+    // lifecycle (ledger-idempotent — a re-run replays as no-ops):
+    // bootstrap, ingest Δ1, compact + vacuum MID-SEQUENCE, ingest Δ2,
+    // final compact (so the search layout — and its plan budget — is
+    // one segment deterministically; AnnIngestSpec covers the
+    // multi-segment search path on its own roots)
+    AnnIngest.ingest(s, root, n.where(col("id") % 3 =!= 0), cents, 0L)
+    AnnIngest.ingest(s, root,
+      n.where(col("id") % 3 === 0 && col("id") % 2 === 0), cents, 1L)
+    AnnIngest.compact(s, root)
+    AnnIngest.vacuum(root)
+    AnnIngest.ingest(s, root,
+      n.where(col("id") % 3 === 0 && col("id") % 2 === 1), cents, 2L)
+    AnnIngest.compact(s, root)
+    AnnIngest.vacuum(root)
+    AnnIngest.searchTopK(s, root, cents, n.where(col("id") < 10),
+      k = 5, nprobe = graft.api.VectorSearch.nprobeFor(incCells(s, d)))
+      .orderBy("qid", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(
     qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qAnnRecall, qKmeansFit,
     qEmbedCentroids, qPqAnn, qIvfPqAnn, qAnnPqRecall, qLshRecall,
-    qSemanticDedup, qHybridSearch)
+    qSemanticDedup, qHybridSearch, qIncrAnn)
 }
 

@@ -1,0 +1,83 @@
+package graft
+
+import graft.api.{AnnIndex, AnnIngest, VectorSearch}
+import org.apache.spark.sql.functions._
+
+/** Incremental ANN-index maintenance: frozen-model ingest ∘ compact ∘
+  * search ≡ a one-shot index over everything ingested, exactly-once
+  * lifecycle, plan-gated pruned reads across segments. */
+class AnnIngestSpec extends SparkSpec {
+
+  private def normed(d: String) =
+    VectorSearch.withNorm(Tables.embeddings(spark, d),
+      col("vec_id"), col("embedding"), col("label"))
+
+  private lazy val corpus = normed(sf("sf0.001"))
+  private lazy val base = corpus.where(col("id") % 3 =!= 0)
+  private lazy val cents = VectorSearch.ivfFitKMeans(base, nCells = 8, iters = 2)
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft-anning").toString
+
+  private def lifecycle(root: String): Unit = {
+    AnnIngest.ingest(spark, root, base, cents, 0L)
+    AnnIngest.ingest(spark, root,
+      corpus.where(col("id") % 3 === 0 && col("id") % 2 === 0), cents, 1L)
+    AnnIngest.compact(spark, root)
+    AnnIngest.vacuum(root)
+    AnnIngest.ingest(spark, root,
+      corpus.where(col("id") % 3 === 0 && col("id") % 2 === 1), cents, 2L)
+  }
+
+  test("ingest ∘ compact ∘ search ≡ one-shot index over the union (frozen model)") {
+    val root = freshRoot()
+    lifecycle(root)
+    // live layout: the compacted c1 + the post-compact b2 segment
+    assert(AnnIngest.liveSegments(root) == Seq("seg-c1", "seg-b2"))
+    val qs = corpus.where(col("id") < 10)
+    val inc = AnnIngest.searchTopK(spark, root, cents, qs, k = 5, nprobe = 3)
+      .orderBy("qid", "rnk").collect()
+    // the one-shot reference: the SAME frozen model assigning everything
+    val oneShot = VectorSearch.ivfTopK(
+      VectorSearch.ivfAssign(corpus, cents), cents, qs, k = 5, nprobe = 3)
+      .orderBy("qid", "rnk").collect()
+    assert(inc.nonEmpty && inc.toSeq == oneShot.toSeq)
+  }
+
+  test("replayed lifecycle is a no-op; a stale batch id never applies") {
+    val root = freshRoot()
+    lifecycle(root)
+    def search() = AnnIngest.searchTopK(spark, root, cents,
+      corpus.where(col("id") < 10), k = 5, nprobe = 3)
+      .orderBy("qid", "rnk").collect().toSeq
+    val before = search()
+    lifecycle(root) // full replay: every ingest id <= lastBatch
+    // a second compact folds c1+b2 -> c2, a layout-only move
+    assert(AnnIngest.liveSegments(root) == Seq("seg-c2"))
+    assert(search() == before, "replay or re-compact changed the search result")
+    // the replay's own vacuum already reclaimed the folded segments: only
+    // the compacted layout remains on disk, and it serves alone
+    val onDisk = new java.io.File(root).list().filter(_.startsWith("seg-")).toSeq
+    assert(onDisk == Seq("seg-c2"), s"got $onDisk")
+    assert(AnnIngest.vacuum(root).isEmpty, "nothing left to reclaim")
+    assert(search() == before)
+  }
+
+  test("pruned multi-segment read lists only probed cell dirs; gate throws unpruned") {
+    val root = freshRoot()
+    lifecycle(root)
+    val q1 = corpus.where(col("id") === 1)
+    val cells = AnnIndex.probedCells(VectorSearch.ivfProbes(q1, cents, nprobe = 2))
+    val pruned = AnnIngest.readCells(spark, root, cells)
+    AnnIngest.assertPruned(pruned, root, cells)
+    val full = AnnIngest.liveSegments(root)
+      .map(sg => spark.read.parquet(s"$root/$sg"))
+      .reduce(_ unionByName _)
+    intercept[IllegalStateException](AnnIngest.assertPruned(full, root, cells))
+  }
+
+  test("q_incr_ann runs end-to-end (self-gate live)") {
+    val out = SparkEntry.queries("q_incr_ann")(spark, sf("sf0.001"))
+    assert(out.count() > 0)
+  }
+}
