@@ -111,8 +111,36 @@ object TpchScaleBench {
     // interleaving note: the base leg runs first, the scaled leg second —
     // each query's generated classes are hot for the scaled leg, so the
     // ratio prices DATA growth, not compilation
-    val base = Bench.timeInventory(spark, src, tpch, shuffleCounter = shuffleCount)
-    val scaled = Bench.timeInventory(spark, dst, tpch, shuffleCounter = shuffleCount)
+    val base0 = Bench.timeInventory(spark, src, tpch, shuffleCounter = shuffleCount)
+    val scaled0 = Bench.timeInventory(spark, dst, tpch, shuffleCounter = shuffleCount)
+
+    // Stall re-measure (round 17, the scale-bench analog of Bench's tail
+    // pass): a host-stall reading in EITHER leg corrupts the ratio — the
+    // r16 artifact's 1.40 total was flattered by a stalled sf0.1 base
+    // (q8/q9 at 8-10 s vs ~1 s steady), and degraded windows CANCEL the
+    // in-flight retries by design. Outlier legs re-run once at end of
+    // run with hot classes and keep the min; a genuinely expensive plan
+    // re-measures slow and stands. Bounds: base legs are all ≤ ~1.7 s
+    // steady (absolute 2.5 s gate); scaled legs gate on 3× their own
+    // base (the decade's shuffle-bound envelope).
+    def remeasure(dir: String, ts: Seq[Bench.QueryTiming],
+        flag: Bench.QueryTiming => Boolean): Seq[Bench.QueryTiming] =
+      ts.map { t =>
+        if (!flag(t) || t.error.nonEmpty) t
+        else {
+          val d = tpch.find(_.name == t.name).get
+          val again = Bench.timeInventory(spark, dir, Seq(d),
+            shuffleCounter = shuffleCount, retrySlow = false).head
+          System.err.println(f"[tpch-remeasure] ${t.name} ${t.sec}%.2fs -> ${again.sec}%.2fs")
+          if (again.sec < t.sec)
+            t.copy(sec = again.sec, attempts = t.attempts + 1, preTailSec = Some(t.sec))
+          else t.copy(preTailSec = Some(t.sec))
+        }
+      }
+    val base = remeasure(src, base0, _.sec > 2.5)
+    val baseSec = base.map(r => r.name -> r.sec).toMap
+    val scaled = remeasure(dst, scaled0,
+      t => t.sec > 3 * math.max(0.05, baseSec(t.name)))
 
     // ------------------------------------------------------------------
     // Bucketed leg (round 15): lineitem+orders written ONCE as bucketed+
