@@ -194,14 +194,23 @@ object Bench {
     * file is this main's own output format (one query per line), so a
     * line-regex parse is exact. Missing/unreadable file → empty map (the
     * tail pass is then a no-op — e.g. the very first run). */
-  def loadRef(path: String): Map[String, (Double, Double)] = {
+  def loadRef(path: String, wantSf: Option[String] = None): Map[String, (Double, Double)] = {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isRegularFile(p)) return Map.empty
     val line = ("\"(q_\\w+)\": \\{\"sec\": [0-9.]+, \"norm_sec\": ([0-9.]+)," +
       ".*?\"shuffle_mb\": ([0-9.]+)").r
-    try line.findAllMatchIn(java.nio.file.Files.readString(p))
-      .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)).toMap
-    catch { case scala.util.control.NonFatal(_) => Map.empty }
+    try {
+      val text = java.nio.file.Files.readString(p)
+      // provenance gates: a deliberate-degrade drill's artifact must never
+      // feed the tail-gate medians (its stalled norms would double the
+      // median and blind the gate), and a run at a DIFFERENT scale factor
+      // has incomparable timings/shuffles. Artifacts predating the
+      // degrade stamp carry no marker — none of them were drills.
+      if (text.contains("\"degrade_drill\": true")) return Map.empty
+      if (wantSf.exists(sf => !text.contains(s""""sf": "$sf""""))) return Map.empty
+      line.findAllMatchIn(text)
+        .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
   /** Per-query MEDIAN (norm_sec, shuffle_mb) across the last committed
@@ -209,11 +218,13 @@ object Bench {
     * re-measure gates on. A median over ≤6 runs is robust to one stalled
     * AND one anomalously-fast artifact; a single file (however chosen)
     * is not. */
-  def loadRefMedians(runsDir: String = "bench_runs"): Map[String, (Double, Double)] = {
+  def loadRefMedians(runsDir: String = "bench_runs",
+      wantSf: Option[String] = None): Map[String, (Double, Double)] = {
     val files = Option(new java.io.File(runsDir).list())
       .getOrElse(Array.empty[String])
       .filter(_.matches("per_query_.*\\.json")).sorted.takeRight(6)
-    val parsed = files.toIndexedSeq.map(f => loadRef(s"$runsDir/$f")).filter(_.nonEmpty)
+    val parsed = files.toIndexedSeq.map(f => loadRef(s"$runsDir/$f", wantSf))
+      .filter(_.nonEmpty)
     if (parsed.isEmpty) Map.empty
     else {
       def med(xs: Seq[Double]) = { val s = xs.sorted; s((s.size - 1) / 2) }
@@ -259,8 +270,11 @@ object Bench {
           f"(norm ${t.normSec}%.2fs) vs ref ${ref(t.name)._1}%.2fs — " +
           f"re-measured ${s}%.2fs (probe $probe%.3fs)")
         if (ok && s < t.sec)
-          t.copy(sec = s, winCalib = probe, retryCalib = None,
-            attempts = t.attempts + 1, preTailSec = Some(t.sec))
+          // median tracks the re-measure too: a row reading sec=0.9 with
+          // a median still carrying the stalled 5.0 would be internally
+          // inconsistent (the stalled reading lives in pre_tail_sec)
+          t.copy(sec = s, median = math.min(t.median, s), winCalib = probe,
+            retryCalib = None, attempts = t.attempts + 1, preTailSec = Some(t.sec))
         else t.copy(preTailSec = Some(t.sec)) // slow again: the reading stands
       }
     }
@@ -577,8 +591,8 @@ object Bench {
     val results =
       if (sys.env.contains("GRAFT_BENCH_NO_TAIL")) run.timings
       else tailRemeasure(spark, sfDir, run.timings, benchDefs,
-        sys.env.get("GRAFT_BENCH_REF_JSON").map(loadRef)
-          .getOrElse(loadRefMedians()))
+        sys.env.get("GRAFT_BENCH_REF_JSON").map(loadRef(_))
+          .getOrElse(loadRefMedians(wantSf = Some(sfDir))))
     val calibPost = calibrate()
     // Output contract (round 9): diagnostics lines FIRST, then a FINAL
     // stdout line containing ONLY the total — no queries map. The driver
@@ -643,6 +657,7 @@ object Bench {
         s""""correction_sec": ${num(total - totalNorm, 4)}}"""
       val doc = s"""{
   "sf": "$sfDir",
+  "degrade_drill": ${degrade.nonEmpty},
   "total_sec": ${num(total, 4)},
   "n_queries": ${results.size},
   "calib_pre_sec": ${num(calibPre, 4)},

@@ -119,24 +119,34 @@ object PipelineScaleBench {
 
     Bench.calibProbe(spark)
     val calibPre = Bench.calibrate(spark)
-    val base = Bench.timeInventory(spark, src, defs, shuffleCounter = shuffleCount)
+    val base0 = Bench.timeInventory(spark, src, defs, shuffleCounter = shuffleCount)
     val scaled0 = Bench.timeInventory(spark, dst, defs, shuffleCounter = shuffleCount)
-    // stall re-measure for the scaled leg (see TpchScaleBench): a reading
-    // over 3× its own base re-runs once and keeps the min — host stalls
-    // can't masquerade as scale regressions, genuine growth stands
-    val baseSec = base.map(r => r.name -> r.sec).toMap
-    val scaled = scaled0.map { t =>
-      if (t.error.nonEmpty || t.sec <= 3 * math.max(0.05, baseSec(t.name))) t
-      else {
-        val d = defs.find(_.name == t.name).get
-        val again = Bench.timeInventory(spark, dst, Seq(d),
-          shuffleCounter = shuffleCount, retrySlow = false).head
-        System.err.println(f"[pipe-remeasure] ${t.name} ${t.sec}%.2fs -> ${again.sec}%.2fs")
-        if (again.sec < t.sec)
-          t.copy(sec = again.sec, attempts = t.attempts + 1, preTailSec = Some(t.sec))
-        else t.copy(preTailSec = Some(t.sec))
+    // stall re-measure, BOTH legs (see TpchScaleBench): a stalled base
+    // inflates the ratio's denominator and flatters the decade — the r16
+    // TPC-H artifact's failure mode — while a stalled scaled leg inflates
+    // it. Pipeline base legs span 0.2-6 s steady, so the base gate is the
+    // canceled-retry signal itself (retryCalib set = the reading stood
+    // only because a degraded window suppressed retries) rather than an
+    // absolute bound; scaled legs gate on 3× their own base. Re-runs
+    // keep the min — genuine growth re-measures slow and stands.
+    def remeasure(dir: String, ts: Seq[Bench.QueryTiming],
+        flag: Bench.QueryTiming => Boolean): Seq[Bench.QueryTiming] =
+      ts.map { t =>
+        if (t.error.nonEmpty || !flag(t)) t
+        else {
+          val d = defs.find(_.name == t.name).get
+          val again = Bench.timeInventory(spark, dir, Seq(d),
+            shuffleCounter = shuffleCount, retrySlow = false).head
+          System.err.println(f"[pipe-remeasure] ${t.name} ${t.sec}%.2fs -> ${again.sec}%.2fs")
+          if (again.sec < t.sec)
+            t.copy(sec = again.sec, attempts = t.attempts + 1, preTailSec = Some(t.sec))
+          else t.copy(preTailSec = Some(t.sec))
+        }
       }
-    }
+    val base = remeasure(src, base0, t => t.retryCalib.nonEmpty && t.sec > 3.0)
+    val baseSec = base.map(r => r.name -> r.sec).toMap
+    val scaled = remeasure(dst, scaled0,
+      t => t.sec > 3 * math.max(0.05, baseSec(t.name)))
     val calibPost = Bench.calibrate(spark)
 
     // Recall-vs-scale: the quality companion to the timing ratios — if

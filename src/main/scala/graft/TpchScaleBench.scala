@@ -137,7 +137,8 @@ object TpchScaleBench {
           else t.copy(preTailSec = Some(t.sec))
         }
       }
-    val base = remeasure(src, base0, _.sec > 2.5)
+    val base = remeasure(src, base0,
+      t => t.sec > 2.5 || (t.retryCalib.nonEmpty && t.sec > 1.5))
     val baseSec = base.map(r => r.name -> r.sec).toMap
     val scaled = remeasure(dst, scaled0,
       t => t.sec > 3 * math.max(0.05, baseSec(t.name)))

@@ -56,12 +56,18 @@ object AnnIndex {
     * partition-directory index build once per process instead of per
     * query. Safe because an index directory is immutable once built — a
     * data regeneration moves the source fingerprint and lands the rebuilt
-    * index under a NEW directory name (`Similarity.ivfIndexDir`). */
+    * index under a NEW directory name (`Similarity.ivfIndexDir`).
+    * WEAK-keyed by the session itself (reference identity — SparkSession
+    * doesn't override equals): a stopped-and-collected session releases
+    * its frames, and no identity-hash reuse can ever serve a frame bound
+    * to a dead SparkContext. */
   private val baseCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
   private def baseFrame(spark: SparkSession, dir: String): DataFrame =
-    baseCache.computeIfAbsent((System.identityHashCode(spark), dir),
-      _ => spark.read.parquet(dir))
+    baseCache.synchronized {
+      baseCache.computeIfAbsent(spark, _ => new java.util.HashMap[String, DataFrame]())
+        .computeIfAbsent(dir, d => spark.read.parquet(d))
+    }
 
   /** Pruned read: only the probed cells' directories enter the scan. The
     * `isin` is a static partition filter — the listing never touches other

@@ -94,13 +94,7 @@ object AnnIngest {
     val gone = Option(new java.io.File(root).list())
       .getOrElse(Array.empty[String])
       .filter(n => n.startsWith("seg-") && !live.contains(n)).sorted.toIndexedSeq
-    gone.foreach { n =>
-      val dir = java.nio.file.Paths.get(root).resolve(n)
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    gone.foreach(n => AtomicFiles.rmTree(java.nio.file.Paths.get(root).resolve(n)))
     gone
   }
 

@@ -24,4 +24,16 @@ object AtomicFiles {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Recursive directory delete (deepest-first; a missing entry is not an
+    * error). The ONE copy of the walk-and-reverse-delete loop every state
+    * lifecycle (segment vacuum, version GC) previously inlined — symlink
+    * or IO-error hardening lands here once, for all of them. */
+  def rmTree(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
 }

@@ -382,12 +382,7 @@ object IncrementalDedup {
     val dir = java.nio.file.Paths.get(root)
     val orphans = Option(dir.toFile.list()).getOrElse(Array.empty[String])
       .filter(n => n.matches("seg\\d{5}") && !live.contains(n)).toSeq.sorted
-    orphans.foreach { n =>
-      val stream = java.nio.file.Files.walk(dir.resolve(n))
-      try stream.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
-      finally stream.close()
-    }
+    orphans.foreach(n => AtomicFiles.rmTree(dir.resolve(n)))
     if (orphans.nonEmpty) {
       val gone = orphans.toSet
       val cur = StateManifest.current(root).map(_.version).getOrElse(-1L)

@@ -161,24 +161,8 @@ object IncrementalJoinAgg {
     val retain = Set(version) ++ prevVersion
     Option(new java.io.File(root).list()).getOrElse(Array.empty[String])
       .filter(n => n.startsWith("v") && !retain.contains(n))
-      .foreach { v =>
-        val dir = java.nio.file.Paths.get(root).resolve(v)
-        if (java.nio.file.Files.isDirectory(dir)) {
-          val walk = java.nio.file.Files.walk(dir)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          finally walk.close()
-        }
-      }
+      .foreach(v => AtomicFiles.rmTree(java.nio.file.Paths.get(root).resolve(v)))
   }
-
-  private def rmTree(dir: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.isDirectory(dir)) {
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
 
   private def compactSide(spark: SparkSession, root: String, side: String,
       keys: Seq[String], buckets: Int): Option[String] = {
@@ -244,7 +228,7 @@ object IncrementalJoinAgg {
         .getOrElse(Array.empty[String])
         .map(n => s"$side/$n").filterNot(live.contains)
     }.sorted
-    gone.foreach(n => rmTree(java.nio.file.Paths.get(root).resolve(n)))
+    gone.foreach(n => AtomicFiles.rmTree(java.nio.file.Paths.get(root).resolve(n)))
     gone
   }
 }

@@ -93,8 +93,15 @@ object VectorSearch {
     * life of the SparkContext and each above-budget model (including one
     * per Lloyd round in [[ivfFitKMeans]]) would leak model-sized blocks
     * on driver and executors. Lifecycle is therefore EXPLICIT: a bounded
-    * LRU that `destroy()`s the evicted handle (and any stale-context or
-    * replaced entry), reclaiming driver and executor blocks eagerly. */
+    * LRU. Eviction `unpersist(blocking=false)`s the handle — the
+    * EXECUTOR blocks (the replicated, expensive side) free eagerly while
+    * the handle stays USABLE: a lazy plan still holding the evicted
+    * broadcast re-ships it from the driver block on next use instead of
+    * failing with destroyed-broadcast (destroy() here would break any
+    * not-yet-evaluated frame built before eviction). The one driver-side
+    * block per evicted model persists until context stop — bounded by
+    * models-ever-fit, documented residual. Stale-context entries ARE
+    * `destroy()`ed: no live frame of a stopped context can run again. */
   private val BcCacheMax = 4
   private final class BcKey(val arr: Array[Array[Double]]) {
     override def hashCode(): Int = System.identityHashCode(arr)
@@ -105,14 +112,17 @@ object VectorSearch {
   }
   private type BcEntry =
     (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[graft.functions.IvfModel])
-  private def destroyQuietly(e: BcEntry): Unit = {
+  private def releaseQuietly(e: BcEntry, stale: Boolean): Unit = {
     val (ctx, bc) = e
-    // a stopped context already tore its blocks down; destroy() there throws
-    if (!ctx.isStopped) try bc.destroy() catch { case scala.util.control.NonFatal(_) => () }
+    // a stopped context already tore its blocks down; either call throws
+    if (!ctx.isStopped)
+      try if (stale) bc.destroy() else bc.unpersist(false)
+      catch { case scala.util.control.NonFatal(_) => () }
   }
   private val bcCache = new java.util.LinkedHashMap[BcKey, BcEntry](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[BcKey, BcEntry]): Boolean =
-      if (size > BcCacheMax) { destroyQuietly(e.getValue); true } else false
+      if (size > BcCacheMax) { releaseQuietly(e.getValue, stale = false); true }
+      else false
   }
 
   private[graft] def modelBroadcast(spark: org.apache.spark.sql.SparkSession,
@@ -124,7 +134,7 @@ object VectorSearch {
       Option(bcCache.get(key)).collect {
         case (ctx, bc) if (ctx eq sc) && !sc.isStopped => bc
       }.getOrElse {
-        Option(bcCache.remove(key)).foreach(destroyQuietly) // stale-context entry
+        Option(bcCache.remove(key)).foreach(releaseQuietly(_, stale = true))
         val bc = sc.broadcast(
           graft.functions.IvfModel(cents, graft.functions.IvfCos.norms(cents)))
         bcCache.put(key, (sc, bc))

@@ -148,11 +148,38 @@ object Similarity {
     val dir = s"${sys.props("java.io.tmpdir")}/graft-ann/" +
       java.lang.Integer.toHexString(stamp.hashCode)
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_ANN_INDEX")
-    if (!idxBuilt.contains(stamp)) {
-      if (!java.nio.file.Files.exists(marker) ||
-          java.nio.file.Files.readString(marker) != stamp) {
-        graft.api.AnnIndex.build(normed(s, d), ivfCents(s, d), dir)
-        java.nio.file.Files.writeString(marker, stamp)
+    def built() = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == stamp
+    // build-once with BOTH exclusions: in-process (synchronized — two
+    // threads must not race the check-then-build) and cross-process (a
+    // createDirectory claim on a sibling .lock, the IncrementalDedup
+    // claim-mutex pattern — a concurrent builder's mode=overwrite would
+    // otherwise tear this one's files mid-write). A non-claimant polls
+    // for the winner's marker; a claimant that finds a crashed build
+    // (stale lock, no marker) takes over after the poll budget.
+    if (!idxBuilt.contains(stamp)) idxBuilt.synchronized {
+      if (!idxBuilt.contains(stamp) && !built()) {
+        val lock = java.nio.file.Paths.get(s"$dir.lock")
+        java.nio.file.Files.createDirectories(lock.getParent)
+        val claimed =
+          try { java.nio.file.Files.createDirectory(lock); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        if (claimed)
+          try {
+            if (!built()) { // re-check: a winner may have finished pre-claim
+              graft.api.AnnIndex.build(normed(s, d), ivfCents(s, d), dir)
+              java.nio.file.Files.writeString(marker, stamp)
+            }
+          } finally java.nio.file.Files.deleteIfExists(lock)
+        else {
+          // another process is building: wait for its marker
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          while (!built() && System.nanoTime() < deadline) Thread.sleep(500)
+          if (!built()) { // crashed builder left a stale lock: take over
+            graft.api.AnnIndex.build(normed(s, d), ivfCents(s, d), dir)
+            java.nio.file.Files.writeString(marker, stamp)
+          }
+        }
       }
       idxBuilt.add(stamp)
     }

@@ -125,15 +125,7 @@ object IncrementalAgg {
     val retain = Set(version) ++ prevVersion
     Option(stateDir(root).toFile.list()).getOrElse(Array.empty[String])
       .filter(n => n.startsWith("v") && !retain.contains(n))
-      .foreach { v =>
-        val dir = stateDir(root).resolve(v)
-        if (java.nio.file.Files.isDirectory(dir)) {
-          val walk = java.nio.file.Files.walk(dir)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          finally walk.close()
-        }
-      }
+      .foreach(v => graft.api.AtomicFiles.rmTree(stateDir(root).resolve(v)))
   }
 
   /** Wire a streaming DataFrame into the maintained aggregate. */

@@ -134,17 +134,21 @@ class ModelCacheSpec extends SparkSpec {
     assert(graft.api.StateManifest.current(s"$root/k").get.schemaFp == "cube")
   }
 
-  test("above-budget broadcast cache evicts + destroys beyond its bound") {
+  test("above-budget broadcast cache evicts beyond its bound; evicted handles stay usable") {
     // 6 distinct model arrays through the identity-keyed LRU (cap 4):
-    // the two least-recently-used handles must be destroyed, a re-request
-    // of an evicted model must mint a FRESH broadcast, and a still-cached
-    // model must return the SAME handle object (the reference-identity
-    // equality of IvfArgmaxBc depends on that reuse).
+    // the two least-recently-used entries evict via unpersist — executor
+    // blocks freed, but the HANDLE must stay usable (a lazy plan built
+    // before eviction re-ships from the driver block; destroy() here
+    // would fail that plan at evaluation). A re-request of an evicted
+    // model mints a FRESH broadcast, and a still-cached model returns the
+    // SAME handle object (IvfArgmaxBc's reference-identity equality
+    // depends on that reuse).
     val models = (0 until 6).map(i =>
       Array.tabulate(4, 8)((r, c) => (i * 100 + r * 10 + c).toDouble))
     val handles = models.map(m => VectorSearch.modelBroadcast(spark, m))
-    intercept[org.apache.spark.SparkException](handles(0).value)
-    intercept[org.apache.spark.SparkException](handles(1).value)
+    // evicted but NOT destroyed: value re-fetches from the driver block
+    assert(handles(0).value.cents(0)(0) == 0.0)
+    assert(handles(1).value.cents(0)(0) == 100.0)
     val re = VectorSearch.modelBroadcast(spark, models(0))
     assert(re.id != handles(0).id, "evicted model must get a fresh broadcast")
     assert(re.value.cents.length == 4)
