@@ -55,8 +55,18 @@ object AnnIngest {
       cents: Array[Array[Double]], batchId: Long): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     if (batchId <= lastApplied(root)) return
+    val assigned = VectorSearch.ivfAssign(delta, cents)
+    // an EMPTY batch (quiet feed, or a degenerate model that assigns
+    // nothing) advances the ledger without a segment: partitionBy of an
+    // empty frame writes a footerless directory no reader can open
+    if (assigned.isEmpty) {
+      val fpE = StateManifest.schemaFingerprint(delta.schema)
+      StateManifest.commit(root, liveSegments(root), batchId,
+        StateManifest.current(root).map(_.schemaFp).filter(_.nonEmpty).getOrElse(fpE))
+      return
+    }
     val name = s"seg-b$batchId"
-    VectorSearch.ivfAssign(delta, cents)
+    assigned
       .write.mode("overwrite").partitionBy("cell").parquet(s"$root/$name")
     val fp = StateManifest.schemaFingerprint(delta.schema)
     StateManifest.current(root).map(_.schemaFp)

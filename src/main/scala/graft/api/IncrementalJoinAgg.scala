@@ -170,13 +170,19 @@ object IncrementalJoinAgg {
     val live = liveSegments(root, side)
     if (live.size <= 1) None
     else {
-      val name = s"$side/c${lastApplied(root)}"
-      live.map(sg => spark.read.parquet(s"$root/$sg").drop("__bkt"))
+      val df = live.map(sg => spark.read.parquet(s"$root/$sg").drop("__bkt"))
         .reduce(_ unionByName _)
-        .withColumn("__bkt", pmod(hash(keys.map(col): _*), lit(buckets)))
-        .repartition(col("__bkt"))
-        .write.mode("overwrite").partitionBy("__bkt").parquet(s"$root/$name")
-      Some(name)
+      // an all-empty history (degenerate bases) stays as its delta dirs:
+      // partitionBy of an empty frame writes a footerless directory no
+      // reader can open, and there is nothing to cluster anyway
+      if (df.isEmpty) None
+      else {
+        val name = s"$side/c${lastApplied(root)}"
+        df.withColumn("__bkt", pmod(hash(keys.map(col): _*), lit(buckets)))
+          .repartition(col("__bkt"))
+          .write.mode("overwrite").partitionBy("__bkt").parquet(s"$root/$name")
+        Some(name)
+      }
     }
   }
 

@@ -802,15 +802,22 @@ object Similarity {
     // candidate-generation read is ∝ probed cells even as the corpus grows
     val idxDir = ivfIndexDir(s, d)
     val cells = AnnIndex.probedCells(probes)
-    val cand = AnnIndex.readCells(s, idxDir, cells)
-      .join(broadcast(probes), col("cell") === col("pcell") && col("id") =!= col("qid"))
-      .select(col("qid"), col("id"))
-    val out = ProductQuant.adcRefineTopK(codes,
-      ProductQuant.lut(nu.where(col("id") < 5), books, PqSub), cand,
-      corpus = n, k = 10, shortlist = pqShortlist(s, d))
-      .orderBy("qid", "rnk")
-    AnnIndex.assertPruned(out, idxDir, cells)
-    out
+    if (cells.isEmpty)
+      // empty corpus / degenerate model: nothing probed, nothing returned
+      // (same early-out as AnnIndex.ivfTopKIndexed — never open the index)
+      s.range(0).select(col("id").as("qid"), col("id").as("nid"),
+        col("id").cast("int").as("rnk"), col("id").cast("double").as("cos"))
+    else {
+      val cand = AnnIndex.readCells(s, idxDir, cells)
+        .join(broadcast(probes), col("cell") === col("pcell") && col("id") =!= col("qid"))
+        .select(col("qid"), col("id"))
+      val out = ProductQuant.adcRefineTopK(codes,
+        ProductQuant.lut(nu.where(col("id") < 5), books, PqSub), cand,
+        corpus = n, k = 10, shortlist = pqShortlist(s, d))
+        .orderBy("qid", "rnk")
+      AnnIndex.assertPruned(out, idxDir, cells)
+      out
+    }
   }
 
   /** Recall@10 of the IVF-PQ route against brute-force ground truth — the

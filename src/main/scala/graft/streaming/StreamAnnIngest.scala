@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.api.AnnIngest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming face of [[graft.api.AnnIngest]]: a live vector feed maintains
+  * the cell-partitioned ANN index — each micro-batch assigns with the
+  * FROZEN coarse quantizer and appends one cell-partitioned segment under
+  * the manifest ledger, so searches between batches stay pruned to probed
+  * cells over exactly the vectors ingested so far (StreamingSpec — the
+  * suite's fifteenth batch↔stream parity pair).
+  *
+  * Exactly-once rides the ledger: a crash-redelivered batchId no-ops, a
+  * restart on the same checkpoint continues ids, and the compaction
+  * lifecycle ([[AnnIngest.compact]]/`vacuum`) runs between micro-batches
+  * on the maintenance cadence — spec-pinned mid-stream.
+  *
+  * This is the production wiring for "embeddings land as documents are
+  * embedded, the similarity index serves continuously": ingest cost is
+  * O(Δ) per trigger (one assignment projection + one partitioned append),
+  * search cost stays ∝ probed cells no matter how many triggers landed.
+  * The model stays frozen for the feed's lifetime; quantizer refresh is
+  * an offline snapshot job that builds under a NEW root (see
+  * [[graft.api.AnnIngest]] scaladoc).
+  *
+  * `vectors` must be [[graft.api.VectorSearch.withNorm]]-shaped
+  * (`id`, `v`, `nrm`, keep...).
+  */
+object StreamAnnIngest {
+
+  def maintain(vectors: DataFrame, root: String, ckpt: String,
+      cents: Array[Array[Double]]): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        AnnIngest.ingest(b.sparkSession, root, b, cents, id)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+}

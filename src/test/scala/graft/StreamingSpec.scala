@@ -885,6 +885,59 @@ class StreamingSpec extends SparkSpec {
     assert(gotNow() == wantAfter(4), "stale-checkpoint re-delivery double-counted")
   }
 
+  test("stream ann ingest: searches ≡ one-shot frozen-model index after every prefix") {
+    // FIFTEENTH batch↔stream parity pair: a live vector feed maintains
+    // the cell-partitioned ANN index (StreamAnnIngest over AnnIngest) —
+    // after every micro-batch, a plan-gated pruned search over the live
+    // segments equals a one-shot index built from exactly the vectors
+    // ingested so far, with the compaction lifecycle run mid-stream.
+    import graft.api.{AnnIngest, VectorSearch}
+    import graft.streaming.StreamAnnIngest
+    val corpus = VectorSearch.withNorm(
+      Tables.embeddings(spark, sf()), col("vec_id"), col("embedding"))
+    val base = corpus.where(col("id") % 3 =!= 0)
+    val cents = VectorSearch.ivfFitKMeans(base, nCells = 8, iters = 2)
+    val root = Files.createTempDirectory("sann").toString
+    val ckpt = Files.createTempDirectory("sann-ckpt").toString
+    val batches = Seq(
+      base,
+      corpus.where(col("id") % 3 === 0 && col("id") % 2 === 0),
+      corpus.where(col("id") % 3 === 0 && col("id") % 2 === 1))
+    // the feed: (id, v, nrm) tuples through a MemoryStream, re-normed on
+    // the stream side so the ingested frame is withNorm-shaped
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val vecs = VectorSearch.withNorm(
+      input.toDF().toDF("vec_id", "embedding"), col("vec_id"), col("embedding"))
+    val q = StreamAnnIngest.maintain(vecs, root, ckpt, cents)
+    def feed(df: org.apache.spark.sql.DataFrame): Unit = {
+      input.addData(df.select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    def searchNow(): Seq[Seq[Any]] =
+      AnnIngest.searchTopK(spark, root, cents,
+        corpus.where(col("id") < 10), k = 5, nprobe = 3)
+        .orderBy("qid", "rnk").collect().map(_.toSeq).toSeq
+    def oneShot(upTo: Int): Seq[Seq[Any]] = {
+      val ingested = batches.take(upTo).reduce(_ unionByName _)
+      VectorSearch.ivfTopK(VectorSearch.ivfAssign(ingested, cents), cents,
+        corpus.where(col("id") < 10), k = 5, nprobe = 3)
+        .orderBy("qid", "rnk").collect().map(_.toSeq).toSeq
+    }
+    feed(batches(0))
+    assert(searchNow() == oneShot(1), "prefix 1")
+    feed(batches(1))
+    assert(searchNow() == oneShot(2), "prefix 2")
+    // maintenance between micro-batches: compact + vacuum, search unchanged
+    assert(AnnIngest.compact(spark, root).nonEmpty)
+    AnnIngest.vacuum(root)
+    assert(searchNow() == oneShot(2), "compaction moved a search result")
+    feed(batches(2))
+    q.stop()
+    assert(searchNow() == oneShot(3), "final prefix over compacted + live segments")
+    assert(AnnIngest.liveSegments(root) == Seq("seg-c1", "seg-b2"))
+  }
+
   test("streaming funnel: conversions equal the batch q_funnel on identical input") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     StatefulOps.useRocksDbStateStore(spark)
