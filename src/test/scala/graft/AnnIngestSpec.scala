@@ -63,6 +63,23 @@ class AnnIngestSpec extends SparkSpec {
     assert(search() == before)
   }
 
+  test("an empty ingest batch advances the ledger without a segment") {
+    val root = freshRoot()
+    AnnIngest.ingest(spark, root, base, cents, 0L)
+    // quiet feed: the batch applies (ledger moves) but writes no
+    // footerless partitioned dir — searches keep working
+    AnnIngest.ingest(spark, root, corpus.limit(0), cents, 1L)
+    assert(AnnIngest.liveSegments(root) == Seq("seg-b0"))
+    assert(graft.api.StateManifest.current(root).get.lastBatch == 1L)
+    // the skipped id never re-applies
+    AnnIngest.ingest(spark, root, corpus.where(col("id") % 3 === 0), cents, 1L)
+    assert(AnnIngest.liveSegments(root) == Seq("seg-b0"),
+      "a replayed (already-ledgered) id must not apply late data")
+    val out = AnnIngest.searchTopK(spark, root, cents,
+      corpus.where(col("id") < 10), k = 5, nprobe = 3)
+    assert(out.count() > 0)
+  }
+
   test("pruned multi-segment read lists only probed cell dirs; gate throws unpruned") {
     val root = freshRoot()
     lifecycle(root)
