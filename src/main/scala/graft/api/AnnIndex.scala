@@ -43,14 +43,36 @@ object AnnIndex {
     probes.select(col("pcell")).distinct().collect()
       .map(_.getInt(0)).sorted.toIndexedSeq
 
+  private def normPath(dir: String): String =
+    java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+
   /** Cells that exist as partition directories under `dir` — a cell that
     * went empty at assignment time has no directory, so a probe of it
-    * scans nothing. One driver-side directory listing (a metadata op; the
-    * catalog's partition list in a production deployment). */
+    * scans nothing. CACHED per directory (round 18, VERDICT r17 #4/#5):
+    * an index directory and a committed ingest segment are both immutable
+    * (a rebuild lands under a new fingerprint-keyed name; segment names
+    * under a root are monotone in the batch ledger, never reused), so the
+    * listing is one metadata op per directory per process instead of per
+    * query — at production query rates the per-query driver listing was
+    * exactly the pressure the (session, dir) frame cache removed.
+    * [[invalidate]] drops entries when a vacuum deletes the directory. */
   def existingCells(dir: String): Set[Int] =
-    Option(new java.io.File(dir).listFiles()).iterator.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-      .map(_.getName.stripPrefix("cell=").toInt).toSet
+    cellsCache.computeIfAbsent(normPath(dir), d =>
+      Option(new java.io.File(d).listFiles()).iterator.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(_.getName.stripPrefix("cell=").toInt).toSet)
+
+  private val cellsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[Int]]()
+
+  /** Drop cached metadata/frames for a deleted directory (vacuum). */
+  private[api] def invalidate(dir: String): Unit = {
+    val key = normPath(dir)
+    cellsCache.remove(key)
+    baseCache.synchronized {
+      baseCache.values.forEach(m => m.remove(key))
+    }
+  }
 
   /** Base frame per (session, dir), cached: schema inference + the
     * partition-directory index build once per process instead of per
@@ -63,10 +85,10 @@ object AnnIndex {
     * to a dead SparkContext. */
   private val baseCache =
     new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
-  private def baseFrame(spark: SparkSession, dir: String): DataFrame =
+  private[api] def baseFrame(spark: SparkSession, dir: String): DataFrame =
     baseCache.synchronized {
       baseCache.computeIfAbsent(spark, _ => new java.util.HashMap[String, DataFrame]())
-        .computeIfAbsent(dir, d => spark.read.parquet(d))
+        .computeIfAbsent(normPath(dir), d => spark.read.parquet(d))
     }
 
   /** Pruned read: only the probed cells' directories enter the scan. The
@@ -79,10 +101,13 @@ object AnnIndex {
 
   /** The plan's scans of `dir`: (partitions listed, bytes selected). */
   private def indexScans(df: DataFrame, dir: String): Seq[(Int, Long)] = {
-    val want = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+    val want = normPath(dir)
     df.queryExecution.sparkPlan.collectLeaves().collect {
+      // separator-bounded match (ADVICE r17): bare startsWith would count
+      // a SIBLING directory sharing the hex-name prefix into the gate
       case f: FileSourceScanExec if f.relation.location.rootPaths
-          .exists(_.toUri.getPath.startsWith(want)) =>
+          .map(_.toUri.getPath)
+          .exists(p => p == want || p.startsWith(want + "/")) =>
         val parts = f.selectedPartitions
         (parts.partitionCount, parts.totalFileSize)
     }.toIndexedSeq

@@ -81,31 +81,76 @@ object AnnIngest {
     * Pure layout maintenance (`cell` is a function of the frozen model —
     * no re-assignment); optimistic CAS aborts (None) if an ingest
     * advanced the manifest mid-compaction. Old directories stay readable
-    * for earlier frames until [[vacuum]]. */
-  def compact(spark: SparkSession, root: String): Option[String] = {
-    val cur = StateManifest.current(root)
-    val live = cur.map(_.segments).getOrElse(Nil)
-    if (live.size <= 1) return None
-    val name = s"seg-c${cur.get.lastBatch}"
-    live.map(sg => spark.read.parquet(s"$root/$sg"))
-      .reduce(_ unionByName _)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/$name")
-    StateManifest.commitIf(root, cur.map(_.version), Seq(name),
-      cur.get.lastBatch, cur.get.schemaFp).map(_ => name)
-  }
+    * for earlier frames until [[vacuum]]. Runs under the per-root
+    * maintenance lock so a concurrent [[vacuum]] can never delete the
+    * half-written compacted directory before its CAS commit. */
+  def compact(spark: SparkSession, root: String): Option[String] =
+    StateManifest.withMaintenanceLock(root) {
+      val cur = StateManifest.current(root)
+      val live = cur.map(_.segments).getOrElse(Nil)
+      if (live.size <= 1) None
+      else {
+        val name = s"seg-c${cur.get.lastBatch}"
+        live.map(sg => AnnIndex.baseFrame(spark, s"$root/$sg"))
+          .reduce(_ unionByName _)
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$root/$name")
+        AnnIndex.invalidate(s"$root/$name") // overwrite may replace an orphan
+        StateManifest.commitIf(root, cur.map(_.version), Seq(name),
+          cur.get.lastBatch, cur.get.schemaFp).map(_ => name)
+      }
+    }.flatten
+
+  /** The numeric id of a segment name (`seg-b<id>` / `seg-c<id>`). */
+  private def segId(name: String): Option[Long] =
+    name.stripPrefix("seg-").drop(1).toLongOption
 
   /** Delete segment directories the CURRENT manifest no longer references
     * (compaction leftovers, aborted CAS, crashed ingests). Run after
-    * frames created before the compact are evaluated. */
-  def vacuum(root: String): Seq[String] = {
-    val live = liveSegments(root).toSet
-    if (live.isEmpty) return Nil
-    val gone = Option(new java.io.File(root).list())
-      .getOrElse(Array.empty[String])
-      .filter(n => n.startsWith("seg-") && !live.contains(n)).sorted.toIndexedSeq
-    gone.foreach(n => AtomicFiles.rmTree(java.nio.file.Paths.get(root).resolve(n)))
-    gone
+    * frames created before the compact are evaluated.
+    *
+    * Two concurrent-writer guards (ADVICE r17 — the unguarded version
+    * could delete an in-flight writer's directory mid-write): (1) names
+    * whose id exceeds the manifest ledger are an ingest that has written
+    * but not yet committed — skipped, the batch-id guard; (2) the whole
+    * pass holds the per-root maintenance lock shared with [[compact]],
+    * whose in-flight directory carries an id ≤ the ledger and is
+    * protected by mutual exclusion instead. */
+  def vacuum(root: String): Seq[String] =
+    StateManifest.withMaintenanceLock(root) {
+      val m = StateManifest.current(root)
+      val live = m.map(_.segments).getOrElse(Nil).toSet
+      val last = m.map(_.lastBatch).getOrElse(-1L)
+      if (live.isEmpty) Nil
+      else {
+        val gone = Option(new java.io.File(root).list())
+          .getOrElse(Array.empty[String])
+          .filter(n => n.startsWith("seg-") && !live.contains(n) &&
+            segId(n).forall(_ <= last)) // in-flight ingest: not ours to reap
+          .sorted.toIndexedSeq
+        gone.foreach { n =>
+          AnnIndex.invalidate(s"$root/$n")
+          AtomicFiles.rmTree(java.nio.file.Paths.get(root).resolve(n))
+        }
+        gone
+      }
+    }.getOrElse(Nil)
+
+  /** Size-triggered maintenance (round 18, VERDICT r17 #5): compact +
+    * vacuum when the live segment count exceeds `maxSegments` — the
+    * deployed-lifecycle policy the streaming maintainer wires into its
+    * foreachBatch so a long feed's per-query file opens stay O(probed
+    * cells), not O(triggers). Returns the compacted segment name when a
+    * compaction ran. */
+  def maybeCompact(spark: SparkSession, root: String,
+      maxSegments: Int): Option[String] = {
+    require(maxSegments >= 1, s"maxSegments $maxSegments")
+    if (liveSegments(root).size <= maxSegments) None
+    else {
+      val made = compact(spark, root)
+      if (made.nonEmpty) vacuum(root)
+      made
+    }
   }
 
   /** Pruned read across all live segments: each segment is its own
@@ -113,40 +158,59 @@ object AnnIngest {
     * parent), unioned — the static `isin` partition filter pushes through
     * the Union into EVERY segment scan, so each lists only its probed
     * cells' directories. */
-  def readCells(spark: SparkSession, root: String, cells: Seq[Int]): DataFrame = {
+  def readCells(spark: SparkSession, root: String, cells: Seq[Int]): DataFrame =
+    readCellsOf(spark, root, liveSegments(root), cells)
+
+  private def readCellsOf(spark: SparkSession, root: String,
+      segs: Seq[String], cells: Seq[Int]): DataFrame = {
     require(cells.nonEmpty, "readCells: no probed cells")
-    val segs = liveSegments(root)
     require(segs.nonEmpty, s"no live ann segments at $root")
-    segs.map(sg => spark.read.parquet(s"$root/$sg"))
+    // per-segment base frames come from the shared (session, dir) cache —
+    // committed segments are immutable and names are never reused, so
+    // schema inference + the partition-directory index build once per
+    // process, not per query (round 18, VERDICT r17 #5)
+    segs.map(sg => AnnIndex.baseFrame(spark, s"$root/$sg"))
       .reduce(_ unionByName _)
       .where(col("cell").isin(cells.map(Int.box): _*))
   }
 
   /** Expected directory count for a pruned read: Σ per-segment
-    * |probed ∩ existing| (an empty cell writes no directory). */
-  private def expectedDirs(root: String, cells: Seq[Int]): Int =
-    liveSegments(root).map(sg =>
+    * |probed ∩ existing| (an empty cell writes no directory;
+    * existingCells is cached per immutable segment). */
+  private def expectedDirs(root: String, segs: Seq[String],
+      cells: Seq[Int]): Int =
+    segs.map(sg =>
       cells.toSet.intersect(AnnIndex.existingCells(s"$root/$sg")).size).sum
 
   /** Plan gate: the scans of `root`'s segments together listed exactly
     * the probed cells' directories (summed across segments — one scan
     * per live segment under the union). */
-  def assertPruned(df: DataFrame, root: String, cells: Seq[Int]): Unit = {
+  def assertPruned(df: DataFrame, root: String, cells: Seq[Int]): Unit =
+    assertPrunedOf(df, root, liveSegments(root), cells)
+
+  private def assertPrunedOf(df: DataFrame, root: String, segs: Seq[String],
+      cells: Seq[Int]): Unit = {
     val want = java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
     val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      // separator-bounded match (ADVICE r17): a sibling root sharing the
+      // hex-name prefix must not be counted into the gate
       case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.relation.location.rootPaths.exists(_.toUri.getPath.startsWith(want)) =>
+          if f.relation.location.rootPaths.map(_.toUri.getPath)
+            .exists(p => p == want || p.startsWith(want + "/")) =>
         f.selectedPartitions.partitionCount
     }
     if (scans.isEmpty) throw new IllegalStateException(
       s"ann ingest: no file scan of $root in the plan")
-    val expect = expectedDirs(root, cells)
+    val expect = expectedDirs(root, segs, cells)
     val got = scans.sum
     if (got != expect) throw new IllegalStateException(
       s"ann ingest: scans listed $got cell directories, expected $expect — pruning did not hold")
   }
 
-  /** IVF top-k over the maintained index (frozen model), plan-gated. */
+  /** IVF top-k over the maintained index (frozen model), plan-gated.
+    * The live segment list and the probed-cell union are each resolved
+    * ONCE and shared between the read and the gate — no second manifest
+    * read or directory listing per query (round 18, VERDICT r17 #4). */
   def searchTopK(spark: SparkSession, root: String,
       cents: Array[Array[Double]], queries: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
@@ -154,9 +218,10 @@ object AnnIngest {
     if (cells.isEmpty)
       return spark.range(0).select(col("id").as("qid"), col("id").as("nid"),
         col("id").cast("int").as("rnk"), col("id").cast("double").as("cos"))
+    val segs = liveSegments(root)
     val out = VectorSearch.ivfTopK(
-      readCells(spark, root, cells), cents, queries, k, nprobe)
-    assertPruned(out, root, cells)
+      readCellsOf(spark, root, segs, cells), cents, queries, k, nprobe)
+    assertPrunedOf(out, root, segs, cells)
     out
   }
 }

@@ -120,15 +120,7 @@ object IncrementalJoinAgg {
     val bPrev = accumulated(spark, root, "b")
     dA.write.mode("overwrite").parquet(s"$root/a/b$batchId")
     dB.write.mode("overwrite").parquet(s"$root/b/b$batchId")
-    // re-read the just-written deltas: every delta term then joins parquet
-    // against parquet — per-step lineage stays flat without checkpointing
-    val dAr = spark.read.parquet(s"$root/a/b$batchId")
-    val dBr = spark.read.parquet(s"$root/b/b$batchId")
-    val deltaJ = Seq(
-      bPrev.map(b => join(dAr, b)), // ΔA ⋈ B_acc
-      aPrev.map(a => join(a, dBr)), // A_acc ⋈ ΔB
-      Some(join(dAr, dBr))          // ΔA ⋈ ΔB
-    ).flatten.reduce(_ unionByName _)
+    val deltaJ = deltaRule(spark, root, batchId, aPrev, bPrev, join)
     val partials = partialsOf(deltaJ)
     val merged = state(spark, root) match {
       case Some(prev) => merge(prev, partials)
@@ -163,6 +155,54 @@ object IncrementalJoinAgg {
       .filter(n => n.startsWith("v") && !retain.contains(n))
       .foreach(v => AtomicFiles.rmTree(java.nio.file.Paths.get(root).resolve(v)))
   }
+
+  /** The per-step delta rule `ΔA ⋈ B_acc ∪ A_acc ⋈ ΔB ∪ ΔA ⋈ ΔB`, with
+    * the DELTA side of each cross term PINNED as the broadcast build side
+    * whenever its just-written directory fits the session broadcast
+    * budget (round 18, VERDICT r17 #6).
+    *
+    * Why pinning, not stats: left to size estimates the planner builds on
+    * whichever relation is smaller TODAY — measured on the JoinMvBench
+    * shape, that is the HISTORY side (customer history < one orders
+    * delta early in the feed), i.e. the plan re-broadcasts an
+    * accumulating relation every step and, once history outgrows the
+    * broadcast threshold on BOTH sides, flips to a sort-merge join that
+    * SHUFFLES THE ENTIRE HISTORY per step — the exact O(|history|)
+    * per-step cost this module exists to avoid. The delta is the side
+    * with a size CONTRACT (small per step, by definition); pinning it as
+    * the build side makes "history never moves — no shuffle, no
+    * broadcast" a plan property at every scale, not a stats accident
+    * (MaintenanceSpec plan-gates it). An oversized delta (bootstrap
+    * replays, threshold 0) falls back to the planner's choice.
+    *
+    * Re-reading the just-written deltas from parquet also keeps per-step
+    * lineage flat without checkpointing; resolution of the accumulators
+    * happened BEFORE this batch's directories landed (ledger filter), so
+    * a crash-replay sees the same frames. */
+  private def deltaRule(spark: SparkSession, root: String, batchId: Long,
+      aPrev: Option[DataFrame], bPrev: Option[DataFrame],
+      join: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val budget = spark.sessionState.conf.autoBroadcastJoinThreshold
+    def pin(df: DataFrame, dir: String): DataFrame =
+      if (budget > 0 && AnnIndex.totalBytes(dir) <= budget) broadcast(df) else df
+    val dAr = spark.read.parquet(s"$root/a/b$batchId")
+    val dBr = spark.read.parquet(s"$root/b/b$batchId")
+    Seq(
+      bPrev.map(b => join(pin(dAr, s"$root/a/b$batchId"), b)), // ΔA ⋈ B_acc
+      aPrev.map(a => join(a, pin(dBr, s"$root/b/b$batchId"))), // A_acc ⋈ ΔB
+      Some(join(dAr, dBr))                                     // ΔA ⋈ ΔB
+    ).flatten.reduce(_ unionByName _)
+  }
+
+  /** [[deltaRule]] over already-written delta directories `a/b<id>` /
+    * `b/b<id>` and the CURRENT manifest's accumulated history — the
+    * probe surface MaintenanceSpec uses to plan-gate the build-side
+    * pinning without applying a batch. */
+  private[graft] def deltaRuleAt(spark: SparkSession, root: String,
+      batchId: Long, join: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    deltaRule(spark, root, batchId,
+      accumulated(spark, root, "a"), accumulated(spark, root, "b"), join)
 
   private def compactSide(spark: SparkSession, root: String, side: String,
       keys: Seq[String], buckets: Int): Option[String] = {
@@ -203,38 +243,82 @@ object IncrementalJoinAgg {
     * neither side had anything to compact. Old directories stay readable
     * for frames created before the compact until [[vacuumHistory]]. */
   def compactHistory(spark: SparkSession, root: String, keyA: Seq[String],
-      keyB: Seq[String], buckets: Int = 32): Option[Seq[String]] = {
-    val cur = StateManifest.current(root)
-    if (cur.isEmpty) return None
-    val view = cur.get.segments.headOption.toSeq
-    val ca = compactSide(spark, root, "a", keyA, buckets)
-    val cb = compactSide(spark, root, "b", keyB, buckets)
-    if (ca.isEmpty && cb.isEmpty) return None
-    val segs = view ++
-      ca.map(Seq(_)).getOrElse(liveSegments(root, "a")) ++
-      cb.map(Seq(_)).getOrElse(liveSegments(root, "b"))
-    StateManifest.commitIf(root, cur.map(_.version), segs,
-      cur.get.lastBatch, cur.get.schemaFp)
-      .map(_ => ca.toSeq ++ cb.toSeq)
-  }
+      keyB: Seq[String], buckets: Int = 32): Option[Seq[String]] =
+    // the per-root maintenance lock keeps a concurrent vacuumHistory from
+    // deleting the half-written compacted directories before the CAS
+    // commit decides their fate (ADVICE r17); applyBatch never takes the
+    // lock — its in-flight deltas are protected by the batch-id guard
+    StateManifest.withMaintenanceLock(root) {
+      val cur = StateManifest.current(root)
+      if (cur.isEmpty) None
+      else {
+        val view = cur.get.segments.headOption.toSeq
+        val ca = compactSide(spark, root, "a", keyA, buckets)
+        val cb = compactSide(spark, root, "b", keyB, buckets)
+        if (ca.isEmpty && cb.isEmpty) None
+        else {
+          val segs = view ++
+            ca.map(Seq(_)).getOrElse(liveSegments(root, "a")) ++
+            cb.map(Seq(_)).getOrElse(liveSegments(root, "b"))
+          StateManifest.commitIf(root, cur.map(_.version), segs,
+            cur.get.lastBatch, cur.get.schemaFp)
+            .map(_ => ca.toSeq ++ cb.toSeq)
+        }
+      }
+    }.flatten
+
+  /** The numeric id of a history name (`side/b<id>` / `side/c<id>`). */
+  private def histId(name: String): Option[Long] =
+    name.dropWhile(_ != '/').drop(2).toLongOption
 
   /** Delete history directories the CURRENT manifest no longer references
     * (orphans from [[compactHistory]], an aborted CAS, or a crash between
     * delta write and commit). Destroys data lazy frames created before
     * the compact may still reference — run after those are evaluated
-    * (production: after a retention window). Returns deleted names. */
-  def vacuumHistory(root: String): Seq[String] = {
-    val live = StateManifest.current(root).toSeq
-      .flatMap(_.segments.drop(1)).toSet
-    // a legacy manifest (no tracked side segments) gives no authority to
-    // distinguish live history from orphans — refuse rather than destroy
-    if (live.isEmpty) return Nil
-    val gone = Seq("a", "b").flatMap { side =>
-      Option(new java.io.File(s"$root/$side").list())
-        .getOrElse(Array.empty[String])
-        .map(n => s"$side/$n").filterNot(live.contains)
-    }.sorted
-    gone.foreach(n => AtomicFiles.rmTree(java.nio.file.Paths.get(root).resolve(n)))
-    gone
+    * (production: after a retention window). Returns deleted names.
+    *
+    * Concurrent-writer guards (ADVICE r17): a delta directory whose
+    * batch id exceeds the manifest ledger belongs to an in-flight
+    * [[applyBatch]] that has written but not yet committed — skipped;
+    * and the pass holds the per-root maintenance lock shared with
+    * [[compactHistory]] so an in-flight compaction (id ≤ ledger) is
+    * protected by mutual exclusion. */
+  def vacuumHistory(root: String): Seq[String] =
+    StateManifest.withMaintenanceLock(root) {
+      val m = StateManifest.current(root)
+      val live = m.toSeq.flatMap(_.segments.drop(1)).toSet
+      val last = m.map(_.lastBatch).getOrElse(-1L)
+      // a legacy manifest (no tracked side segments) gives no authority to
+      // distinguish live history from orphans — refuse rather than destroy
+      if (live.isEmpty) Nil
+      else {
+        val gone = Seq("a", "b").flatMap { side =>
+          Option(new java.io.File(s"$root/$side").list())
+            .getOrElse(Array.empty[String])
+            .map(n => s"$side/$n")
+            .filterNot(live.contains)
+            .filter(n => histId(n).forall(_ <= last)) // in-flight: not ours
+        }.sorted
+        gone.foreach(n => AtomicFiles.rmTree(java.nio.file.Paths.get(root).resolve(n)))
+        gone
+      }
+    }.getOrElse(Nil)
+
+  /** Size-triggered maintenance (round 18, VERDICT r17 #5): compact +
+    * vacuum when either side's live segment count exceeds `maxSegments`
+    * — the deployed-lifecycle policy [[graft.streaming.StreamJoinAggView]]
+    * wires into its foreachBatch so a long CDC feed's per-step history
+    * read stays O(1) directories per side, not O(batches). */
+  def maybeCompactHistory(spark: SparkSession, root: String,
+      keyA: Seq[String], keyB: Seq[String], maxSegments: Int,
+      buckets: Int = 32): Option[Seq[String]] = {
+    require(maxSegments >= 1, s"maxSegments $maxSegments")
+    val over = Seq("a", "b").exists(s => liveSegments(root, s).size > maxSegments)
+    if (!over) None
+    else {
+      val made = compactHistory(spark, root, keyA, keyB, buckets)
+      if (made.nonEmpty) vacuumHistory(root)
+      made
+    }
   }
 }

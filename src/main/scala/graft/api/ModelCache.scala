@@ -48,6 +48,18 @@ object ModelCache {
       scala.util.hashing.MurmurHash3.stringHash(d + parts.mkString("|")) & 0xffffffffL)
   }
 
+  /** Collision-resistant directory-name stamp: the first 16 hex chars
+    * (64 bits) of SHA-256(`s`). State-directory names derived from the
+    * 32-bit `s.hashCode` can collide across distinct stamps (ADVICE r17)
+    * — two (params, data-fingerprint) stamps then share ONE directory,
+    * defeating the "regenerated data lands under a NEW directory"
+    * invariant. 64 digest bits make an accidental collision practically
+    * impossible at any plausible number of state roots. */
+  def sha16(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+
   private val cache = new ConcurrentHashMap[String, AnyRef]()
 
   /** Return the cached value for `key`, computing `fit` on first use.

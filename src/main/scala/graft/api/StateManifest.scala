@@ -242,6 +242,38 @@ object StateManifest {
     * version between A's check and A's delete. The JVM-level monitor
     * still wraps the flock (one acquisition per JVM — overlapping
     * FileLock requests from one JVM throw rather than block). */
+  /** Serialize MAINTENANCE passes (compact/vacuum) per state root, across
+    * processes: an exclusive `flock` on `root/_MAINT.lock` wrapped in a
+    * per-root JVM monitor (the [[reclaimOrphans]] discipline). Why vacuum
+    * needs it (ADVICE r17): a compaction writes its new segment directory
+    * BEFORE its CAS commit, so a concurrent vacuum — which deletes
+    * anything absent from the current manifest — would rip the
+    * half-written segment out from under the compactor; under one lock
+    * the vacuum runs either before the segment exists or after the CAS
+    * decided its fate. Ingest writers never take this lock: their
+    * in-flight directories are protected by the batch-id guard (an
+    * uncommitted batch's id is always above the manifest ledger, and
+    * vacuum skips those names). Returns None — skipping the maintenance
+    * pass — if the lock is held by a sibling classloader in this JVM
+    * (best-effort maintenance, same as reclaim). */
+  def withMaintenanceLock[T](root: String)(body: => T): Option[T] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val key = "maint:" +
+      java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
+    reclaimLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(root).resolve("_MAINT.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = try ch.lock()
+          catch { case _: java.nio.channels.OverlappingFileLockException =>
+            return None }
+        try Some(body) finally fl.release()
+      } finally ch.close()
+    }
+  }
+
   def reclaimOrphans(root: String): Seq[Long] = {
     // a root with no directory yet has no orphans — match versions()'s
     // tolerance instead of throwing NoSuchFileException from the lock open

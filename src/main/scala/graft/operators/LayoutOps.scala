@@ -30,7 +30,7 @@ object LayoutOps {
   }
 
   private def stateRoot(d: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-layout/${java.lang.Integer.toHexString(d.hashCode)}"
+    s"${sys.props("java.io.tmpdir")}/graft-layout/${graft.api.ModelCache.sha16(d)}"
 
   /** Source-data fingerprint for build-once layout caching: path + file
     * sizes + mtimes of the tables a layout derives from. If the driver

@@ -106,7 +106,7 @@ object Maintenance {
         count(lit(1)).as("cnt"),
         round(dsum(col("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"))
     val stateDir = s"${sys.props("java.io.tmpdir")}/graft-mv/" +
-      s"${java.lang.Integer.toHexString(d.hashCode)}/lineitem_qty"
+      s"${graft.api.ModelCache.sha16(d)}/lineitem_qty"
     // NO unregister first — refresh() and register() run under the rewrite
     // bypass, so a re-run of this fn in a session that already registered
     // the view recomputes from the base table and overwrites the entry;
@@ -163,7 +163,7 @@ object Maintenance {
         count(lit(1)).as("p_cnt"),
         count(col("l_shipdate")).as("p_cnt_ship"))
     val stateDir = s"${sys.props("java.io.tmpdir")}/graft-mv/" +
-      s"${java.lang.Integer.toHexString(d.hashCode)}/lineitem_partials"
+      s"${graft.api.ModelCache.sha16(d)}/lineitem_partials"
     // no unregister first — see qMvRewrite: refresh/register self-bypass
     val read = MaterializedView.refresh(s, partialsDef, stateDir)
     MaterializedView.register(s, s"mv_lineitem_partials@$d", partialsDef, read)
@@ -245,7 +245,7 @@ object Maintenance {
         count(lit(1)).as("p_cnt"),
         count(col("l_shipdate")).as("p_cnt_ship"))
     val stateDir = s"${sys.props("java.io.tmpdir")}/graft-mv/" +
-      s"${java.lang.Integer.toHexString(d.hashCode)}/lineitem_partials"
+      s"${graft.api.ModelCache.sha16(d)}/lineitem_partials"
     val read = MaterializedView.refresh(s, partialsDef, stateDir)
     MaterializedView.register(s, s"mv_lineitem_partials@$d", partialsDef, read)
     val inner = Tables.lineitem(s, d)

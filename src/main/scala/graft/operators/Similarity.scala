@@ -145,18 +145,45 @@ object Similarity {
   private[graft] def ivfIndexDir(s: SparkSession, d: String): String = {
     val nc = ivfNCells(s, d)
     val stamp = s"ivfidx:$nc:2:n:${embFp(d)}"
+    // collision-resistant name (ADVICE r17): two distinct stamps must
+    // never share a directory, or builders thrash rebuilding over each
+    // other and the per-(session, dir) base-frame cache can serve a
+    // frame for the overwritten layout
     val dir = s"${sys.props("java.io.tmpdir")}/graft-ann/" +
-      java.lang.Integer.toHexString(stamp.hashCode)
-    val marker = java.nio.file.Paths.get(dir, "_GRAFT_ANN_INDEX")
+      graft.api.ModelCache.sha16(stamp)
+    val target = java.nio.file.Paths.get(dir)
+    val marker = target.resolve("_GRAFT_ANN_INDEX")
     def built() = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == stamp
-    // build-once with BOTH exclusions: in-process (synchronized — two
-    // threads must not race the check-then-build) and cross-process (a
-    // createDirectory claim on a sibling .lock, the IncrementalDedup
-    // claim-mutex pattern — a concurrent builder's mode=overwrite would
-    // otherwise tear this one's files mid-write). A non-claimant polls
-    // for the winner's marker; a claimant that finds a crashed build
-    // (stale lock, no marker) takes over after the poll budget.
+    // Publish-by-rename (ADVICE r17): build into a writer-unique temp
+    // sibling (marker written LAST, inside the temp), then ONE atomic
+    // rename onto the final name. The live directory therefore only ever
+    // appears complete — a slow builder racing a lock-timeout take-over
+    // builder can no longer tear it with a concurrent mode=overwrite
+    // write; whoever loses the rename just discards its temp. The .lock
+    // claim below remains as a WORK-DEDUP gate (one builder per process
+    // fleet in the common case), no longer a correctness guarantee, so
+    // its fixed poll budget is safe: a waiter that times out behind a
+    // merely-slow builder builds redundantly but publishes atomically.
+    def buildAndPublish(): Unit = {
+      val tmp = target.resolveSibling(
+        s"${target.getFileName}.tmp-${java.util.UUID.randomUUID()}")
+      graft.api.AnnIndex.build(normed(s, d), ivfCents(s, d), tmp.toString)
+      java.nio.file.Files.writeString(tmp.resolve("_GRAFT_ANN_INDEX"), stamp)
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException if built() =>
+          // another builder won the rename with identical content
+          graft.api.AtomicFiles.rmTree(tmp)
+        case _: java.nio.file.FileSystemException =>
+          // the name is occupied by a PRE-rename-protocol orphan (old
+          // crashed in-place build): clear it and retry the rename once
+          graft.api.AtomicFiles.rmTree(target)
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
     if (!idxBuilt.contains(stamp)) idxBuilt.synchronized {
       if (!idxBuilt.contains(stamp) && !built()) {
         val lock = java.nio.file.Paths.get(s"$dir.lock")
@@ -165,20 +192,13 @@ object Similarity {
           try { java.nio.file.Files.createDirectory(lock); true }
           catch { case _: java.nio.file.FileAlreadyExistsException => false }
         if (claimed)
-          try {
-            if (!built()) { // re-check: a winner may have finished pre-claim
-              graft.api.AnnIndex.build(normed(s, d), ivfCents(s, d), dir)
-              java.nio.file.Files.writeString(marker, stamp)
-            }
-          } finally java.nio.file.Files.deleteIfExists(lock)
+          try { if (!built()) buildAndPublish() }
+          finally java.nio.file.Files.deleteIfExists(lock)
         else {
-          // another process is building: wait for its marker
+          // another process is building: wait for its atomic publish
           val deadline = System.nanoTime() + 120L * 1000000000L
           while (!built() && System.nanoTime() < deadline) Thread.sleep(500)
-          if (!built()) { // crashed builder left a stale lock: take over
-            graft.api.AnnIndex.build(normed(s, d), ivfCents(s, d), dir)
-            java.nio.file.Files.writeString(marker, stamp)
-          }
+          if (!built()) buildAndPublish() // stale/slow builder: take over safely
         }
       }
       idxBuilt.add(stamp)
@@ -1206,7 +1226,7 @@ object Similarity {
     val cents = incCents(s, d)
     val stamp = s"annInc:${incCells(s, d)}:${embFp(d)}"
     val root = s"${sys.props("java.io.tmpdir")}/graft-ann-inc/" +
-      java.lang.Integer.toHexString(stamp.hashCode)
+      graft.api.ModelCache.sha16(stamp) // collision-resistant (ADVICE r17)
     // lifecycle (ledger-idempotent — a re-run replays as no-ops):
     // bootstrap, ingest Δ1, compact + vacuum MID-SEQUENCE, ingest Δ2,
     // final compact (so the search layout — and its plan budget — is

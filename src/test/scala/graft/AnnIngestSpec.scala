@@ -97,4 +97,42 @@ class AnnIngestSpec extends SparkSpec {
     val out = SparkEntry.queries("q_incr_ann")(spark, sf("sf0.001"))
     assert(out.count() > 0)
   }
+
+  test("vacuum skips an in-flight writer's directory, reaps committed-era orphans") {
+    val root = freshRoot()
+    AnnIngest.ingest(spark, root, base, cents, 0L)
+    // an ingest that has written its segment but not yet committed: its
+    // id is above the ledger — vacuum must leave it alone (ADVICE r17)
+    val inflight = new java.io.File(s"$root/seg-b7"); inflight.mkdirs()
+    // a true orphan (aborted CAS at an id the ledger already covers)
+    val orphan = new java.io.File(s"$root/seg-c0"); orphan.mkdirs()
+    assert(AnnIngest.vacuum(root) == Seq("seg-c0"))
+    assert(inflight.isDirectory, "in-flight segment must survive vacuum")
+    assert(!orphan.exists, "committed-era orphan must be reclaimed")
+  }
+
+  test("maybeCompact folds the layout only above the segment threshold") {
+    val root = freshRoot()
+    AnnIngest.ingest(spark, root, base, cents, 0L)
+    AnnIngest.ingest(spark, root,
+      corpus.where(col("id") % 3 === 0 && col("id") % 2 === 0), cents, 1L)
+    // at the threshold: policy declines, layout untouched
+    assert(AnnIngest.maybeCompact(spark, root, maxSegments = 2).isEmpty)
+    assert(AnnIngest.liveSegments(root) == Seq("seg-b0", "seg-b1"))
+    AnnIngest.ingest(spark, root,
+      corpus.where(col("id") % 3 === 0 && col("id") % 2 === 1), cents, 2L)
+    // above it: compact runs AND its vacuum reclaims the folded segments
+    assert(AnnIngest.maybeCompact(spark, root, maxSegments = 2).contains("seg-c2"))
+    assert(AnnIngest.liveSegments(root) == Seq("seg-c2"))
+    val onDisk = new java.io.File(root).list().filter(_.startsWith("seg-")).toSeq
+    assert(onDisk == Seq("seg-c2"), s"got $onDisk")
+    // layout-only: search parity with the one-shot frozen-model index
+    val qs = corpus.where(col("id") < 10)
+    val inc = AnnIngest.searchTopK(spark, root, cents, qs, k = 5, nprobe = 3)
+      .orderBy("qid", "rnk").collect()
+    val oneShot = VectorSearch.ivfTopK(
+      VectorSearch.ivfAssign(corpus, cents), cents, qs, k = 5, nprobe = 3)
+      .orderBy("qid", "rnk").collect()
+    assert(inc.nonEmpty && inc.toSeq == oneShot.toSeq)
+  }
 }

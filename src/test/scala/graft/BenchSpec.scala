@@ -160,6 +160,32 @@ class BenchSpec extends SparkSpec {
     // empty reference (first run ever) leaves everything untouched
     assert(Bench.tailRemeasure(spark, "ignored",
       Seq(t("q_stalled", 5.0, 1.0)), defs, Map.empty).head.preTailSec.isEmpty)
+    // the in-run attempt median is NEVER rewritten by the tail pass
+    // (ADVICE r17: the mutated field no longer meant median)
+    assert(byName("q_stalled").median == 5.0,
+      "median must stay the in-run reading; the swap lives in pre_tail_sec")
+  }
+
+  test("tailRemeasure is symmetric: anomalously fast readings re-run too") {
+    val C = Bench.CalibRef
+    def t(name: String, sec: Double, shuffleMb: Double) =
+      Bench.QueryTiming(name, sec, shuffleMb, 1, sec, None, winCalib = C)
+    val defs = Seq(okQuery("q_too_fast"), okQuery("q_small"), okQuery("q_fastmoved"))
+    val ref = Map(
+      "q_too_fast" -> (2.0, 1.0),  // 0.1s reading vs 2.0 median -> re-run
+      "q_small" -> (0.3, 1.0),     // median under 0.5s: jitter, keep
+      "q_fastmoved" -> (2.0, 50.0))// fast but shuffle moved -> plan change, keep
+    val out = Bench.tailRemeasure(spark, "ignored",
+      Seq(t("q_too_fast", 0.1, 1.0), t("q_small", 0.1, 1.0),
+        t("q_fastmoved", 0.1, 1.0)), defs, ref)
+    val byName = out.map(r => r.name -> r).toMap
+    // the fast outlier re-measured: the fresh reading is committed
+    // whichever direction it moved, the anomaly recorded beside it
+    assert(byName("q_too_fast").preTailSec.contains(0.1))
+    assert(byName("q_too_fast").attempts == 2)
+    assert(byName("q_too_fast").median == 0.1, "median untouched")
+    assert(byName("q_small").preTailSec.isEmpty && byName("q_small").sec == 0.1)
+    assert(byName("q_fastmoved").preTailSec.isEmpty)
   }
 
   test("loadRef parses the artifact format; loadRefMedians medians across runs") {

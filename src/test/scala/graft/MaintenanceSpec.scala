@@ -1370,4 +1370,127 @@ class MaintenanceSpec extends SparkSpec {
     assert(rows(IncrementalJoinAgg.state(spark, root).get) == wantLate,
       "a late row must join the compacted dim history")
   }
+
+  test("join-agg vacuum skips in-flight deltas; maybeCompactHistory fires above threshold") {
+    import graft.api.IncrementalJoinAgg
+    import spark.implicits._
+    val aDf = Seq((1, "F", 10.0), (2, "O", 5.0), (3, "F", 7.0), (4, "O", 2.0))
+      .toDF("ak", "st", "x")
+    val bDf = Seq((1, "AUTO"), (2, "BUILD"), (3, "AUTO"), (4, "HOUSE"))
+      .toDF("bk", "seg")
+    def joiner(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.join(b, a("ak") === b("bk"))
+    def partials(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy("seg", "st")
+        .agg(sum(col("x").cast("decimal(18,6)")).as("p_sum"), count(lit(1)).as("p_cnt"))
+    def merge(prev: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      prev.unionByName(p).groupBy("seg", "st")
+        .agg(sum(col("p_sum")).cast("decimal(28,6)").as("p_sum"),
+          sum(col("p_cnt")).as("p_cnt"))
+    val root = java.nio.file.Files.createTempDirectory("ijac-auto").toString
+    def step(i: Int): Unit = IncrementalJoinAgg.applyBatch(
+      aDf.where(col("ak") % 4 === i), bDf.where(col("bk") % 4 === i),
+      i.toLong, root)(joiner, partials, merge)
+    step(0); step(1)
+    // vacuum guard (ADVICE r17): an applyBatch that wrote its delta but
+    // has not committed (id above the ledger) must survive a vacuum
+    val inflight = new java.io.File(s"$root/a/b9"); inflight.mkdirs()
+    assert(IncrementalJoinAgg.vacuumHistory(root).isEmpty,
+      "nothing committed-era to reclaim, in-flight left alone")
+    assert(inflight.isDirectory, "in-flight delta must survive vacuum")
+    // at the threshold: policy declines
+    assert(IncrementalJoinAgg.maybeCompactHistory(spark, root,
+      Seq("ak"), Seq("bk"), maxSegments = 2, buckets = 4).isEmpty)
+    assert(IncrementalJoinAgg.liveSegments(root, "a") == Seq("a/b0", "a/b1"))
+    step(2)
+    // above it: compaction runs and its vacuum reclaims the folded deltas
+    val made = IncrementalJoinAgg.maybeCompactHistory(spark, root,
+      Seq("ak"), Seq("bk"), maxSegments = 2, buckets = 4)
+    assert(made.exists(_.size == 2), s"expected both sides compacted, got $made")
+    assert(IncrementalJoinAgg.liveSegments(root, "a") == Seq("a/c2"))
+    assert(IncrementalJoinAgg.liveSegments(root, "b") == Seq("b/c2"))
+    assert(!new java.io.File(s"$root/a/b0").exists, "folded delta reclaimed")
+    assert(inflight.isDirectory, "in-flight delta survives the auto pass too")
+    // parity: the compacted state equals the full recompute
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select(col("seg"), col("st"), col("p_sum").cast("double"), col("p_cnt"))
+        .collect().map(_.toSeq).toSet
+    val want = rows(partials(joiner(
+      aDf.where(col("ak") % 4 <= 2), bDf.where(col("bk") % 4 <= 2))))
+    assert(rows(IncrementalJoinAgg.state(spark, root).get) == want)
+  }
+
+  test("join-agg delta rule: history is neither broadcast nor shuffled (build side pinned to the delta)") {
+    // Round 18 (VERDICT r17 #6): left to size stats, the planner builds
+    // the cross-term hash table on whichever relation is smaller TODAY —
+    // measured on the q_mv_join shape that was the HISTORY side, i.e. an
+    // ACCUMULATING relation re-broadcast every step, which flips to a
+    // full history shuffle once both sides outgrow the threshold. The
+    // delta rule now pins the DELTA as the build side whenever it fits
+    // the broadcast budget, making "history never moves" a plan property.
+    import graft.api.IncrementalJoinAgg
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val d = sf("sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("jmv-plan").toString
+    def dA(i: Int) = Tables.orders(spark, d)
+      .where(pmod(col("o_orderkey"), lit(4)) === i)
+      .select("o_custkey", "o_orderstatus", "o_totalprice")
+    def dB(i: Int) = Tables.customer(spark, d)
+      .where(pmod(col("c_custkey"), lit(4)) === i)
+      .select("c_custkey", "c_mktsegment")
+    val joiner = (a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =>
+      a.join(b, a("o_custkey") === b("c_custkey"))
+    def partials(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy("c_mktsegment", "o_orderstatus")
+        .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("p_sum"),
+          count(lit(1)).as("p_cnt"))
+    def merge(prev: org.apache.spark.sql.DataFrame, p: org.apache.spark.sql.DataFrame) =
+      prev.unionByName(p).groupBy("c_mktsegment", "o_orderstatus")
+        .agg(sum(col("p_sum")).cast("decimal(28,6)").as("p_sum"),
+          sum(col("p_cnt")).as("p_cnt"))
+    (0 until 3).foreach(i => IncrementalJoinAgg.applyBatch(dA(i), dB(i),
+      i.toLong, root)(joiner, partials, merge))
+    IncrementalJoinAgg.compactHistory(spark, root,
+      keyA = Seq("o_custkey"), keyB = Seq("c_custkey"), buckets = 4)
+    IncrementalJoinAgg.vacuumHistory(root)
+    // stage the NEXT batch's deltas and probe the delta rule's plan
+    dA(3).write.mode("overwrite").parquet(s"$root/a/b3")
+    dB(3).write.mode("overwrite").parquet(s"$root/b/b3")
+    val dj = IncrementalJoinAgg.deltaRuleAt(spark, root, 3L, joiner)
+    dj.write.format("noop").mode("overwrite").save() // finalize AQE
+    val plan = dj.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect { case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toUri.getPath) }.flatten
+    // (1) no shuffle anywhere in the delta rule: history never exchanges
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"delta rule must be exchange-free, got:\n$plan")
+    // (2) every broadcast build side scans ONLY this batch's delta dirs —
+    //     the accumulated history is never the build side
+    val bcScans = plan.collect { case b: BroadcastExchangeLike => scansOf(b) }
+    assert(bcScans.nonEmpty, "expected broadcast cross terms")
+    bcScans.foreach { paths =>
+      assert(paths.nonEmpty && paths.forall(p => p.endsWith("/a/b3") || p.endsWith("/b/b3")),
+        s"history leaked into a broadcast build side: $paths\n$plan")
+    }
+    // (3) the history segments ARE read on the stream side
+    assert(scansOf(plan).exists(_.contains("/a/c")), "compacted history not read")
+    // and the rule still computes the right rows: parity via a real apply
+    IncrementalJoinAgg.applyBatch(dA(3), dB(3), 3L, root)(joiner, partials, merge)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select(col("c_mktsegment"), col("o_orderstatus"),
+        col("p_sum").cast("double"), col("p_cnt"))
+        .collect().map(_.toSeq).toSet
+    val all = rows(partials(joiner(
+      Tables.orders(spark, d).select("o_custkey", "o_orderstatus", "o_totalprice"),
+      Tables.customer(spark, d).select("c_custkey", "c_mktsegment"))))
+    assert(rows(IncrementalJoinAgg.state(spark, root).get) == all,
+      "pinned build side changed the maintained state")
+  }
 }

@@ -938,6 +938,87 @@ class StreamingSpec extends SparkSpec {
     assert(AnnIngest.liveSegments(root) == Seq("seg-c1", "seg-b2"))
   }
 
+  test("auto-compaction policy: a long feed stays bounded in segments, parity intact") {
+    // Round 18 (VERDICT r17 #5): the compaction lifecycle moves from
+    // caller-remembered to DEPLOYED — both streaming maintainers carry a
+    // size trigger (autoCompactAt) in their foreachBatch, so a feed of
+    // any length keeps its live segment count ≤ the threshold while the
+    // maintained state stays ≡ the batch definition.
+    import graft.api.{AnnIngest, IncrementalJoinAgg, VectorSearch}
+    import graft.streaming.{StreamAnnIngest, StreamJoinAggView}
+    import spark.implicits._
+    // -- ANN index maintainer: 6 micro-batches, threshold 3 --
+    val corpus = VectorSearch.withNorm(
+      Tables.embeddings(spark, sf()), col("vec_id"), col("embedding"))
+    val cents = VectorSearch.ivfFitKMeans(
+      corpus.where(col("id") % 6 === 0), nCells = 8, iters = 2)
+    val root = Files.createTempDirectory("sann-auto").toString
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val vecs = VectorSearch.withNorm(
+      input.toDF().toDF("vec_id", "embedding"), col("vec_id"), col("embedding"))
+    val q = StreamAnnIngest.maintain(vecs, root,
+      Files.createTempDirectory("sann-auto-ckpt").toString, cents,
+      autoCompactAt = 3)
+    (0 until 6).foreach { i =>
+      input.addData(corpus.where(col("id") % 6 === i).select("id", "v")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toIndexedSeq)
+      q.processAllAvailable()
+      val live = AnnIngest.liveSegments(root)
+      assert(live.size <= 3, s"trigger $i left ${live.size} segments: $live")
+    }
+    q.stop()
+    val got = AnnIngest.searchTopK(spark, root, cents,
+      corpus.where(col("id") < 10), k = 5, nprobe = 3)
+      .orderBy("qid", "rnk").collect().toSeq
+    val oneShot = VectorSearch.ivfTopK(
+      VectorSearch.ivfAssign(corpus, cents), cents,
+      corpus.where(col("id") < 10), k = 5, nprobe = 3)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(got.nonEmpty && got == oneShot, "auto-compacted feed diverged")
+
+    // -- join-MV maintainer: 5 micro-batches, threshold 2 per side --
+    val jroot = Files.createTempDirectory("sjav-auto").toString
+    val spec = StreamJoinAggView.Spec(
+      aOf = b => b.filter(col("side") === "A").select(
+        col("k").as("ak"), col("st"), col("x")),
+      bOf = b => b.filter(col("side") === "B").select(
+        col("k").as("bk"), col("seg")),
+      join = (a, b) => a.join(b, a("ak") === b("bk")),
+      partialsOf = j => j.groupBy("seg", "st")
+        .agg(sum(col("x").cast("decimal(18,6)")).as("p_sum"),
+          count(lit(1)).as("p_cnt")),
+      merge = (prev, p) => prev.unionByName(p).groupBy("seg", "st")
+        .agg(sum(col("p_sum")).cast("decimal(28,6)").as("p_sum"),
+          sum(col("p_cnt")).as("p_cnt")),
+      keyA = Seq("ak"), keyB = Seq("bk"))
+    val jbatches = (0 until 5).map { i =>
+      Seq(("A", i * 2L, "F", 1.0 + i, ""), ("A", i * 2L + 1, "O", 2.0 + i, ""),
+        ("B", i * 2L, "", 0.0, if (i % 2 == 0) "AUTO" else "BUILD"))
+    }
+    val jin = MemoryStream[(String, Long, String, Double, String)](spark)
+    val jq = StreamJoinAggView.maintain(
+      jin.toDF().toDF("side", "k", "st", "x", "seg"), jroot,
+      Files.createTempDirectory("sjav-auto-ckpt").toString, spec,
+      autoCompactAt = 2)
+    jbatches.zipWithIndex.foreach { case (b, i) =>
+      jin.addData(b: _*); jq.processAllAvailable()
+      Seq("a", "b").foreach { s =>
+        val n = IncrementalJoinAgg.liveSegments(jroot, s).size
+        assert(n <= 2, s"trigger $i left $n live $s-side segments")
+      }
+    }
+    jq.stop()
+    val all = jbatches.flatten
+    val aAll = all.filter(_._1 == "A").map(t => (t._2, t._3, t._4)).toDF("ak", "st", "x")
+    val bAll = all.filter(_._1 == "B").map(t => (t._2, t._5)).toDF("bk", "seg")
+    def norm(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select(col("seg"), col("st"), col("p_sum").cast("double"), col("p_cnt"))
+        .collect().map(_.toSeq).toSet
+    assert(norm(StreamJoinAggView.state(spark, jroot).get) ==
+      norm(spec.partialsOf(spec.join(aAll, bAll))),
+      "auto-compacted join-MV state diverged from the definition")
+  }
+
   test("streaming funnel: conversions equal the batch q_funnel on identical input") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     StatefulOps.useRocksDbStateStore(spark)
