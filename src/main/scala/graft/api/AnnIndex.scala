@@ -142,6 +142,27 @@ object AnnIndex {
     }
   }
 
+  /** Throw unless every scan of `dir` in `df`'s plan carries `needle`
+    * inside its `PushedFilters` — the self-gate for FILTERED search over
+    * the index: a metadata predicate must reach the parquet reader (row
+    * groups whose min/max exclude the wanted values never decode), not
+    * run as a post-scan filter over every candidate row. */
+  def assertFilterPushed(df: DataFrame, dir: String, needle: String): Unit = {
+    val want = normPath(dir)
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+          .map(_.toUri.getPath)
+          .exists(p => p == want || p.startsWith(want + "/")) => f
+    }
+    if (scans.isEmpty) throw new IllegalStateException(
+      s"ann index: no file scan of $dir in the plan (index not read?)")
+    scans.foreach { f =>
+      val pushed = f.metadata.getOrElse("PushedFilters", "")
+      if (!pushed.contains(needle)) throw new IllegalStateException(
+        s"ann index: filter '$needle' not pushed to the index scan (PushedFilters: $pushed)")
+    }
+  }
+
   /** IVF top-k over the PERSISTED index: probe cells per query, read ONLY
     * those cells' directories, exact re-rank — then [[assertPruned]].
     * Result rows are identical to [[VectorSearch.ivfTopK]] over the live

@@ -436,6 +436,85 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** FILTERED vector search (round 18): top-k cosine neighbors among
+    * corpus rows satisfying a metadata predicate (`label IN (0,3,6,9)`)
+    * — the "search within a category / tenant / license bucket" shape
+    * every production retrieval deployment needs beside unfiltered ANN
+    * (cf. the reference-class filtered-search APIs in FAISS IDSelector /
+    * Milvus expr / Lucene KNN pre-filtering). Strategy: PRE-FILTER at
+    * the candidate stage of the persisted cell-partitioned index — the
+    * probed cells' directories are listed (plan-gated, [[graft.api
+    * .AnnIndex.assertPruned]]) and the predicate is PUSHED into the
+    * parquet reader of that pruned read (plan-gated too,
+    * [[graft.api.AnnIndex.assertFilterPushed]] — row groups whose
+    * min/max exclude the labels never decode), then the exact re-rank
+    * sees only matching candidates.
+    *
+    * Scale shape at 100 TB: bytes touched = (nprobe/nCells) × corpus ×
+    * predicate row-group selectivity — BOTH prunings compose on the
+    * same scan, no second pass and no post-hoc filtering of a top-k
+    * that would under-fill k. The known trade (public ANN literature):
+    * a highly selective predicate thins candidates per probed cell, so
+    * production raises nprobe with selectivity; the oracle replays the
+    * identical probe-then-filter algorithm, so the gate is exact at any
+    * setting. */
+  val qAnnFiltered: QueryDef = QueryDef.sql(
+    "q_ann_filtered",
+    s"""WITH $normedCte,
+       |$sizingCtes,
+       |${kmeansCtes(rounds = 2)},
+       |cc AS (
+       |  SELECT n.vec_id, c.cell, ${dotSql("n.v", "c.v")} / (n.nrm * c.nrm) AS ccos
+       |  FROM n, cn2 c
+       |),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM cc)
+       |  WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS rn
+       |    FROM cc WHERE vec_id < 10)
+       |  WHERE rn <= (SELECT np FROM ksz)
+       |),
+       |s AS (
+       |  SELECT p.qid, a.vec_id AS nid, ${dotSql("q.v", "t.v")} / (q.nrm * t.nrm) AS cos
+       |  FROM probes p
+       |  JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.qid
+       |  JOIN n q ON q.vec_id = p.qid
+       |  JOIN n t ON t.vec_id = a.vec_id
+       |  WHERE t.label IN (0, 3, 6, 9)
+       |)
+       |SELECT qid, nid, rnk, round(cos, 4) AS cos
+       |FROM (SELECT qid, nid, cos,
+       |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rnk
+       |      FROM s)
+       |WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    import graft.api.{AnnIndex, VectorSearch}
+    val n = normed(s, d)
+    val qs = n.where(col("id") < 10)
+    val cents = ivfCents(s, d)
+    val dir = ivfIndexDir(s, d)
+    val np = ivfNprobe(s, d)
+    val cells = AnnIndex.probedCells(VectorSearch.ivfProbes(qs, cents, np))
+    if (cells.isEmpty)
+      s.range(0).select(col("id").as("qid"), col("id").as("nid"),
+        col("id").cast("int").as("rnk"), col("id").cast("double").as("cos"))
+    else {
+      val candidates = AnnIndex.readCells(s, dir, cells)
+        .where(col("label").isin(0, 3, 6, 9))
+      val out = VectorSearch.ivfTopK(candidates, cents, qs, k = 5, nprobe = np)
+      AnnIndex.assertPruned(out, dir, cells)
+      AnnIndex.assertFilterPushed(out, dir, "In(label")
+      out.orderBy("qid", "rnk")
+    }
+  }
+
   /** Recall@10 of the IVF route against brute-force ground truth — the
     * evaluation query an approximate index REQUIRES before anyone trusts
     * it ("measure, don't guess" applied to the ANN stack itself). Both
@@ -1247,8 +1326,8 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(
-    qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qAnnRecall, qKmeansFit,
-    qEmbedCentroids, qPqAnn, qIvfPqAnn, qAnnPqRecall, qLshRecall,
+    qEmbedNeardup, qSimTopk, qSimLsh, qSimIvf, qAnnFiltered, qAnnRecall,
+    qKmeansFit, qEmbedCentroids, qPqAnn, qIvfPqAnn, qAnnPqRecall, qLshRecall,
     qSemanticDedup, qHybridSearch, qIncrAnn)
 }
 

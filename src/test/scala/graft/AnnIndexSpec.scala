@@ -67,4 +67,39 @@ class AnnIndexSpec extends SparkSpec {
     val out = SparkEntry.queries("q_sim_ivf")(spark, sf("sf0.001"))
     assert(out.count() > 0)
   }
+
+  test("filtered search: predicate pushed into the pruned read, composing both gates") {
+    val qs = corpus.where(col("id") < 10)
+    val cells = AnnIndex.probedCells(VectorSearch.ivfProbes(qs, cents, nprobe = 3))
+    val filtered = AnnIndex.readCells(spark, indexDir, cells)
+      .where(col("label").isin(0, 3, 6, 9))
+    val out = VectorSearch.ivfTopK(filtered, cents, qs, k = 5, nprobe = 3)
+    // both plan gates hold on one scan: directory pruning AND the pushed
+    // predicate (row-group min/max skipping inside the probed cells)
+    AnnIndex.assertPruned(out, indexDir, cells)
+    AnnIndex.assertFilterPushed(out, indexDir, "In(label")
+    // the filter gate THROWS when the predicate never reaches the scan
+    val unpushed = VectorSearch.ivfTopK(
+      AnnIndex.readCells(spark, indexDir, cells), cents, qs, k = 5, nprobe = 3)
+    intercept[IllegalStateException](
+      AnnIndex.assertFilterPushed(unpushed, indexDir, "In(label"))
+    // results: every neighbor satisfies the predicate, and they equal the
+    // filtered full-frame search (pre-filtering loses nothing vs the same
+    // algorithm over the live frame)
+    val got = out.orderBy("qid", "rnk").collect()
+    assert(got.nonEmpty)
+    val nids = got.map(_.getAs[Long]("nid")).toSet
+    val okLabels = corpus.where(col("label").isin(0, 3, 6, 9))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(nids.subsetOf(okLabels), "a neighbor escaped the predicate")
+    val live = VectorSearch.ivfTopK(
+      VectorSearch.ivfAssign(corpus, cents).where(col("label").isin(0, 3, 6, 9)),
+      cents, qs, k = 5, nprobe = 3).orderBy("qid", "rnk").collect()
+    assert(got.toSeq == live.toSeq)
+  }
+
+  test("q_ann_filtered runs end-to-end (both self-gates live)") {
+    val out = SparkEntry.queries("q_ann_filtered")(spark, sf("sf0.001"))
+    assert(out.count() > 0)
+  }
 }
