@@ -101,7 +101,7 @@ object PipelineScaleBench {
     "q_dedup_cluster", "q_incr_dedup",
     "q_text_tfidf", "q_text_tokens", "q_lang_id", "q_quality_filter",
     "q_bm25_search", "q_heavy_hitters", "q_curate_pipeline", "q_pack",
-    "q_sim_topk", "q_sim_lsh", "q_sim_ivf", "q_embed_neardup",
+    "q_sim_topk", "q_sim_lsh", "q_sim_ivf", "q_ann_filtered", "q_embed_neardup",
     "q_funnel", "q_sessionize", "q_hop_window", "q_asof_join")
 
   def main(args: Array[String]): Unit = {
