@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions._
   * (probes' copy families removed at BOTH derivation generations), and
   * exact assignment parity (symmetric exceptAll count, must be 0 — the
   * ApiSpec pins replayed at 200k rows).
-  * Writes bench_ivf_gear_r16.json (override: GRAFT_IVF_GEAR_JSON).
+  * Writes bench_ivf_gear_r18.json (override: GRAFT_IVF_GEAR_JSON).
   */
 object IvfGearBench {
 
@@ -243,7 +243,7 @@ object IvfGearBench {
   }
 }
 """
-    val out = sys.env.getOrElse("GRAFT_IVF_GEAR_JSON", "bench_ivf_gear_r16.json")
+    val out = sys.env.getOrElse("GRAFT_IVF_GEAR_JSON", "bench_ivf_gear_r18.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc)
     println(doc)
     spark.stop()

@@ -104,7 +104,7 @@ object JoinMvBench {
   "parity": "identical final partials"
 }
 """
-    val out = sys.env.getOrElse("GRAFT_JOINMV_JSON", "bench_joinmv_r17.json")
+    val out = sys.env.getOrElse("GRAFT_JOINMV_JSON", "bench_joinmv_r18.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc)
     println(doc)
     spark.stop()

@@ -173,7 +173,7 @@ $legsJson
   "notes": "per-key running aggregate (update mode, no watermark eviction): live state grows to ~min(n_msgs, n_keys) rows; the r14 rule (#stores ~= |live keys|/target) is re-derived from this sweep at 10^6 keys"
 }
 """
-    val out = sys.env.getOrElse("GRAFT_STATE_SCALE_JSON", "bench_stream_keys_r15.json")
+    val out = sys.env.getOrElse("GRAFT_STATE_SCALE_JSON", "bench_stream_keys_r18.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc)
     println(s"""{"metric":"state_scale","best_stores":${best._1},"auto_stores":$autoStores,"best_steady":${num(best._2.steadyRowsPerSec, 0)},"n_keys":$nKeys,"calib_post":${num(calibPost, 4)}}""")
     spark.stop()

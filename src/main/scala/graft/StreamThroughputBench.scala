@@ -521,7 +521,7 @@ object StreamThroughputBench {
   "notes": "every micro-batch commits offsets (stricter than the 5s reference cadence); delivered==published-sessions asserted (exactly-once sink accounting); stateful leg carries a state_profile phase attribution"
 }
 """
-    val out = sys.env.getOrElse("GRAFT_STREAM_JSON", "bench_stream_r15.json")
+    val out = sys.env.getOrElse("GRAFT_STREAM_JSON", "bench_stream_r18.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc)
     println(s"""{"metric":"stream_throughput","value":${num(fan.steadyRowsPerSec, 0)},"unit":"rows/sec","wall":${num(fan.rowsPerSec, 0)},"stateful":${num(st.steadyRowsPerSec, 0)},"lat_p95_ms":${lat.p95Ms},"n":$n,"calib_post":${num(calibPost, 4)}}""")
     spark.stop()
